@@ -1,0 +1,176 @@
+"""Canonical data model: the triples table and RDF term encoding.
+
+The reference holds data as an in-memory ``rdflib.Graph`` — an unordered set
+of (subject, predicate, object) triples with tagged term kinds (URIRef /
+BNode / Literal; /root/reference/cmem_plugin_pyshacl/plugin_pyshacl.py:31-44,
+:541-543). We encode the same model columnar-first so Catalyst can prune,
+push down, and codegen over it:
+
+    triples(s, p, o_kind, o_value, o_datatype, o_lang, graph, part_id)
+
+Blank nodes are always skolemized before any shuffle (their ids are not
+stable across partitions); the reference does the same at sink time
+(plugin_pyshacl.py:647-649).
+
+Set semantics of rdflib.Graph (duplicate add is a no-op) are restored with
+``dedupe_triples`` before any sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- namespaces
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+SH = "http://www.w3.org/ns/shacl#"
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+SKOSXL = "http://www.w3.org/2008/05/skos-xl#"  # reference: plugin_pyshacl.py:46
+PROV = "http://www.w3.org/ns/prov#"
+SHUI = "https://vocab.eccenca.com/shui/"
+EX = "http://example.org/"
+
+RDF_TYPE = RDF + "type"
+RDFS_LABEL = RDFS + "label"
+RDFS_SUBCLASSOF = RDFS + "subClassOf"
+SKOS_PREFLABEL = SKOS + "prefLabel"
+SKOSXL_PREFLABEL = SKOSXL + "prefLabel"
+SKOSXL_LITERALFORM = SKOSXL + "literalForm"
+
+XSD_STRING = XSD + "string"
+XSD_INTEGER = XSD + "integer"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_DATETIME = XSD + "dateTime"
+XSD_DECIMAL = XSD + "decimal"
+XSD_DOUBLE = XSD + "double"
+XSD_DATE = XSD + "date"
+
+# graph-type catalog constants (reference DATA_GRAPH_TYPES,
+# plugin_pyshacl.py:47-53)
+DATA_GRAPH_TYPES = [
+    "https://vocab.eccenca.com/di/Dataset",
+    "http://rdfs.org/ns/void#Dataset",
+    "https://vocab.eccenca.com/shui/ShapeCatalog",
+    "http://www.w3.org/2002/07/owl#Ontology",
+    "https://vocab.eccenca.com/dsm/ThesaurusProject",
+]
+SHAPE_CATALOG_TYPE = "https://vocab.eccenca.com/shui/ShapeCatalog"
+
+# term kinds (o_kind column values)
+KIND_IRI = "iri"
+KIND_LITERAL = "literal"
+KIND_BNODE = "bnode"  # transient: must not survive past skolemization
+
+TRIPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.StringType(), False),
+        T.StructField("p", T.StringType(), False),
+        T.StructField("o_kind", T.StringType(), False),
+        T.StructField("o_value", T.StringType(), False),
+        T.StructField("o_datatype", T.StringType(), True),
+        T.StructField("o_lang", T.StringType(), True),
+        T.StructField("graph", T.StringType(), True),
+        T.StructField("part_id", T.IntegerType(), True),
+    ]
+)
+
+TRIPLE_COLS = [f.name for f in TRIPLES_SCHEMA.fields]
+TRIPLE_KEY_COLS = ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "graph"]
+
+# fixed 11-column entities schema (reference plugin_pyshacl.py:502-511,
+# :526-533; `detail` deliberately omitted as the reference comments it out
+# at :508)
+ENTITY_COLUMNS = [
+    "focusNode",
+    "resultPath",
+    "value",
+    "sourceShape",
+    "sourceConstraintComponent",
+    "resultMessage",
+    "resultSeverity",
+    "conforms",
+    "wasDerivedFrom",
+    "wasInformedBy",
+    "generatedAtTime",
+]
+
+
+def iri(value: str) -> tuple[str, str, None, None]:
+    """Python-side helper for building literal rows of triples."""
+    return (value, KIND_IRI, None, None)
+
+
+def lit_typed(value: str, datatype: str | None = None, lang: str | None = None):
+    return (value, KIND_LITERAL, datatype, lang)
+
+
+def triples_from_rows(spark, rows, graph: str | None = None) -> DataFrame:
+    """Build a triples DataFrame from python tuples.
+
+    Accepts rows of (s, p, (o_value, o_kind, o_datatype, o_lang)) or full
+    8-tuples. Used for tiny fixture graphs (shapes graphs are small by
+    design — the reference's fixture is pySHACL's own shacl-shacl.ttl).
+    """
+    full = []
+    for r in rows:
+        if len(r) == 3:
+            s, p, (o_value, o_kind, o_dt, o_lang) = r
+            full.append((s, p, o_kind, o_value, o_dt, o_lang, graph, 0))
+        else:
+            full.append(tuple(r))
+    return spark.createDataFrame(full, schema=TRIPLES_SCHEMA)
+
+
+def dedupe_triples(df: DataFrame) -> DataFrame:
+    """Restore rdflib set semantics: duplicate add is a no-op."""
+    return df.dropDuplicates(TRIPLE_KEY_COLS)
+
+
+def nt_term(kind: Column, value: Column, datatype: Column, lang: Column) -> Column:
+    """Serialize one RDF term to its N-Triples form (JVM-side expression).
+
+    Mirrors the reference's typed-literal rendering ``"lex"^^<dt>``
+    (plugin_pyshacl.py:490-492) and the N-Triples sink format (:444-448).
+    """
+    escaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(value, r"\\", r"\\\\"), '"', r'\\"'
+        ),
+        "\n",
+        r"\\n",
+    )
+    return (
+        F.when(kind == KIND_IRI, F.concat(F.lit("<"), value, F.lit(">")))
+        .when(
+            (kind == KIND_LITERAL) & lang.isNotNull(),
+            F.concat(F.lit('"'), escaped, F.lit('"@'), lang),
+        )
+        .when(
+            (kind == KIND_LITERAL)
+            & datatype.isNotNull()
+            & (datatype != XSD_STRING),
+            F.concat(F.lit('"'), escaped, F.lit('"^^<'), datatype, F.lit(">")),
+        )
+        .otherwise(F.concat(F.lit('"'), escaped, F.lit('"')))
+    )
+
+
+def to_ntriples(df: DataFrame) -> DataFrame:
+    """Project a triples DataFrame to one N-Triples line per row."""
+    return df.select(
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("<"), F.col("s"), F.lit(">")),
+            F.concat(F.lit("<"), F.col("p"), F.lit(">")),
+            nt_term(
+                F.col("o_kind"),
+                F.col("o_value"),
+                F.col("o_datatype"),
+                F.col("o_lang"),
+            ),
+            F.lit("."),
+        ).alias("line")
+    )

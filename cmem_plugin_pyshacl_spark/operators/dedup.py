@@ -1,0 +1,171 @@
+"""Deduplication family over the `documents` table — first-class operators
+for the 100 TB training-data pipeline.
+
+All hashing is the deterministic md5-derived family (functions/hashing.py)
+so every operator here is DuckDB-oracle-checkable AND stable across
+re-runs/resumes (no engine-private hash, no rand()).
+
+Scale notes per operator:
+  * exact_duplicates: one shuffle on the content hash; map-side partial agg
+    makes the common all-unique case cheap.
+  * minhash_duplicates: signature computation is embarrassingly parallel
+    (array exprs in codegen); the band self-join shuffles on band buckets;
+    hot buckets capped (see linking.lsh_candidate_pairs).
+  * simhash_duplicates: fingerprint is a single pass; candidate pairing via
+    band keys on 16-bit chunks (classic Manku et al. WWW'07 rotation trick
+    reduced to 4 chunk-keys for hamming<=3 within 60-bit prints).
+  * ngram_jaccard_pairs: exact verifier on candidate pairs only — never
+    all-pairs at scale.
+  * embedding_near_dup: cosine over float arrays via JVM zip_with/aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    char_shingles,
+    hamming64,
+    md5_int60,
+    simhash64,
+)
+from ..plans.linking import jaccard_shingles, lsh_candidate_pairs
+
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, doc_ids, dup_count),
+    only groups with >1 member. One hash-shuffle; partial+final agg."""
+    return (
+        documents.select(F.col("doc_id"), md5_int60(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count("*").alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep exactly one doc (min doc_id) per distinct content hash."""
+    w_hash = documents.withColumn("content_hash", md5_int60(F.col(text_col)))
+    keep = w_hash.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return documents.join(keep, on="doc_id", how="left_semi")
+
+
+def minhash_duplicates(
+    documents: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
+    (a_id, b_id, jaccard) for pairs above threshold."""
+    pairs = lsh_candidate_pairs(documents, "doc_id", text_col, num_perm, bands)
+    docs_a = documents.select(F.col("doc_id").alias("a_id"), F.col(text_col).alias("a_text"))
+    docs_b = documents.select(F.col("doc_id").alias("b_id"), F.col(text_col).alias("b_text"))
+    joined = pairs.join(docs_a, on="a_id").join(docs_b, on="b_id")
+    return (
+        jaccard_shingles(joined, "a_text", "b_text")
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document over whitespace tokens."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    return documents.select(
+        "doc_id", simhash64(tokens).alias("simhash")
+    )
+
+
+def simhash_duplicates(
+    documents: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of 4 15-bit chunks
+    (pigeonhole: hamming<=3 over 60 bits => >=1 of 4 chunks equal), then
+    exact hamming filter. Returns (a_id, b_id, hamming)."""
+    fp = simhash_fingerprints(documents, text_col)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), i * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
+    a = chunks.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"), "chunk_id", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"), "chunk_id", "chunk_val"
+    )
+    return (
+        a.join(b, on=["chunk_id", "chunk_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming64(F.col("a_sh"), F.col("b_sh")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    candidate_pairs: DataFrame | None = None,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact character-k-gram Jaccard for candidate pairs (or LSH-derived
+    candidates when none given)."""
+    if candidate_pairs is None:
+        candidate_pairs = lsh_candidate_pairs(documents, "doc_id", text_col)
+    a = documents.select(F.col("doc_id").alias("a_id"), F.col(text_col).alias("a_text"))
+    b = documents.select(F.col("doc_id").alias("b_id"), F.col(text_col).alias("b_text"))
+    joined = candidate_pairs.join(a, on="a_id").join(b, on="b_id")
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.size(F.array_intersect(char_shingles("a_text", k), char_shingles("b_text", k)))
+            / F.size(F.array_union(char_shingles("a_text", k), char_shingles("b_text", k))),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. Without candidates this is the
+    brute-force O(n^2) baseline (fine at test scale; at 100 TB feed it
+    LSH/IVF candidates from operators/similarity.py)."""
+    from .similarity import cosine_expr
+
+    a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    if candidate_pairs is not None:
+        joined = candidate_pairs.join(a, on="a_id").join(b, on="b_id")
+    else:
+        joined = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    return (
+        joined.withColumn("cosine", cosine_expr(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )

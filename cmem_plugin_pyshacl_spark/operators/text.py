@@ -1,0 +1,108 @@
+"""Text-analysis operators for the training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Every operator is pure Column expressions (whole-stage codegen; no UDF) and
+deterministic — each has a DuckDB-oracle SQL twin in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int60
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language-ID (public-knowledge wordlists, truncated to high-frequency
+# function words that rarely collide across these languages)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "que", "dans"],
+    "es": ["el", "los", "las", "es", "que", "por", "una"],
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: score = count of marker-word hits per
+    language; argmax with deterministic tie-break (alphabetical), 'und'
+    (undetermined) when no marker hits."""
+    toks = _tokens(text_col)
+    df = documents
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        df = df.withColumn(
+            f"_score_{lang}", F.size(F.array_intersect(toks, marker_arr))
+        )
+    # argmax via greatest + chained when (alphabetical order = tie-break)
+    langs = sorted(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_score_{l}") for l in langs])
+    pred: Column = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"_score_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return df.withColumn("lang_pred", pred).drop(
+        *[f"_score_{l}" for l in langs]
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality signals (Gopher/C4-style heuristics, public
+    literature): length, mean word length, punctuation ratio, stopword
+    ratio, alpha ratio; plus a single 0..1 score."""
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    en_stop = F.array(*[F.lit(m) for m in _LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(toks, en_stop))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    df = documents.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("q_mean_word_len"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).cast("double").alias("q_punct_ratio"),
+        (n_stop / F.greatest(n_tokens, F.lit(1))).cast("double").alias("q_stopword_ratio"),
+        (n_alpha / F.greatest(n_chars, F.lit(1))).cast("double").alias("q_alpha_ratio"),
+    )
+    score = (
+        F.when((F.col("q_n_tokens") >= 5) & (F.col("q_n_tokens") <= 100000), 0.4).otherwise(0.0)
+        + F.when((F.col("q_mean_word_len") >= 3) & (F.col("q_mean_word_len") <= 12), 0.2).otherwise(0.0)
+        + F.when(F.col("q_alpha_ratio") >= 0.6, 0.2).otherwise(0.0)
+        + F.when(F.col("q_punct_ratio") <= 0.1, 0.2).otherwise(0.0)
+    )
+    return df.withColumn("q_score", score.cast("double"))
+
+
+def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate: count of
+    alternating letter/digit/punct runs (regexp-based proxy for a BPE
+    pre-tokenizer; deterministic and SQL-portable)."""
+    ws = F.size(_tokens(text_col))
+    runs = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"))
+    return documents.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        runs.alias("bpe_tokens"),
+    )
+
+
+def fingerprint(documents: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+    """Document fingerprint: rolling-hash winnowing (Schleimer et al.
+    MOSS, SIGMOD'03): hash every `window`-gram (md5-based, portable),
+    keep per-document min — a 1-value sketch sufficient for exact-ish
+    containment grouping; plus the full-text content hash."""
+    kgrams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)),"
+        f" i -> substr({text_col}, i, {window}))"
+    )
+    hashes = F.transform(kgrams, lambda x: md5_int60(x))
+    return documents.select(
+        "doc_id",
+        F.array_min(hashes).alias("winnow_min"),
+        md5_int60(F.col(text_col)).alias("content_hash"),
+    )

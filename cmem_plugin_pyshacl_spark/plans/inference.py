@@ -1,0 +1,161 @@
+"""RDFS inference subset (reference `inference` parameter,
+/root/reference/cmem_plugin_pyshacl/plugin_pyshacl.py:238-249, delegated to
+owlrl 7.1.4 forward chaining inside pySHACL).
+
+We implement the RDFS entailment rules that affect core-SHACL outcomes —
+the fixpoint of:
+
+  rdfs9 : (x rdf:type c1), (c1 rdfs:subClassOf c2)    => (x rdf:type c2)
+  rdfs11: (c1 subClassOf c2), (c2 subClassOf c3)       => (c1 subClassOf c3)
+  rdfs7 : (x p y), (p rdfs:subPropertyOf q)            => (x q y)
+  rdfs2 : (x p y), (p rdfs:domain c)                   => (x rdf:type c)
+  rdfs3 : (x p y:iri), (p rdfs:range c)                => (y rdf:type c)
+
+Scale posture: the SCHEMA side (subClassOf / subPropertyOf / domain / range
+edges) is tiny — we close it driver-side and apply it to the huge instance
+table with ONE broadcast join per rule, not an iterative join on the big
+table. The only fixpoint loop runs over the collected schema (SURVEY.md §4:
+fixpoint is the one primitive Catalyst lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..data_model import (
+    KIND_IRI,
+    RDF_TYPE,
+    RDFS,
+    RDFS_SUBCLASSOF,
+    TRIPLES_SCHEMA,
+    dedupe_triples,
+)
+
+RDFS_SUBPROPERTYOF = RDFS + "subPropertyOf"
+RDFS_DOMAIN = RDFS + "domain"
+RDFS_RANGE = RDFS + "range"
+_SCHEMA_PREDS = [RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RDFS_DOMAIN, RDFS_RANGE]
+
+
+def _transitive_close(edges: set[tuple[str, str]]) -> set[tuple[str, str]]:
+    """Driver-side transitive closure of a small edge set (rdfs5/rdfs11)."""
+    closure = set(edges)
+    changed = True
+    while changed:
+        changed = False
+        by_src: dict[str, set[str]] = {}
+        for a, b in closure:
+            by_src.setdefault(a, set()).add(b)
+        new = set()
+        for a, b in closure:
+            for c in by_src.get(b, ()):  # a->b->c
+                if (a, c) not in closure:
+                    new.add((a, c))
+        if new:
+            closure |= new
+            changed = True
+    return closure
+
+
+def rdfs_inference(
+    data: DataFrame, ontology: DataFrame | None = None
+) -> DataFrame:
+    """Forward-chain the RDFS subset onto the data triples; returns
+    data ∪ entailed, deduplicated. The ontology graph (if given) mirrors
+    the reference's ont_graph inoculation (plugin_pyshacl.py:227-237):
+    its schema triples drive the rules and are unioned into the output.
+    """
+    spark = data.sparkSession
+    schema_src = data if ontology is None else data.unionByName(ontology)
+    schema_rows = (
+        schema_src.filter(F.col("p").isin(_SCHEMA_PREDS))
+        .select("s", "p", "o_value")
+        .distinct()
+        .collect()
+    )
+    sub_class = {(r.s, r.o_value) for r in schema_rows if r.p == RDFS_SUBCLASSOF}
+    sub_prop = {(r.s, r.o_value) for r in schema_rows if r.p == RDFS_SUBPROPERTYOF}
+    domain = {(r.s, r.o_value) for r in schema_rows if r.p == RDFS_DOMAIN}
+    range_ = {(r.s, r.o_value) for r in schema_rows if r.p == RDFS_RANGE}
+
+    sub_class = _transitive_close(sub_class)
+    sub_prop = _transitive_close(sub_prop)
+
+    out = data if ontology is None else dedupe_triples(data.unionByName(ontology))
+    extras: list[DataFrame] = []
+
+    def _mk_map(pairs: set[tuple[str, str]], a: str, b: str) -> DataFrame:
+        return F.broadcast(
+            spark.createDataFrame(sorted(pairs), schema=f"{a} string, {b} string")
+        )
+
+    # rdfs7 first (property entailment feeds type rules)
+    if sub_prop:
+        m = _mk_map(sub_prop, "p", "super_p")
+        extras.append(
+            out.join(m, on="p")
+            .select(
+                "s",
+                F.col("super_p").alias("p"),
+                "o_kind",
+                "o_value",
+                "o_datatype",
+                "o_lang",
+                "graph",
+                "part_id",
+            )
+        )
+    base = out if not extras else dedupe_triples(out.unionByName(extras[0]))
+    extras = []
+
+    if domain:
+        m = _mk_map(domain, "p", "cls")
+        extras.append(
+            base.join(m, on="p").select(
+                "s",
+                F.lit(RDF_TYPE).alias("p"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.col("cls").alias("o_value"),
+                F.lit(None).cast("string").alias("o_datatype"),
+                F.lit(None).cast("string").alias("o_lang"),
+                "graph",
+                "part_id",
+            )
+        )
+    if range_:
+        m = _mk_map(range_, "p", "cls")
+        extras.append(
+            base.filter(F.col("o_kind") == KIND_IRI)
+            .join(m, on="p")
+            .select(
+                F.col("o_value").alias("s"),
+                F.lit(RDF_TYPE).alias("p"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.col("cls").alias("o_value"),
+                F.lit(None).cast("string").alias("o_datatype"),
+                F.lit(None).cast("string").alias("o_lang"),
+                "graph",
+                "part_id",
+            )
+        )
+    for e in extras:
+        base = base.unionByName(e)
+    base = dedupe_triples(base)
+
+    # rdfs9: broadcast the (closed) subclass map against the type triples
+    if sub_class:
+        m = _mk_map(sub_class, "cls", "super_cls")
+        types = base.filter(F.col("p") == RDF_TYPE)
+        entailed = types.join(m, types.o_value == m.cls).select(
+            "s",
+            F.lit(RDF_TYPE).alias("p"),
+            F.lit(KIND_IRI).alias("o_kind"),
+            F.col("super_cls").alias("o_value"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            "graph",
+            "part_id",
+        )
+        base = dedupe_triples(base.unionByName(entailed))
+    return base

