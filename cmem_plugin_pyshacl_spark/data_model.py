@@ -129,6 +129,13 @@ def dedupe_triples(df: DataFrame) -> DataFrame:
     return df.dropDuplicates(TRIPLE_KEY_COLS)
 
 
+def dedupe_triples_lineage(df: DataFrame) -> DataFrame:
+    """Set semantics with DETERMINISTIC lineage: when the same triple is
+    derived in several partitions, keep part_id = min — dropDuplicates would
+    keep an arbitrary one, making re-runs/resumes diff on part_id."""
+    return df.groupBy(TRIPLE_KEY_COLS).agg(F.min("part_id").alias("part_id"))
+
+
 def nt_term(kind: Column, value: Column, datatype: Column, lang: Column) -> Column:
     """Serialize one RDF term to its N-Triples form (JVM-side expression).
 

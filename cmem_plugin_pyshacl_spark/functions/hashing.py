@@ -114,41 +114,31 @@ def word_shingles(colname: str, n: int = 3) -> Column:
     )
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash over an array<string> token column, pure expressions.
+def simhash64(tokens_expr: str) -> Column:
+    """60-bit SimHash over an array<string> token expression, pure SQL
+    expressions (whole-stage-codegen friendly; no UDF).
 
     For each of 60 bit positions (we use the 60-bit md5 hash), sum +1/-1
-    over tokens by bit value, sign -> bit. Expressed as aggregate over the
-    token array of a 60-element int array, then recombined. To keep the
-    expression tree small we compute it bandwise: 4 bands of 15 bits each
-    would still be wide — instead use the classic trick of summing bit
-    contributions via aggregate() into an array column.
+    over tokens by bit value, sign -> bit. Built as a SQL expr string
+    because the per-position shift amount is itself a lambda variable —
+    SQL `shiftleft` accepts column operands where the Python wrapper only
+    takes int literals.
+
+    `tokens_expr` is a SQL expression evaluating to array<string>,
+    e.g. "split(trim(text), '\\\\s+')".
     """
-    hashes = F.transform(tokens, lambda t: md5_int60(t))
-    # counts[j] = sum over tokens of (bit j set ? 1 : -1), j in 0..59
-    counts = F.aggregate(
-        hashes,
-        F.expr("transform(sequence(0, 59), j -> 0L)"),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.expr("sequence(0, 59)"),
-            lambda a, j: a
-            + F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("bigint"), j)) != 0, 1)
-            .otherwise(-1)
-            .cast("bigint"),
-        ),
+    h = (
+        f"transform({tokens_expr}, "
+        "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
     )
-    # recombine sign bits into one bigint
-    return F.aggregate(
-        F.zip_with(
-            counts,
-            F.expr("sequence(0, 59)"),
-            lambda c, j: F.when(c > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc.bitwiseOR(v),
+    counts = (
+        f"aggregate({h}, transform(sequence(0, 59), j -> 0L), "
+        "(acc, h) -> zip_with(acc, sequence(0, 59), "
+        "(a, j) -> a + IF((h & shiftleft(1L, j)) != 0, 1L, -1L)))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({counts}, sequence(0, 59), "
+        "(c, j) -> IF(c > 0, shiftleft(1L, j), 0L)), 0L, (acc, v) -> acc | v)"
     )
 
 

@@ -76,9 +76,9 @@ def minhash_duplicates(
 
 def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """60-bit SimHash per document over whitespace tokens."""
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    tokens_expr = f"split(trim({text_col}), '\\\\s+')"
     return documents.select(
-        "doc_id", simhash64(tokens).alias("simhash")
+        "doc_id", simhash64(tokens_expr).alias("simhash")
     )
 
 

@@ -84,13 +84,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection bucket id: one bit per hyperplane."""
+    """Signed-random-projection bucket id: one bit per hyperplane.
+
+    The dot product is rounded to 9 dp before the sign test so bucketing is
+    stable under floating-point summation-order differences (re-runs,
+    different partitionings, and the DuckDB oracle all agree)."""
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot_expr(vec, p) >= 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        bit = F.when(
+            F.round(dot_expr(vec, p), 9) >= 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
         bucket = bucket.bitwiseOR(bit)
     return bucket
 

@@ -34,7 +34,7 @@ from ..data_model import (
     RDFS_LABEL,
     TRIPLES_SCHEMA,
     XSD_STRING,
-    dedupe_triples,
+    dedupe_triples_lineage,
 )
 from ..functions.extract import extract_text_udf
 from ..functions.mentions import relations_udf
@@ -172,7 +172,7 @@ def triples_stage(relations: DataFrame, mapping: DataFrame, graph: str = EX + "g
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return dedupe_triples(out)
+    return dedupe_triples_lineage(out)
 
 
 @dataclass

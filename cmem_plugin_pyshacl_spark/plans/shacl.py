@@ -480,9 +480,11 @@ def evaluate_constraint(
             java_flags = "".join(ch for ch in c.flags if ch in "imsxuU")
             if java_flags:
                 pattern = f"(?{java_flags}){pattern}"
+        # W3C SHACL §4.4.3: IRIs/literals are matched on their string form;
+        # blank nodes always fail sh:pattern.
         results.append(
             present.filter(
-                (F.col("v_kind") != KIND_LITERAL) | ~F.col("v_value").rlike(pattern)
+                (F.col("v_kind") == "bnode") | ~F.col("v_value").rlike(pattern)
             ).select(
                 *_result_row(
                     F.col("focus"),
