@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+
+  {"metric": "headline_suite_seconds", "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>, ...extras}
+
+Headline set:
+  kg_construct     pages -> extract -> relations -> CC canonicalize -> triples
+  kg_validate      SHACL core over the constructed triples + partition reports
+  shacl_full       all 6 constraint components over the derived customer graph
+  dedup_minhash    MinHash-LSH near-dup pairs + exact-Jaccard verify (documents)
+  similarity_topk  brute-force cosine top-k (embeddings)
+  pricing_summary  TPC-H-Q1-style aggregation (lineitem)
+  event_sessions   window sessionization (events)
+
+Throughput extras: constructed triples/sec, validated triples/sec, pages/sec
+(the BASELINE.json north-rule metrics). Scaling runs: tools/scaling_bench.py
+executes this script at two parallelism levels and reports efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = sf_dir
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from cmem_plugin_pyshacl_spark.plans.pipeline import (
+        canonicalize_stage,
+        extract_stage,
+        relations_stage,
+        triples_stage,
+    )
+    from cmem_plugin_pyshacl_spark.plans.shacl import partition_reports, validate
+    from cmem_plugin_pyshacl_spark.session import get_spark
+    from cmem_plugin_pyshacl_spark.sources.pages import generate_pages
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    # warm up JVM + python workers so the first timed query isn't paying
+    # one-time startup costs
+    spark.range(10000).select(F.sum("id")).collect()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10).count()
+
+    timings: dict[str, float] = {}
+    extras: dict = {"cpus": cpus}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- KG construction + validation (the north-rule headline) ----
+    # 40 pages per documents-row so the UDF/shuffle work dominates fixed
+    # job-latency overheads and parallelism scaling is measurable
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_pages = n_docs * 40
+    pages = generate_pages(spark, n_pages, num_partitions=cpus * 2)
+
+    state: dict = {}
+
+    def kg_construct():
+        rel = relations_stage(extract_stage(pages)).persist()
+        mapping = canonicalize_stage(rel).persist()
+        t = triples_stage(rel, mapping).persist()
+        n = t.count()
+        rel.unpersist()
+        state["triples"] = t
+        return n
+
+    n_triples = timed("kg_construct", kg_construct)
+
+    def kg_validate():
+        t = state["triples"]
+        res = validate(spark, t, E.kg_shapes(spark))
+        rep = partition_reports(res, t.select("part_id"))
+        return rep.count()
+
+    timed("kg_validate", kg_validate)
+    extras.update(
+        n_pages=n_pages,
+        n_triples=n_triples,
+        construct_pages_per_sec=round(n_pages / timings["kg_construct"], 1),
+    )
+    state["triples"].unpersist()
+
+    # ---- SHACL throughput over a large derived graph (triples/sec) ----
+    from cmem_plugin_pyshacl_spark.fixtures import (
+        CUSTOMER_SHAPES_ALL,
+        derive_customer_graph,
+        shapes_graph,
+    )
+
+    def shacl_validate_customer():
+        data = derive_customer_graph(spark, sf_dir).persist()
+        n = data.count()
+        res = validate(spark, data, shapes_graph(spark, CUSTOMER_SHAPES_ALL))
+        rep = partition_reports(res, data.select("part_id"))
+        rep.count()
+        data.unpersist()
+        return n
+
+    n_cust_triples = timed("shacl_validate_customer", shacl_validate_customer)
+    extras.update(
+        n_validated_triples=n_cust_triples,
+        validate_triples_per_sec=round(
+            n_cust_triples / timings["shacl_validate_customer"], 1
+        ),
+    )
+
+    # ---- operator headliners over the driver testdata ----
+    timed("shacl_full", lambda: E.q_shacl_full(spark, sf_dir).count())
+    timed("dedup_minhash", lambda: E.q_dedup_minhash(spark, sf_dir).count())
+    timed("similarity_topk", lambda: E.q_similarity_topk(spark, sf_dir).count())
+    timed("pricing_summary", lambda: E.q_pricing_summary(spark, sf_dir).count())
+    timed("event_sessions", lambda: E.q_event_sessions(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **{f"x_{k}": v for k, v in extras.items()},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -90,11 +90,42 @@ def minhash_sql(shingles_expr: str, num_perm: int, seed: int = 42) -> list[str]:
     return out
 
 
-def char_shingles(colname: str, k: int = 5) -> Column:
-    """Character k-gram shingles via native expr (substr over a sequence)."""
-    return F.expr(
+def char_shingles_expr(colname: str, k: int = 5) -> str:
+    """Spark-SQL string form of the char k-gram shingle set."""
+    return (
         f"array_distinct(transform(sequence(1, greatest(length({colname}) - {k - 1}, 1)),"
         f" i -> substr({colname}, i, {k})))"
+    )
+
+
+def char_shingles(colname: str, k: int = 5) -> Column:
+    """Character k-gram shingles via native expr (substr over a sequence)."""
+    return F.expr(char_shingles_expr(colname, k))
+
+
+def minhash_sig_expr(colname: str, num_perm: int, k: int = 5, seed: int = 42) -> str:
+    """Spark-SQL string computing the FULL minhash signature as ONE
+    array<bigint> expression.
+
+    Why one expression: a naive per-permutation column set (mh_0..mh_15
+    each re-deriving transform(shingles, md5…)) gets the md5 hashing pass
+    INLINED once per permutation by Catalyst's CollapseProject — 16x the
+    md5 work. Here the shingle-hash pass is the first argument of a single
+    aggregate(), so every shingle is md5-hashed exactly once and the 16
+    permutations are pure arithmetic inside the fold."""
+    params = _perm_params(num_perm, seed)
+    a_arr = "array(" + ", ".join(f"{a}L" for a, _ in params) + ")"
+    b_arr = "array(" + ", ".join(f"{b}L" for _, b in params) + ")"
+    h = (
+        f"transform({char_shingles_expr(colname, k)}, "
+        f"x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint) % {MERSENNE_31})"
+    )
+    return (
+        f"aggregate({h}, "
+        f"transform(sequence(0, {num_perm - 1}), i -> cast({MERSENNE_31} as bigint)), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_perm - 1}), "
+        f"(m, i) -> least(m, (h * element_at({a_arr}, i + 1) "
+        f"+ element_at({b_arr}, i + 1)) % {MERSENNE_31})))"
     )
 
 

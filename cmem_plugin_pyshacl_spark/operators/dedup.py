@@ -25,12 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
-    char_shingles,
     hamming64,
     md5_int60,
     simhash64,
 )
-from ..plans.linking import jaccard_shingles, lsh_candidate_pairs
+from ..plans.linking import jaccard_pairs_verified, lsh_candidate_pairs
 
 
 def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -64,11 +63,8 @@ def minhash_duplicates(
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
     (a_id, b_id, jaccard) for pairs above threshold."""
     pairs = lsh_candidate_pairs(documents, "doc_id", text_col, num_perm, bands)
-    docs_a = documents.select(F.col("doc_id").alias("a_id"), F.col(text_col).alias("a_text"))
-    docs_b = documents.select(F.col("doc_id").alias("b_id"), F.col(text_col).alias("b_text"))
-    joined = pairs.join(docs_a, on="a_id").join(docs_b, on="b_id")
     return (
-        jaccard_shingles(joined, "a_text", "b_text")
+        jaccard_pairs_verified(documents, pairs, "doc_id", text_col, k=5)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
@@ -132,15 +128,8 @@ def ngram_jaccard_pairs(
     candidates when none given)."""
     if candidate_pairs is None:
         candidate_pairs = lsh_candidate_pairs(documents, "doc_id", text_col)
-    a = documents.select(F.col("doc_id").alias("a_id"), F.col(text_col).alias("a_text"))
-    b = documents.select(F.col("doc_id").alias("b_id"), F.col(text_col).alias("b_text"))
-    joined = candidate_pairs.join(a, on="a_id").join(b, on="b_id")
     return (
-        joined.withColumn(
-            "jaccard",
-            F.size(F.array_intersect(char_shingles("a_text", k), char_shingles("b_text", k)))
-            / F.size(F.array_union(char_shingles("a_text", k), char_shingles("b_text", k))),
-        )
+        jaccard_pairs_verified(documents, candidate_pairs, "doc_id", text_col, k=k)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )

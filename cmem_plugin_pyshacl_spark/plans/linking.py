@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import char_shingles, minhash_exprs
+from ..functions.hashing import char_shingles, minhash_exprs, minhash_sig_expr
 
 
 def normalize_surface(col):
@@ -63,6 +63,35 @@ def lsh_bands(df: DataFrame, num_perm: int = 16, bands: int = 4) -> DataFrame:
     ).drop("_band")
 
 
+def lsh_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows — one row per (doc, band).
+
+    The signature AND the band hashes are one single expression feeding the
+    explode generator, so the md5 shingle-hash pass runs exactly once per
+    document (see functions.hashing.minhash_sig_expr on why per-permutation
+    columns would multiply that cost 16x under CollapseProject)."""
+    rows = num_perm // bands
+    sig = minhash_sig_expr(text_col, num_perm)
+    bands_sql = (
+        f"transform(sequence(0, {bands - 1}), b -> struct(b as band_id, "
+        f"md5(array_join(transform(slice({sig}, b * {rows} + 1, {rows}), "
+        f"v -> cast(v as string)), '_')) as band_hash))"
+    )
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(F.expr(bands_sql)).alias("_bd")
+    ).select(
+        "_id",
+        F.col("_bd.band_id").alias("band_id"),
+        F.col("_bd.band_hash").alias("band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -77,20 +106,25 @@ def lsh_candidate_pairs(
     wider than max_bucket are dropped (skew guard — returned metric
     `dropped_buckets` should be surfaced by callers; see pipeline metrics).
     """
-    sig = minhash_signature(df.select(id_col, text_col), text_col, num_perm)
-    banded = lsh_bands(sig, num_perm, bands).select(
-        F.col(id_col).alias("_id"), "band_id", "band_hash"
+    banded = lsh_banded(df.select(id_col, text_col), id_col, text_col, num_perm, bands)
+    # Single-pass bucketing: ONE shuffle (groupBy band bucket) and in-bucket
+    # pair generation from the sorted id list — the classic band SELF-JOIN
+    # would scan + recompute the (expensive) signature pass twice and
+    # shuffle the banded table twice. Bucket width is capped (skew guard)
+    # BEFORE pair explosion, so a hot bucket can never emit O(width^2) rows.
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    sizes = banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("_bw"))
-    banded = banded.join(
-        sizes.filter(F.col("_bw") <= max_bucket), on=["band_id", "band_hash"]
+    pairs_expr = (
+        "flatten(transform(sequence(1, size(ids) - 1), "
+        "i -> transform(slice(ids, i + 1, size(ids) - i), "
+        "x -> struct(element_at(ids, i) as a, x as b))))"
     )
-    a = banded.select(F.col("_id").alias("a_id"), "band_id", "band_hash")
-    b = banded.select(F.col("_id").alias("b_id"), "band_id", "band_hash")
     return (
-        a.join(b, on=["band_id", "band_hash"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        buckets.select(F.explode(F.expr(pairs_expr)).alias("_pr"))
+        .select(F.col("_pr.a").alias("a_id"), F.col("_pr.b").alias("b_id"))
         .distinct()
     )
 
@@ -102,6 +136,38 @@ def jaccard_shingles(df: DataFrame, a_text: str, b_text: str) -> DataFrame:
         "jaccard",
         F.size(F.array_intersect(char_shingles(a_text, 5), char_shingles(b_text, 5)))
         / F.size(F.array_union(char_shingles(a_text, 5), char_shingles(b_text, 5))),
+    )
+
+
+def jaccard_pairs_verified(
+    documents: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact Jaccard for candidate (a_id, b_id) pairs with the shingle sets
+    computed ONCE PER DOCUMENT, not once per pair — at web scale a doc can
+    appear in thousands of candidate pairs and the shingle build (length(t)
+    substrings + distinct) dominates; precomputing turns the verify stage
+    from O(pairs * len) array builds into O(docs * len) builds plus an
+    O(|a|+|b|) hash-intersect per pair. |union| is derived as
+    |a|+|b|-|intersect| so only ONE array op runs per pair."""
+    sh = documents.select(
+        F.col(id_col).alias("_id"), char_shingles(text_col, k).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_shb"))
+    joined = candidate_pairs.join(a, on="a_id").join(b, on="b_id")
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    return (
+        joined.withColumn("_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.size("_sha") + F.size("_shb") - F.col("_inter")),
+        )
+        .drop("_sha", "_shb", "_inter")
     )
 
 

@@ -206,12 +206,21 @@ def run_pipeline(
         metrics["triples_resumed"] = True
     else:
         extracted = extract_stage(pages)
-        relations = relations_stage(extracted)
-        mapping = canonicalize_stage(relations)
+        # persist: relations feed the CC fixpoint (edges), the canonical
+        # mapping join, AND the triple build — without materialization the
+        # html->text->relations UDF chain re-executes once per consumer
+        # (~5x at small scale, catastrophic at 100 TB). MEMORY_AND_DISK via
+        # persist() spills instead of OOMing on big partitions.
+        relations = relations_stage(extracted).persist()
+        # mapping is consumed twice (subject + object sides of the triple
+        # build); persist so the CC fixpoint result isn't re-derived
+        mapping = canonicalize_stage(relations).persist()
         triples = triples_stage(relations, mapping)
         if triples_path:
             triples.write.mode("overwrite").partitionBy("part_id").parquet(triples_path)
             triples = spark.read.parquet(triples_path)
+            # safe to drop only once triples are materialized on disk
+            relations.unpersist()
     metrics["t_construct"] = e_t(t0)
 
     t1 = time.time()
