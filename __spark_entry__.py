@@ -172,6 +172,19 @@ def q_kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_relations_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused C1+C2 mapInPandas path — must be value-identical to the
+    stage-wise q_kg_relations (same oracle)."""
+    from cmem_plugin_pyshacl_spark.plans.pipeline import relations_fused_stage
+
+    rel = relations_fused_stage(_pages(spark, sf_dir))
+    return rel.select(
+        "url",
+        F.col("part_id").cast("long").alias("part_id"),
+        "subj_surface", "subj_type", "pred", "obj_surface", "obj_type",
+    )
+
+
 def q_kg_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = relations_stage(_pages(spark, sf_dir))
     return canonicalize_stage(rel).select("surface", "canonical")
@@ -607,6 +620,78 @@ FROM customer WHERE c_custkey % 3 != 0
 UNION
 SELECT {_CUST}, '{EX}contact', 'alt-c' || c_custkey || '@example.com'
 FROM customer WHERE c_custkey % 3 != 0 AND c_custkey % 7 = 0
+"""
+
+
+def q_remove_graph_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 — surgical removal of one (graph, rdf:type, iri) triple."""
+    from cmem_plugin_pyshacl_spark.data_model import DATA_GRAPH_TYPES
+    from cmem_plugin_pyshacl_spark.operators.graph_ops import remove_graph_type
+
+    data = derive_customer_graph(spark, sf_dir).unionByName(
+        triples_from_rows(
+            spark,
+            [
+                (GRAPH, RDFT, (DATA_GRAPH_TYPES[1], KIND_IRI, None, None)),
+                (GRAPH, RDFT, (DATA_GRAPH_TYPES[2], KIND_IRI, None, None)),
+            ],
+            graph=GRAPH,
+        )
+    )
+    out = remove_graph_type(data, GRAPH, DATA_GRAPH_TYPES[1])
+    return out.filter(F.col("s") == GRAPH).select("s", "p", "o_value")
+
+
+ORACLE_REMOVE_GRAPH_TYPE = f"""
+SELECT 'urn:graph:test' AS s, '{RDFT}' AS p,
+       'https://vocab.eccenca.com/shui/ShapeCatalog' AS o_value
+"""
+
+
+def q_graph_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 — named-graph fetch with owl:imports closure resolution.
+
+    Graph urn:g:<k> holds nation k's label; k imports k-1 within each
+    block of 5 — loading urn:g:14 must pull exactly nations 10..14."""
+    from cmem_plugin_pyshacl_spark.data_model import TRIPLES_SCHEMA
+    from cmem_plugin_pyshacl_spark.sources.graph_catalog import (
+        OWL_IMPORTS,
+        load_graph,
+    )
+
+    n = load(spark, sf_dir, "nation")
+    g = F.concat(F.lit("urn:g:"), F.col("n_nationkey").cast("string"))
+    labels = n.select(
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit(RLBL).alias("p"),
+        F.lit("literal").alias("o_kind"),
+        F.col("n_name").alias("o_value"),
+        F.lit(XSD_STRING).alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        g.alias("graph"),
+        F.lit(0).cast("int").alias("part_id"),
+    )
+    imports = n.filter(F.col("n_nationkey") % 5 != 0).select(
+        g.alias("s"),
+        F.lit(OWL_IMPORTS).alias("p"),
+        F.lit(KIND_IRI).alias("o_kind"),
+        F.concat(F.lit("urn:g:"), (F.col("n_nationkey") - 1).cast("string")).alias("o_value"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        g.alias("graph"),
+        F.lit(0).cast("int").alias("part_id"),
+    )
+    store = spark.createDataFrame([], schema=TRIPLES_SCHEMA).unionByName(
+        labels
+    ).unionByName(imports)
+    out = load_graph(store, "urn:g:14")
+    return out.filter(F.col("p") == RLBL).select("s", "o_value", "graph")
+
+
+ORACLE_GRAPH_IMPORTS = """
+SELECT 'urn:nation:' || n_nationkey AS s, n_name AS o_value,
+       'urn:g:' || n_nationkey AS graph
+FROM nation WHERE n_nationkey BETWEEN 10 AND 14
 """
 
 
@@ -1141,6 +1226,33 @@ FROM c
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — skew-immune two-stage aggregation: revenue stats per customer
+    over orders, salted on o_orderkey. Must equal the plain groupBy."""
+    from cmem_plugin_pyshacl_spark.operators.skew import salted_agg_by_key
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "price2", F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+    )
+    out = salted_agg_by_key(o, "o_custkey", "price2", salt_from="o_orderkey")
+    return out.select(
+        "o_custkey",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("total").cast("double").alias("total"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT o_custkey, count(*)::BIGINT AS cnt,
+  sum(round(o_totalprice, 2)::DECIMAL(18,2))::DOUBLE AS total,
+  min(round(o_totalprice, 2)::DECIMAL(18,2))::DOUBLE AS vmin,
+  max(round(o_totalprice, 2)::DECIMAL(18,2))::DOUBLE AS vmax
+FROM orders GROUP BY o_custkey
+"""
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     edges = n.select(
@@ -1303,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG construction half
         "kg_extract_text": q_kg_extract_text,
         "kg_relations": q_kg_relations,
+        "kg_relations_fused": q_kg_relations_fused,
         "kg_canonical_map": q_kg_canonical_map,
         "kg_triples": q_kg_triples,
         "kg_validation": q_kg_validation,
@@ -1319,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_partition_reports": q_shacl_partition_reports,
         # graph operators
         "rdfs_inference": q_rdfs_inference,
+        "remove_graph_type": q_remove_graph_type,
+        "graph_imports": q_graph_imports,
         "labels_preferred": q_labels_preferred,
         "skolemize": q_skolemize,
         "ntriples": q_ntriples,
@@ -1339,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_features": q_multimodal_features,
         "connected_components": q_connected_components,
+        "salted_agg": q_salted_agg,
         # relational coverage
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1351,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_extract_text": ORACLE_KG_EXTRACT,
         "kg_relations": ORACLE_KG_RELATIONS,
+        "kg_relations_fused": ORACLE_KG_RELATIONS,
         "kg_canonical_map": ORACLE_KG_CANONICAL,
         "kg_triples": ORACLE_KG_TRIPLES,
         "kg_validation": ORACLE_KG_VALIDATION,
@@ -1365,6 +1482,8 @@ def oracle_sql() -> dict[str, str]:
         "shacl_targets": ORACLE_SHACL_TARGETS,
         "shacl_partition_reports": ORACLE_SHACL_REPORTS,
         "rdfs_inference": ORACLE_RDFS_INFERENCE,
+        "remove_graph_type": ORACLE_REMOVE_GRAPH_TYPE,
+        "graph_imports": ORACLE_GRAPH_IMPORTS,
         "labels_preferred": ORACLE_LABELS,
         "skolemize": ORACLE_SKOLEMIZE,
         "ntriples": ORACLE_NTRIPLES,
@@ -1384,6 +1503,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": ORACLE_FINGERPRINT,
         "multimodal_features": ORACLE_MULTIMODAL,
         "connected_components": ORACLE_CC,
+        "salted_agg": ORACLE_SALTED_AGG,
         "pricing_summary": ORACLE_PRICING,
         "revenue_by_nation": ORACLE_REVENUE,
         "top_customers": ORACLE_TOP_CUSTOMERS,

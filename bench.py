@@ -43,8 +43,7 @@ def main() -> None:
     import __spark_entry__ as E
     from cmem_plugin_pyshacl_spark.plans.pipeline import (
         canonicalize_stage,
-        extract_stage,
-        relations_stage,
+        relations_fused_stage,
         triples_stage,
     )
     from cmem_plugin_pyshacl_spark.plans.shacl import partition_reports, validate
@@ -78,7 +77,7 @@ def main() -> None:
     state: dict = {}
 
     def kg_construct():
-        rel = relations_stage(extract_stage(pages)).persist()
+        rel = relations_fused_stage(pages).persist()
         mapping = canonicalize_stage(rel).persist()
         t = triples_stage(rel, mapping).persist()
         n = t.count()

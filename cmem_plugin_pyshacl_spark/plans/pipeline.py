@@ -61,6 +61,57 @@ def extract_stage(pages: DataFrame) -> DataFrame:
     return pages.withColumn("text", extract_text_udf(F.col("html")))
 
 
+def relations_fused_stage(pages: DataFrame) -> DataFrame:
+    """C1+C2 fused: ONE mapInPandas pass doing html -> text -> relations.
+
+    The stage-wise path (extract_stage | relations_stage) chains three
+    ArrowEvalPython nodes, i.e. three python workers per task streaming
+    batches through the JVM twice more than needed. Fusing keeps exactly
+    one python worker per task slot — Arrow-hop count drops 3x, and task
+    CPU usage matches the scheduled parallelism (a local[8]/8-core-executor
+    run really uses 8 cores, which is what makes cluster sizing and the
+    N-vs-4N scaling measurement meaningful).
+
+    Byte-identity invariant is preserved: this calls the SAME frozen
+    extract_text_series / detect_relations functions as the stage-wise
+    path (oracle-checked against it in __spark_entry__)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.extract import extract_text_series
+    from ..functions.mentions import detect_relations
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("part_id", T.IntegerType()),
+            T.StructField("subj_surface", T.StringType()),
+            T.StructField("subj_type", T.StringType()),
+            T.StructField("pred", T.StringType()),
+            T.StructField("obj_surface", T.StringType()),
+            T.StructField("obj_type", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def _fn(batches):
+        for pdf in batches:
+            texts = extract_text_series(pdf["html"])
+            out = {c: [] for c in cols}
+            for url, part, txt in zip(pdf["url"], pdf["part_id"], texts):
+                for ss, st, pr, os_, ot in detect_relations(txt):
+                    out["url"].append(url)
+                    out["part_id"].append(part)
+                    out["subj_surface"].append(ss)
+                    out["subj_type"].append(st)
+                    out["pred"].append(pr)
+                    out["obj_surface"].append(os_)
+                    out["obj_type"].append(ot)
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "part_id", "html").mapInPandas(_fn, schema)
+
+
 def relations_stage(pages: DataFrame) -> DataFrame:
     """C2: detect relation mentions, explode to one row per relation."""
     rel = pages.select(
@@ -89,10 +140,15 @@ def canonicalize_stage(relations: DataFrame) -> DataFrame:
     graphs are multi-hop (surface→wikidata-id→surface); the fixture
     exercises the same code path.
     """
+    # localCheckpoint: the distinct surface set is TINY relative to the
+    # relations table, but the CC plan below references it several times
+    # (edge init, node list, label derivation) — without materialization
+    # each reference re-scans + re-shuffles the full relations table.
     surfaces = (
         relations.select(F.col("subj_surface").alias("surface"))
         .unionByName(relations.select(F.col("obj_surface").alias("surface")))
         .distinct()
+        .localCheckpoint()
     )
     # edge: raw surface -> 'norm:<normalized>' hub node
     edges = surfaces.select(
@@ -147,31 +203,39 @@ def triples_stage(relations: DataFrame, mapping: DataFrame, graph: str = EX + "g
         F.col("obj_canon"),
     )
 
-    def _t(s, p, o_kind, o_value, o_dt=None):
-        return r.select(
+    # Single-pass triple fan-out: one explode over a 5-struct array instead
+    # of a 5-branch union — the union form scans the relations table five
+    # times (once per branch); at web scale that's 5x the input IO/CPU.
+    type_expr = F.create_map(
+        *[x for k, v in TYPE_IRIS.items() for x in (F.lit(k), F.lit(v))]
+    )
+
+    def _st(s, p, o_kind, o_value, o_dt):
+        return F.struct(
             s.alias("s"),
             p.alias("p"),
             F.lit(o_kind).alias("o_kind"),
             o_value.alias("o_value"),
             (F.lit(o_dt) if o_dt else F.lit(None)).cast("string").alias("o_datatype"),
-            F.lit(None).cast("string").alias("o_lang"),
-            F.lit(graph).alias("graph"),
-            F.col("part_id"),
         )
 
-    type_expr = F.create_map(
-        *[x for k, v in TYPE_IRIS.items() for x in (F.lit(k), F.lit(v))]
+    fanout = F.array(
+        _st(F.col("s_iri"), F.col("pred"), KIND_IRI, F.col("o_iri"), None),
+        _st(F.col("s_iri"), F.lit(RDF_TYPE), KIND_IRI, type_expr[F.col("subj_type")], None),
+        _st(F.col("o_iri"), F.lit(RDF_TYPE), KIND_IRI, type_expr[F.col("obj_type")], None),
+        _st(F.col("s_iri"), F.lit(RDFS_LABEL), KIND_LITERAL, F.col("subj_canon"), XSD_STRING),
+        _st(F.col("o_iri"), F.lit(RDFS_LABEL), KIND_LITERAL, F.col("obj_canon"), XSD_STRING),
     )
-    parts = [
-        _t(F.col("s_iri"), F.col("pred"), KIND_IRI, F.col("o_iri")),
-        _t(F.col("s_iri"), F.lit(RDF_TYPE), KIND_IRI, type_expr[F.col("subj_type")]),
-        _t(F.col("o_iri"), F.lit(RDF_TYPE), KIND_IRI, type_expr[F.col("obj_type")]),
-        _t(F.col("s_iri"), F.lit(RDFS_LABEL), KIND_LITERAL, F.col("subj_canon"), XSD_STRING),
-        _t(F.col("o_iri"), F.lit(RDFS_LABEL), KIND_LITERAL, F.col("obj_canon"), XSD_STRING),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = r.select("part_id", F.explode(fanout).alias("_t")).select(
+        F.col("_t.s").alias("s"),
+        F.col("_t.p").alias("p"),
+        F.col("_t.o_kind").alias("o_kind"),
+        F.col("_t.o_value").alias("o_value"),
+        F.col("_t.o_datatype").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit(graph).alias("graph"),
+        F.col("part_id"),
+    )
     return dedupe_triples_lineage(out)
 
 
@@ -205,13 +269,12 @@ def run_pipeline(
         triples = spark.read.parquet(triples_path)
         metrics["triples_resumed"] = True
     else:
-        extracted = extract_stage(pages)
         # persist: relations feed the CC fixpoint (edges), the canonical
         # mapping join, AND the triple build — without materialization the
         # html->text->relations UDF chain re-executes once per consumer
         # (~5x at small scale, catastrophic at 100 TB). MEMORY_AND_DISK via
         # persist() spills instead of OOMing on big partitions.
-        relations = relations_stage(extracted).persist()
+        relations = relations_fused_stage(pages).persist()
         # mapping is consumed twice (subject + object sides of the triple
         # build); persist so the CC fixpoint result isn't re-derived
         mapping = canonicalize_stage(relations).persist()

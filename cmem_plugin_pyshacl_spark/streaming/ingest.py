@@ -38,7 +38,7 @@ def validate_stream(
     StreamingQuery (caller awaits/stops it)."""
     from ..plans.pipeline import (
         canonicalize_stage,
-        relations_stage,
+        relations_fused_stage,
         triples_stage,
     )
     from ..plans.shacl import validate as shacl_validate
@@ -47,9 +47,9 @@ def validate_stream(
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.rdd.isEmpty():
+        if batch_df.isEmpty():
             return
-        relations = relations_stage(batch_df)
+        relations = relations_fused_stage(batch_df)
         mapping = canonicalize_stage(relations)
         triples = triples_stage(relations, mapping)
         triples.write.mode("append").partitionBy("part_id").parquet(

@@ -1,0 +1,127 @@
+"""Graph-surgery + report-enrichment operator tests (R2/R3/R8-R14)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cmem_plugin_pyshacl_spark.data_model import (
+    EX,
+    RDF_TYPE,
+    RDFS_LABEL,
+    SH,
+    SKOS_PREFLABEL,
+    SKOSXL_LITERALFORM,
+    SKOSXL_PREFLABEL,
+    iri,
+    lit_typed,
+    to_ntriples,
+    triples_from_rows,
+)
+from cmem_plugin_pyshacl_spark.operators.graph_ops import (
+    add_prov,
+    add_shui_conforms,
+    remove_graph_type,
+    skolemize,
+)
+from cmem_plugin_pyshacl_spark.operators.labels import labels_table, with_labels
+
+
+def test_remove_graph_type(spark):
+    t = triples_from_rows(
+        spark,
+        [
+            ("urn:g", RDF_TYPE, iri("urn:type:Dataset")),
+            ("urn:g", RDF_TYPE, iri("urn:type:Other")),
+            ("urn:x", RDF_TYPE, iri("urn:type:Dataset")),
+        ],
+    )
+    out = remove_graph_type(t, "urn:g", "urn:type:Dataset").collect()
+    assert len(out) == 2
+    assert ("urn:g", "urn:type:Dataset") not in {(r.s, r.o_value) for r in out}
+
+
+def test_skolemize_deterministic_and_complete(spark):
+    t = triples_from_rows(
+        spark,
+        [
+            ("_:b1", RDFS_LABEL, lit_typed("anon")),
+            ("urn:s", EX + "ref", ("_:b1", "bnode", None, None)),
+        ],
+        graph="urn:g",
+    )
+    out1 = {(r.s, r.p, r.o_kind, r.o_value) for r in skolemize(t, "urn:base").collect()}
+    out2 = {(r.s, r.p, r.o_kind, r.o_value) for r in skolemize(t, "urn:base").collect()}
+    assert out1 == out2  # content-addressed, stable across runs
+    kinds = {r[2] for r in out1}
+    assert "bnode" not in kinds
+    subj = next(r[0] for r in out1 if r[1] == RDFS_LABEL)
+    obj = next(r[3] for r in out1 if r[1] == EX + "ref")
+    assert subj == obj  # same bnode id -> same skolem IRI in both positions
+    assert subj.startswith("urn:base/.well-known/genid/")
+
+
+def test_label_precedence_and_language(spark):
+    t = triples_from_rows(
+        spark,
+        [
+            ("urn:a", SKOS_PREFLABEL, lit_typed("skos-a")),
+            ("urn:a", RDFS_LABEL, lit_typed("rdfs-a")),
+            ("urn:b", SKOS_PREFLABEL, lit_typed("skos-b")),
+            ("urn:b", SKOSXL_PREFLABEL, iri("urn:b-xl")),
+            ("urn:b-xl", SKOSXL_LITERALFORM, lit_typed("xl-b")),
+            ("urn:c", RDFS_LABEL, ("de-label", "literal", None, "de")),
+            ("urn:c", RDFS_LABEL, ("en-label", "literal", None, "en")),
+        ],
+    )
+    labels = {r.s: r.label for r in labels_table(t).collect()}
+    assert labels["urn:a"] == "rdfs-a"  # rdfs:label beats skos:prefLabel
+    assert labels["urn:b"] == "xl-b"  # skosxl path beats skos:prefLabel
+    en = {r.s: r.label for r in labels_table(t, language="en").collect()}
+    assert en["urn:c"] == "en-label"
+    de = {r.s: r.label for r in labels_table(t, language="de-DE").collect()}
+    assert de["urn:c"] == "de-label"  # primary-tag match
+
+
+def test_with_labels_broadcast_join(spark):
+    t = triples_from_rows(spark, [("urn:a", RDFS_LABEL, lit_typed("A!"))])
+    df = spark.createDataFrame([("urn:a",), ("urn:x",)], "node string")
+    out = {r.node: r.label for r in with_labels(df, t, "node").collect()}
+    assert out == {"urn:a": "A!", "urn:x": None}
+
+
+def test_add_prov_and_shui(spark):
+    base = triples_from_rows(spark, [("urn:r", RDF_TYPE, iri(SH + "ValidationReport"))])
+    withprov = add_prov(
+        spark, base, "urn:r", "urn:data", "urn:shapes", "2024-01-01T00:00:00Z"
+    )
+    rows = {(r.p, r.o_value) for r in withprov.collect()}
+    assert ("http://www.w3.org/ns/prov#wasDerivedFrom", "urn:data") in rows
+    assert ("http://www.w3.org/ns/prov#generatedAtTime", "2024-01-01T00:00:00Z") in rows
+
+    results = spark.createDataFrame(
+        [("urn:f1",), ("urn:f1",), ("urn:f2",)], "focusNode string"
+    )
+    marked = add_shui_conforms(results, base)
+    shui = [r for r in marked.collect() if "shui" in r.p]
+    assert len(shui) == 2  # one per DISTINCT focus node
+    assert all(r.o_value == "false" and r.o_datatype.endswith("boolean") for r in shui)
+
+
+def test_ntriples_serialization_escapes(spark):
+    t = triples_from_rows(
+        spark,
+        [
+            ("urn:s", EX + "p", iri("urn:o")),
+            ("urn:s", EX + "q", lit_typed('say "hi"\nnow')),
+            ("urn:s", EX + "r", ("5", "literal", "http://www.w3.org/2001/XMLSchema#integer", None)),
+            ("urn:s", EX + "t", ("bonjour", "literal", None, "fr")),
+        ],
+    )
+    lines = sorted(r.line for r in to_ntriples(t).collect())
+    assert '<urn:s> <http://example.org/p> <urn:o> .' in lines
+    assert '<urn:s> <http://example.org/q> "say \\"hi\\"\\nnow" .' in lines
+    assert (
+        '<urn:s> <http://example.org/r> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+        in lines
+    )
+    assert '<urn:s> <http://example.org/t> "bonjour"@fr .' in lines

@@ -1,0 +1,91 @@
+"""RDFS inference subset tests (rdfs2/3/7/9/11 via plans/inference.py)."""
+
+from __future__ import annotations
+
+from cmem_plugin_pyshacl_spark.data_model import (
+    EX,
+    RDF_TYPE,
+    RDFS_SUBCLASSOF,
+    iri,
+    lit_typed,
+    triples_from_rows,
+)
+from cmem_plugin_pyshacl_spark.plans.inference import (
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBPROPERTYOF,
+    rdfs_inference,
+)
+
+
+def _types(df):
+    return {
+        (r.s, r.o_value)
+        for r in df.filter(df.p == RDF_TYPE).select("s", "o_value").collect()
+    }
+
+
+def test_rdfs9_subclass_transitive(spark):
+    t = triples_from_rows(
+        spark,
+        [
+            (EX + "A", RDFS_SUBCLASSOF, iri(EX + "B")),
+            (EX + "B", RDFS_SUBCLASSOF, iri(EX + "C")),
+            ("urn:x", RDF_TYPE, iri(EX + "A")),
+        ],
+    )
+    types = _types(rdfs_inference(t))
+    assert ("urn:x", EX + "A") in types
+    assert ("urn:x", EX + "B") in types
+    assert ("urn:x", EX + "C") in types  # transitive closure (rdfs11 + rdfs9)
+
+
+def test_rdfs7_subproperty(spark):
+    t = triples_from_rows(
+        spark,
+        [
+            (EX + "email", RDFS_SUBPROPERTYOF, iri(EX + "contact")),
+            ("urn:x", EX + "email", lit_typed("x@y.z")),
+        ],
+    )
+    out = rdfs_inference(t)
+    rows = {(r.p, r.o_value) for r in out.filter(out.s == "urn:x").collect()}
+    assert (EX + "contact", "x@y.z") in rows
+
+
+def test_rdfs2_domain_rdfs3_range(spark):
+    t = triples_from_rows(
+        spark,
+        [
+            (EX + "worksAt", RDFS_DOMAIN, iri(EX + "Person")),
+            (EX + "worksAt", RDFS_RANGE, iri(EX + "Org")),
+            ("urn:p", EX + "worksAt", iri("urn:o")),
+            ("urn:p2", EX + "worksAt", lit_typed("not-an-iri")),
+        ],
+    )
+    types = _types(rdfs_inference(t))
+    assert ("urn:p", EX + "Person") in types
+    assert ("urn:o", EX + "Org") in types
+    assert ("urn:p2", EX + "Person") in types  # domain applies to literals too
+    # range must NOT type a literal object
+    assert all(s != "not-an-iri" for s, _ in types)
+
+
+def test_ontology_inoculation(spark):
+    data = triples_from_rows(spark, [("urn:x", RDF_TYPE, iri(EX + "A"))])
+    ont = triples_from_rows(spark, [(EX + "A", RDFS_SUBCLASSOF, iri(EX + "B"))])
+    types = _types(rdfs_inference(data, ont))
+    assert ("urn:x", EX + "B") in types
+
+
+def test_idempotent(spark):
+    t = triples_from_rows(
+        spark,
+        [
+            (EX + "A", RDFS_SUBCLASSOF, iri(EX + "B")),
+            ("urn:x", RDF_TYPE, iri(EX + "A")),
+        ],
+    )
+    once = rdfs_inference(t)
+    twice = rdfs_inference(once)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))

@@ -1,0 +1,159 @@
+"""End-to-end pipeline tests: fused-vs-stagewise equivalence, golden
+triple P/R, checkpoint/resume equivalence, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from cmem_plugin_pyshacl_spark.data_model import (
+    EX,
+    RDF_TYPE,
+    SH,
+    XSD_INTEGER,
+    iri,
+    lit_typed,
+    triples_from_rows,
+)
+from cmem_plugin_pyshacl_spark.plans.pipeline import (
+    canonicalize_stage,
+    extract_stage,
+    relations_fused_stage,
+    relations_stage,
+    run_pipeline,
+    triples_stage,
+)
+from cmem_plugin_pyshacl_spark.sources.pages import (
+    ORGS,
+    PERSONS,
+    PLACES,
+    _mention_sentences,
+    generate_pages,
+)
+
+N = 400
+
+
+def _shapes(spark):
+    return triples_from_rows(
+        spark,
+        [
+            (EX + "OrgShape", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "OrgShape", SH + "targetClass", iri(EX + "Organization")),
+            (EX + "OrgShape", SH + "property", iri(EX + "OrgShape-p")),
+            (EX + "OrgShape-p", SH + "path", iri(EX + "basedIn")),
+            (EX + "OrgShape-p", SH + "minCount", lit_typed("1", XSD_INTEGER)),
+        ],
+    )
+
+
+def _golden_triples() -> set[tuple[str, str, str]]:
+    """Exact expected (s, p, o_value) set computed from the generator
+    formulas — the pipeline's P/R reference (north_rule P/R >= 0.95)."""
+    import re
+
+    def norm(s: str) -> str:
+        c = s.lower()
+        c = re.sub(r"\s+(inc|corp|ltd|gmbh|llc)\.?$", "", c)
+        c = re.sub(r"[^\w\s]", "", c)
+        return re.sub(r"\s+", " ", c.strip())
+
+    rels = []
+    for i in range(N):
+        if i % 5 in (0, 1, 2):
+            p = PERSONS[(i * 7) % len(PERSONS)]
+            o = ORGS[(i * 11) % len(ORGS)]
+            surf = f"{o} Inc." if i % 3 == 0 else o
+            rels.append((p, "PERSON", EX + "worksAt", surf, "ORG"))
+        if i % 5 in (1, 3):
+            o = ORGS[(i * 13) % len(ORGS)]
+            pl = PLACES[(i * 17) % len(PLACES)]
+            rels.append((o, "ORG", EX + "basedIn", pl, "PLACE"))
+    surfaces = {s for r in rels for s in (r[0], r[3])}
+    canon: dict[str, str] = {}
+    by_norm: dict[str, list[str]] = {}
+    for s in surfaces:
+        by_norm.setdefault(norm(s), []).append(s)
+    for grp in by_norm.values():
+        c = min(grp)
+        for s in grp:
+            canon[s] = c
+    type_iri = {"PERSON": EX + "Person", "ORG": EX + "Organization", "PLACE": EX + "Place"}
+
+    def ent(surface, typ):
+        return EX + typ.lower() + "/" + re.sub(r"\s", "_", norm(canon[surface]))
+
+    out = set()
+    for ss, st, pred, os_, ot in rels:
+        s_iri, o_iri = ent(ss, st), ent(os_, ot)
+        out.add((s_iri, pred, o_iri))
+        out.add((s_iri, RDF_TYPE, type_iri[st]))
+        out.add((o_iri, RDF_TYPE, type_iri[ot]))
+        out.add((s_iri, "http://www.w3.org/2000/01/rdf-schema#label", canon[ss]))
+        out.add((o_iri, "http://www.w3.org/2000/01/rdf-schema#label", canon[os_]))
+    return out
+
+
+def test_fused_equals_stagewise(spark):
+    pages = generate_pages(spark, N)
+    a = sorted(
+        map(tuple, relations_fused_stage(pages).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            relations_stage(extract_stage(pages))
+            .select(
+                "url", "part_id", "subj_surface", "subj_type", "pred",
+                "obj_surface", "obj_type",
+            )
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_triples_match_golden_exactly(spark):
+    pages = generate_pages(spark, N)
+    rel = relations_fused_stage(pages)
+    triples = triples_stage(rel, canonicalize_stage(rel))
+    got = {(r.s, r.p, r.o_value) for r in triples.collect()}
+    golden = _golden_triples()
+    # north_rule requires P/R >= 0.95; the deterministic grammar gives 1.0
+    assert got == golden
+
+
+def test_pipeline_checkpoint_resume(spark, tmp_path):
+    pages = generate_pages(spark, N)
+    shapes = _shapes(spark)
+    out = str(tmp_path / "run")
+    r1 = run_pipeline(spark, pages, shapes, out_dir=out)
+    t1 = sorted(map(tuple, r1.triples.select("s", "p", "o_value").collect()))
+    res1 = r1.results.count()
+
+    # resume: triples stage must be read back, not recomputed
+    r2 = run_pipeline(spark, pages, shapes, out_dir=out, resume=True)
+    assert r2.metrics.get("triples_resumed") is True
+    t2 = sorted(map(tuple, r2.triples.select("s", "p", "o_value").collect()))
+    assert t1 == t2
+    assert r2.results.count() == res1
+
+
+def test_pipeline_reports_cover_all_partitions(spark, tmp_path):
+    pages = generate_pages(spark, N)
+    r = run_pipeline(spark, pages, _shapes(spark))
+    reports = {row.part_id: row for row in r.reports.collect()}
+    triple_parts = {
+        row.part_id for row in r.triples.select("part_id").distinct().collect()
+    }
+    assert set(reports) == triple_parts
+    # every report row is consistent: conforms <=> zero results
+    for row in reports.values():
+        assert row.conforms == (row.results_count == 0)
+
+
+def test_mention_sentences_drive_relations(spark):
+    # pages with no mention sentences produce no relations
+    pages = generate_pages(spark, 40)
+    rel = relations_fused_stage(pages).select("url").distinct().count()
+    with_mentions = sum(1 for i in range(40) if _mention_sentences(i))
+    assert rel == with_mentions
