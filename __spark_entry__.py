@@ -447,6 +447,44 @@ SELECT {_CUST} AS focusNode, 'http://example.org/segment' AS resultPath,
 FROM customer WHERE length(c_mktsegment) > 9
 """
 
+SH_MINLEN = SH + "MinLengthConstraintComponent"
+SH_MAXLEN = SH + "MaxLengthConstraintComponent"
+SH_IN = SH + "InConstraintComponent"
+SH_HASVAL = SH + "HasValueConstraintComponent"
+
+# email lengths: 'c<k>@example.com' = 13+len(k) chars; 'alt-c<k>@...' = 17+len(k)
+ORACLE_SHACL_MINLENGTH = f"""
+SELECT {_CUST} AS focusNode, 'http://example.org/email' AS resultPath,
+  'c' || c_custkey || '@example.com' AS value,
+  '{SH_MINLEN}' AS sourceConstraintComponent,
+  'Value has less than 16 characters' AS resultMessage,
+  {_PART16} AS part_id
+FROM customer WHERE c_custkey % 3 != 0 AND c_custkey < 100
+"""
+
+ORACLE_SHACL_MAXLENGTH = f"""
+SELECT {_CUST} AS focusNode, 'http://example.org/email' AS resultPath,
+  'alt-c' || c_custkey || '@example.com' AS value,
+  '{SH_MAXLEN}' AS sourceConstraintComponent,
+  'Value has more than 17 characters' AS resultMessage,
+  {_PART16} AS part_id
+FROM customer WHERE c_custkey % 3 != 0 AND c_custkey % 7 = 0
+"""
+
+ORACLE_SHACL_IN = f"""
+SELECT {_CUST} AS focusNode, 'http://example.org/segment' AS resultPath,
+  c_mktsegment AS value, '{SH_IN}' AS sourceConstraintComponent,
+  'Value is not in the allowed list' AS resultMessage, {_PART16} AS part_id
+FROM customer WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+"""
+
+ORACLE_SHACL_HASVALUE = f"""
+SELECT {_CUST} AS focusNode, 'http://example.org/segment' AS resultPath,
+  NULL::VARCHAR AS value, '{SH_HASVAL}' AS sourceConstraintComponent,
+  'Value BUILDING is required' AS resultMessage, {_PART16} AS part_id
+FROM customer WHERE c_mktsegment != 'BUILDING'
+"""
+
 _SHAPE = EX + "CustomerShape"
 
 _VIOL_UNION_CTE = f"""
@@ -1427,6 +1465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_class": _shacl_q({"nation": {"path": EX + "nation", "class": EX + "Nation"}}),
         "shacl_nodekind": _shacl_q({"homepage": {"path": EX + "homepage", "nodeKind": SH + "IRI"}}),
         "shacl_pattern": _shacl_q({"segment": {"path": EX + "segment", "pattern": "^[A-Z]{1,9}$"}}),
+        "shacl_minlength": _shacl_q({"email": {"path": EX + "email", "minLength": 16}}),
+        "shacl_maxlength": _shacl_q({"email": {"path": EX + "email", "maxLength": 17}}),
+        "shacl_in": _shacl_q({"segment": {"path": EX + "segment", "in": ["BUILDING", "MACHINERY", "AUTOMOBILE"]}}),
+        "shacl_hasvalue": _shacl_q({"segment": {"path": EX + "segment", "hasValue": "BUILDING"}}),
         "shacl_full_report": q_shacl_full,
         "shacl_targets": q_shacl_targets,
         "shacl_partition_reports": q_shacl_partition_reports,
@@ -1478,6 +1520,10 @@ def oracle_sql() -> dict[str, str]:
         "shacl_class": ORACLE_SHACL_CLASS,
         "shacl_nodekind": ORACLE_SHACL_NODEKIND,
         "shacl_pattern": ORACLE_SHACL_PATTERN,
+        "shacl_minlength": ORACLE_SHACL_MINLENGTH,
+        "shacl_maxlength": ORACLE_SHACL_MAXLENGTH,
+        "shacl_in": ORACLE_SHACL_IN,
+        "shacl_hasvalue": ORACLE_SHACL_HASVALUE,
         "shacl_full_report": ORACLE_SHACL_FULL,
         "shacl_targets": ORACLE_SHACL_TARGETS,
         "shacl_partition_reports": ORACLE_SHACL_REPORTS,

@@ -165,11 +165,27 @@ def shapes_graph(spark: SparkSession, constraints: dict[str, dict]) -> DataFrame
             ("minCount", "minCount"), ("maxCount", "maxCount"),
             ("datatype", "datatype"), ("class", "class"),
             ("nodeKind", "nodeKind"), ("pattern", "pattern"), ("flags", "flags"),
+            ("minLength", "minLength"), ("maxLength", "maxLength"),
+            ("hasValue", "hasValue"),
         ]:
             if key in spec:
                 v = spec[key]
                 kind = KIND_IRI if key in ("datatype", "class", "nodeKind") else KIND_LITERAL
                 rows.append((pid, SH + pred, (str(v), kind, None, None)))
+        if "in" in spec:
+            # sh:in takes an RDF collection (rdf:first / rdf:rest / rdf:nil)
+            RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+            items = list(spec["in"])
+            rows.append((pid, SH + "in", (f"urn:list:{suffix}:0", KIND_IRI, None, None)))
+            for i, item in enumerate(items):
+                node = f"urn:list:{suffix}:{i}"
+                nxt = (
+                    f"urn:list:{suffix}:{i + 1}"
+                    if i + 1 < len(items)
+                    else RDF_NS + "nil"
+                )
+                rows.append((node, RDF_NS + "first", (str(item), KIND_LITERAL, None, None)))
+                rows.append((node, RDF_NS + "rest", (nxt, KIND_IRI, None, None)))
     return triples_from_rows(spark, rows, graph="urn:graph:shapes")
 
 

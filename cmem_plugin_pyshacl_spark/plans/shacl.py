@@ -106,6 +106,10 @@ class PropertyConstraint:
     node_kind: str | None = None
     pattern: str | None = None
     flags: str | None = None
+    min_length: int | None = None
+    max_length: int | None = None
+    in_values: list[str] | None = None  # sh:in (list of allowed values)
+    has_value: str | None = None  # sh:hasValue
 
 
 @dataclass
@@ -153,6 +157,22 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
         vals = objs(s, p)
         return vals[0] if vals else None
 
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    def rdf_list(node: str | None) -> list[str] | None:
+        """Walk an rdf:first/rdf:rest collection (sh:in is an RDF list)."""
+        if node is None:
+            return None
+        out: list[str] = []
+        seen: set[str] = set()
+        while node and node != RDF_NS + "nil" and node not in seen:
+            seen.add(node)
+            first = obj(node, RDF_NS + "first")
+            if first is not None:
+                out.append(first)
+            node = obj(node, RDF_NS + "rest")
+        return out
+
     # node shapes: anything typed sh:NodeShape, or with target declarations,
     # or an rdfs:Class with sh:property (implicit class target, SHACL §2.1.3.3)
     node_shape_ids: set[str] = set()
@@ -191,6 +211,8 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
                 continue  # complex paths out of core scope
             raw_min = obj(pshape, SH + "minCount")
             raw_max = obj(pshape, SH + "maxCount")
+            raw_minlen = obj(pshape, SH + "minLength")
+            raw_maxlen = obj(pshape, SH + "maxLength")
             ns.properties.append(
                 PropertyConstraint(
                     shape_id=pshape,
@@ -205,6 +227,10 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
                     node_kind=obj(pshape, SH + "nodeKind"),
                     pattern=obj(pshape, SH + "pattern"),
                     flags=obj(pshape, SH + "flags"),
+                    min_length=int(raw_minlen) if raw_minlen is not None else None,
+                    max_length=int(raw_maxlen) if raw_maxlen is not None else None,
+                    in_values=rdf_list(obj(pshape, SH + "in")),
+                    has_value=obj(pshape, SH + "hasValue"),
                 )
             )
         shapes.append(ns)
@@ -472,6 +498,71 @@ def evaluate_constraint(
             )
         )
 
+    if c.min_length is not None:
+        comp = SH + "MinLengthConstraintComponent"
+        # W3C SHACL §4.4.1: string form of the value node; bnodes always fail
+        results.append(
+            present.filter(
+                (F.col("v_kind") == "bnode")
+                | (F.length(F.col("v_value")) < c.min_length)
+            ).select(
+                *_result_row(
+                    F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
+                    _message(c, comp, f"Value has less than {c.min_length} characters"),
+                    c.severity, F.col("part_id"),
+                )
+            )
+        )
+
+    if c.max_length is not None:
+        comp = SH + "MaxLengthConstraintComponent"
+        results.append(
+            present.filter(
+                (F.col("v_kind") == "bnode")
+                | (F.length(F.col("v_value")) > c.max_length)
+            ).select(
+                *_result_row(
+                    F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
+                    _message(c, comp, f"Value has more than {c.max_length} characters"),
+                    c.severity, F.col("part_id"),
+                )
+            )
+        )
+
+    if c.in_values is not None:
+        comp = SH + "InConstraintComponent"
+        # core approximation: membership compared on the value's string
+        # form (IRI or lexical), not full term equality
+        results.append(
+            present.filter(~F.col("v_value").isin(c.in_values)).select(
+                *_result_row(
+                    F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
+                    _message(c, comp, "Value is not in the allowed list"),
+                    c.severity, F.col("part_id"),
+                )
+            )
+        )
+
+    if c.has_value is not None:
+        comp = SH + "HasValueConstraintComponent"
+        # one result per FOCUS node whose value set lacks the required
+        # value — left-anti join against the matching values
+        matched = values.filter(F.col("v_value") == c.has_value).select("focus")
+        results.append(
+            values.select("focus", "part_id")
+            .groupBy("focus")
+            .agg(F.min("part_id").alias("part_id"))
+            .join(matched, on="focus", how="left_anti")
+            .select(
+                *_result_row(
+                    F.col("focus"), c.path, F.lit(None).cast("string"),
+                    c.shape_id, comp,
+                    _message(c, comp, f"Value {c.has_value} is required"),
+                    c.severity, F.col("part_id"),
+                )
+            )
+        )
+
     if c.pattern is not None:
         comp = SH + "PatternConstraintComponent"
         # XPath flags -> Java embedded flags (SURVEY.md §7 hard part (c)).
@@ -541,7 +632,7 @@ def validate(
 
     if meta_shacl:
         # validate shapes against themselves (cheap: shapes are tiny)
-        _, meta_results = validate(spark, shapes_triples, shapes_triples)
+        meta_results = validate(spark, shapes_triples, shapes_triples)
         if meta_results.limit(1).count() > 0:
             raise ValueError("meta-SHACL: shapes graph does not conform")
 
