@@ -203,6 +203,33 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_link_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — mention surfaces scored against a broadcast alias dictionary
+    (exact normalized match -> prior; unmatched -> 0.0)."""
+    from cmem_plugin_pyshacl_spark.plans.linking import score_candidates
+
+    rel = relations_stage(_pages(spark, sf_dir))
+    mentions = (
+        rel.select(F.col("obj_surface").alias("surface"))
+        .filter(F.col("obj_type") == "ORG")
+        .unionByName(
+            rel.filter(F.col("subj_type") == "ORG").select(
+                F.col("subj_surface").alias("surface")
+            )
+        )
+        .distinct()
+    )
+    alias_dict = spark.range(20).select(
+        F.concat(F.lit("org"), F.col("id").cast("string")).alias("alias"),
+        F.concat(F.lit("urn:org:"), F.col("id").cast("string")).alias("entity_id"),
+        (F.lit(1.0) - F.col("id") * F.lit(0.01)).alias("prior"),
+    )
+    out = score_candidates(mentions, alias_dict)
+    return out.select(
+        "surface", "entity_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_kg_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = validate(spark, _kg_triples(spark, sf_dir), kg_shapes(spark))
     return res.select(
@@ -352,6 +379,24 @@ FROM rels
 ORACLE_KG_CANONICAL = f"""
 WITH {_RELS_CTE.strip()}, {_CANON_CTE.strip()}
 SELECT surface, canonical FROM cmap
+"""
+
+ORACLE_KG_LINK_SCORING = f"""
+WITH {_RELS_CTE.strip()},
+mentions AS (
+  SELECT DISTINCT obj_surface AS surface FROM rels WHERE obj_type = 'ORG'
+  UNION SELECT DISTINCT subj_surface FROM rels WHERE subj_type = 'ORG'
+),
+alias_dict AS (
+  SELECT 'org' || range AS alias, 'urn:org:' || range AS entity_id,
+         1.0 - range * 0.01 AS prior
+  FROM range(20)
+)
+SELECT m.surface, d.entity_id,
+       round(coalesce(d.prior, 0.0), 6) AS score
+FROM mentions m
+LEFT JOIN alias_dict d
+  ON {_norm_sql('m.surface')} = {_norm_sql('d.alias')}
 """
 
 ORACLE_KG_TRIPLES = f"""
@@ -1455,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relations": q_kg_relations,
         "kg_relations_fused": q_kg_relations_fused,
         "kg_canonical_map": q_kg_canonical_map,
+        "kg_link_scoring": q_kg_link_scoring,
         "kg_triples": q_kg_triples,
         "kg_validation": q_kg_validation,
         "kg_partition_reports": q_kg_partition_reports,
@@ -1511,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_relations": ORACLE_KG_RELATIONS,
         "kg_relations_fused": ORACLE_KG_RELATIONS,
         "kg_canonical_map": ORACLE_KG_CANONICAL,
+        "kg_link_scoring": ORACLE_KG_LINK_SCORING,
         "kg_triples": ORACLE_KG_TRIPLES,
         "kg_validation": ORACLE_KG_VALIDATION,
         "kg_partition_reports": ORACLE_KG_REPORTS,

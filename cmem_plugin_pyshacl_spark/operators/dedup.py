@@ -72,6 +72,10 @@ def minhash_duplicates(
 
 def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """60-bit SimHash per document over whitespace tokens."""
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < parallelism:
+        # CPU-heavy per-row expression; don't serialize on one input split
+        documents = documents.repartition(parallelism)
     tokens_expr = f"split(trim({text_col}), '\\\\s+')"
     return documents.select(
         "doc_id", simhash64(tokens_expr).alias("simhash")

@@ -76,6 +76,12 @@ def lsh_banded(
     explode generator, so the md5 shingle-hash pass runs exactly once per
     document (see functions.hashing.minhash_sig_expr on why per-permutation
     columns would multiply that cost 16x under CollapseProject)."""
+    # the signature pass is CPU-heavy per row (md5 per shingle + the
+    # permutation fold); a small input file arrives as ONE partition and
+    # would serialize the whole pass on one core — spread it first
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     rows = num_perm // bands
     sig = minhash_sig_expr(text_col, num_perm)
     bands_sql = (
