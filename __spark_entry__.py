@@ -637,6 +637,62 @@ SELECT 'urn:cust:1', 'http://example.org/email',
 """
 
 
+def q_shacl_node_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:node — ex:nation values must conform to a referenced NationShape
+    (rdf:type minCount 1); untyped nations 22..24 violate."""
+    data = derive_customer_graph(spark, sf_dir)
+    rows = [
+        (EX + "CustShape", RDFT, (SH + "NodeShape", KIND_IRI, None, None)),
+        (EX + "CustShape", SH + "targetClass", (EX + "Customer", KIND_IRI, None, None)),
+        (EX + "CustShape", SH + "property", (EX + "CustShape-n", KIND_IRI, None, None)),
+        (EX + "CustShape-n", SH + "path", (EX + "nation", KIND_IRI, None, None)),
+        (EX + "CustShape-n", SH + "node", (EX + "NationShape", KIND_IRI, None, None)),
+        (EX + "NationShape", RDFT, (SH + "NodeShape", KIND_IRI, None, None)),
+        (EX + "NationShape", SH + "property", (EX + "NationShape-t", KIND_IRI, None, None)),
+        (EX + "NationShape-t", SH + "path", (RDFT, KIND_IRI, None, None)),
+        (EX + "NationShape-t", SH + "minCount", ("1", "literal", None, None)),
+    ]
+    shapes = triples_from_rows(spark, rows, graph="urn:graph:shapes")
+    res = validate(spark, data, shapes)
+    return res.select(
+        "focusNode", "value", "sourceConstraintComponent",
+        F.col("part_id").cast("long").alias("part_id"),
+    )
+
+
+ORACLE_SHACL_NODE_REF = f"""
+SELECT {_CUST} AS focusNode, 'urn:nation:' || c_nationkey AS value,
+  '{SH}NodeConstraintComponent' AS sourceConstraintComponent,
+  {_PART16} AS part_id
+FROM customer WHERE c_nationkey >= 22
+"""
+
+
+def q_shacl_self_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-level constraint: the focus node IRI itself must match a
+    pattern (customers with >=4-digit keys violate)."""
+    data = derive_customer_graph(spark, sf_dir)
+    rows = [
+        (EX + "IdShape", RDFT, (SH + "NodeShape", KIND_IRI, None, None)),
+        (EX + "IdShape", SH + "targetClass", (EX + "Customer", KIND_IRI, None, None)),
+        (EX + "IdShape", SH + "pattern", ("^urn:cust:[0-9]{1,3}$", "literal", None, None)),
+    ]
+    shapes = triples_from_rows(spark, rows, graph="urn:graph:shapes")
+    res = validate(spark, data, shapes)
+    return res.select(
+        "focusNode", "resultPath", "value", "sourceConstraintComponent",
+        F.col("part_id").cast("long").alias("part_id"),
+    )
+
+
+ORACLE_SHACL_SELF_PATTERN = f"""
+SELECT {_CUST} AS focusNode, NULL::VARCHAR AS resultPath,
+  {_CUST} AS value,
+  '{SH_PAT}' AS sourceConstraintComponent, {_PART16} AS part_id
+FROM customer WHERE c_custkey >= 1000
+"""
+
+
 def q_shacl_partition_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = derive_customer_graph(spark, sf_dir)
     res = validate(spark, data, shapes_graph(spark, CUSTOMER_SHAPES_ALL))
@@ -1516,6 +1572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_in": _shacl_q({"segment": {"path": EX + "segment", "in": ["BUILDING", "MACHINERY", "AUTOMOBILE"]}}),
         "shacl_hasvalue": _shacl_q({"segment": {"path": EX + "segment", "hasValue": "BUILDING"}}),
         "shacl_full_report": q_shacl_full,
+        "shacl_node_ref": q_shacl_node_ref,
+        "shacl_self_pattern": q_shacl_self_pattern,
         "shacl_targets": q_shacl_targets,
         "shacl_partition_reports": q_shacl_partition_reports,
         # graph operators
@@ -1572,6 +1630,8 @@ def oracle_sql() -> dict[str, str]:
         "shacl_in": ORACLE_SHACL_IN,
         "shacl_hasvalue": ORACLE_SHACL_HASVALUE,
         "shacl_full_report": ORACLE_SHACL_FULL,
+        "shacl_node_ref": ORACLE_SHACL_NODE_REF,
+        "shacl_self_pattern": ORACLE_SHACL_SELF_PATTERN,
         "shacl_targets": ORACLE_SHACL_TARGETS,
         "shacl_partition_reports": ORACLE_SHACL_REPORTS,
         "rdfs_inference": ORACLE_RDFS_INFERENCE,

@@ -110,6 +110,7 @@ class PropertyConstraint:
     max_length: int | None = None
     in_values: list[str] | None = None  # sh:in (list of allowed values)
     has_value: str | None = None  # sh:hasValue
+    node_ref: str | None = None  # sh:node (shape-to-shape reference)
 
 
 @dataclass
@@ -122,6 +123,10 @@ class NodeShape:
     implicit_class_target: bool = False
     deactivated: bool = False
     properties: list[PropertyConstraint] = field(default_factory=list)
+    # constraints declared DIRECTLY on the node shape (W3C SHACL: node
+    # shapes may carry value constraints that apply to the focus node
+    # itself, e.g. sh:nodeKind / sh:pattern / sh:in) — path is None
+    self_constraints: list[PropertyConstraint] = field(default_factory=list)
 
 
 @dataclass
@@ -191,6 +196,36 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
         ) and SH + "path" not in props:
             node_shape_ids.add(s)
 
+    _VALUE_PREDS = (
+        "datatype", "class", "nodeKind", "pattern", "minLength",
+        "maxLength", "in", "hasValue", "node",
+    )
+
+    def constraint_from(node_id: str, owner: str, path: str | None) -> PropertyConstraint:
+        raw_min = obj(node_id, SH + "minCount")
+        raw_max = obj(node_id, SH + "maxCount")
+        raw_minlen = obj(node_id, SH + "minLength")
+        raw_maxlen = obj(node_id, SH + "maxLength")
+        return PropertyConstraint(
+            shape_id=node_id,
+            node_shape=owner,
+            path=path,
+            severity=obj(node_id, SH + "severity") or SH_VIOLATION,
+            message=obj(node_id, SH + "message"),
+            min_count=int(raw_min) if raw_min is not None else None,
+            max_count=int(raw_max) if raw_max is not None else None,
+            datatype=obj(node_id, SH + "datatype"),
+            class_=obj(node_id, SH + "class"),
+            node_kind=obj(node_id, SH + "nodeKind"),
+            pattern=obj(node_id, SH + "pattern"),
+            flags=obj(node_id, SH + "flags"),
+            min_length=int(raw_minlen) if raw_minlen is not None else None,
+            max_length=int(raw_maxlen) if raw_maxlen is not None else None,
+            in_values=rdf_list(obj(node_id, SH + "in")),
+            has_value=obj(node_id, SH + "hasValue"),
+            node_ref=obj(node_id, SH + "node"),
+        )
+
     shapes: list[NodeShape] = []
     for sid in sorted(node_shape_ids):
         types = objs(sid, RDF_TYPE)
@@ -209,30 +244,15 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             path = obj(pshape, SH + "path")
             if path is None:
                 continue  # complex paths out of core scope
-            raw_min = obj(pshape, SH + "minCount")
-            raw_max = obj(pshape, SH + "maxCount")
-            raw_minlen = obj(pshape, SH + "minLength")
-            raw_maxlen = obj(pshape, SH + "maxLength")
-            ns.properties.append(
-                PropertyConstraint(
-                    shape_id=pshape,
-                    node_shape=sid,
-                    path=path,
-                    severity=obj(pshape, SH + "severity") or SH_VIOLATION,
-                    message=obj(pshape, SH + "message"),
-                    min_count=int(raw_min) if raw_min is not None else None,
-                    max_count=int(raw_max) if raw_max is not None else None,
-                    datatype=obj(pshape, SH + "datatype"),
-                    class_=obj(pshape, SH + "class"),
-                    node_kind=obj(pshape, SH + "nodeKind"),
-                    pattern=obj(pshape, SH + "pattern"),
-                    flags=obj(pshape, SH + "flags"),
-                    min_length=int(raw_minlen) if raw_minlen is not None else None,
-                    max_length=int(raw_maxlen) if raw_maxlen is not None else None,
-                    in_values=rdf_list(obj(pshape, SH + "in")),
-                    has_value=obj(pshape, SH + "hasValue"),
-                )
-            )
+            ns.properties.append(constraint_from(pshape, sid, path))
+        # value constraints declared directly on the node shape apply to
+        # the focus node itself (min/maxCount are property-shape-only per
+        # W3C SHACL and are ignored here)
+        if any(SH + p in spo.get(sid, {}) for p in _VALUE_PREDS):
+            sc = constraint_from(sid, sid, None)
+            sc.min_count = None
+            sc.max_count = None
+            ns.self_constraints.append(sc)
         shapes.append(ns)
     return CompiledShapes(shapes=shapes)
 
@@ -357,28 +377,48 @@ def evaluate_constraint(
     focus: DataFrame,
     c: PropertyConstraint,
     closure: dict[str, set[str]],
+    shape_map: dict[str, "NodeShape"] | None = None,
+    max_depth: int = 15,
+    depth: int = 0,
 ) -> list[DataFrame]:
-    """S5–S11 — evaluate one compiled property constraint.
+    """S5–S11 — evaluate one compiled constraint.
 
-    `focus` is DataFrame[focus]; `data` is the triples table. Returns a list
-    of result DataFrames with RESULT_SCHEMA columns.
+    `focus` is DataFrame[focus, part_id]; `data` is the triples table.
+    When `c.path` is None this is a NODE-shape constraint: the focus node
+    itself is the (single, IRI-kind) value. `shape_map`/`max_depth`/`depth`
+    drive sh:node shape-to-shape recursion. Returns a list of result
+    DataFrames with RESULT_SCHEMA columns.
     """
     results: list[DataFrame] = []
-    path_triples = data.filter(F.col("p") == c.path).select(
-        F.col("s").alias("focus"),
-        F.col("o_kind").alias("v_kind"),
-        F.col("o_value").alias("v_value"),
-        F.col("o_datatype").alias("v_datatype"),
-        F.col("o_lang").alias("v_lang"),
-        F.col("part_id").alias("v_part_id"),
-    )
-    # S5: LEFT join so zero-valued focus nodes survive for minCount. The
-    # focus side is usually far smaller than the triples table; broadcast it.
-    values = (
-        F.broadcast(focus)
-        .join(path_triples, on="focus", how="left")
-        .withColumn("part_id", F.coalesce(F.col("part_id"), F.col("v_part_id")))
-    )
+    if c.path is None:
+        # self-values: the focus node is the value (focus nodes selected by
+        # our targets are IRIs post-skolemization)
+        values = focus.select(
+            "focus",
+            F.lit(KIND_IRI).alias("v_kind"),
+            F.col("focus").alias("v_value"),
+            F.lit(None).cast("string").alias("v_datatype"),
+            F.lit(None).cast("string").alias("v_lang"),
+            F.col("part_id").alias("v_part_id"),
+            F.col("part_id"),
+        )
+    else:
+        path_triples = data.filter(F.col("p") == c.path).select(
+            F.col("s").alias("focus"),
+            F.col("o_kind").alias("v_kind"),
+            F.col("o_value").alias("v_value"),
+            F.col("o_datatype").alias("v_datatype"),
+            F.col("o_lang").alias("v_lang"),
+            F.col("part_id").alias("v_part_id"),
+        )
+        # S5: LEFT join so zero-valued focus nodes survive for minCount. The
+        # focus side is usually far smaller than the triples table;
+        # broadcast it.
+        values = (
+            F.broadcast(focus)
+            .join(path_triples, on="focus", how="left")
+            .withColumn("part_id", F.coalesce(F.col("part_id"), F.col("v_part_id")))
+        )
 
     if c.min_count is not None or c.max_count is not None:
         counts = values.groupBy("focus").agg(
@@ -589,7 +629,78 @@ def evaluate_constraint(
                 )
             )
         )
+
+    if c.node_ref is not None and shape_map is not None:
+        # sh:node — every value must conform to the referenced node shape.
+        # Recursion is bounded by max_validation_depth (the reference
+        # range-checks the same bound, plugin_pyshacl.py:296-305, :589-590);
+        # past the bound values are treated as conforming. Core subset:
+        # applied to IRI values (a literal conforms vacuously here).
+        comp = SH + "NodeConstraintComponent"
+        ref = shape_map.get(c.node_ref)
+        if ref is not None and depth < max_depth:
+            sub_focus = (
+                present.filter(F.col("v_kind") == KIND_IRI)
+                .select(F.col("v_value").alias("focus"), "part_id")
+                .groupBy("focus")
+                .agg(F.min("part_id").alias("part_id"))
+            )
+            sub_results = _evaluate_shape(
+                spark, data, sub_focus, ref, closure, shape_map, max_depth,
+                depth + 1,
+            )
+            if sub_results:
+                noncon = sub_results[0].select("focusNode")
+                for df in sub_results[1:]:
+                    noncon = noncon.unionByName(df.select("focusNode"))
+                noncon = noncon.distinct().withColumnRenamed("focusNode", "v_value")
+                results.append(
+                    present.join(noncon, on="v_value", how="left_semi").select(
+                        *_result_row(
+                            F.col("focus"),
+                            c.path,
+                            F.col("v_value"),
+                            c.shape_id,
+                            comp,
+                            _message(
+                                c, comp,
+                                f"Value does not conform to shape {c.node_ref}",
+                            ),
+                            c.severity,
+                            F.col("part_id"),
+                        )
+                    )
+                )
     return results
+
+
+def _evaluate_shape(
+    spark: SparkSession,
+    data: DataFrame,
+    focus: DataFrame,
+    shape: NodeShape,
+    closure: dict[str, set[str]],
+    shape_map: dict[str, NodeShape],
+    max_depth: int,
+    depth: int,
+) -> list[DataFrame]:
+    """Evaluate ALL of a shape's constraints (self + property) against an
+    explicit focus set — the sh:node recursion entry point (no target
+    selection)."""
+    out: list[DataFrame] = []
+    for sc in shape.self_constraints:
+        out.extend(
+            evaluate_constraint(
+                spark, data, focus, sc, closure, shape_map, max_depth, depth
+            )
+        )
+    for pc in shape.properties:
+        out.extend(
+            evaluate_constraint(
+                spark, data, focus, pc, closure, shape_map, max_depth, depth
+            )
+        )
+    return out
 
 
 # --------------------------------------------------------------------- S12
@@ -643,10 +754,11 @@ def validate(
         all_classes.update(s.target_classes)
         if s.implicit_class_target:
             all_classes.add(s.shape_id)
-        for c in s.properties:
+        for c in s.properties + s.self_constraints:
             if c.class_ is not None:
                 all_classes.add(c.class_)
     closure = subclass_closure(closure_src, all_classes)
+    shape_map = {s.shape_id: s for s in compiled.shapes}
 
     result_dfs: list[DataFrame] = []
     for shape in compiled.shapes:
@@ -655,8 +767,12 @@ def validate(
         focus = _focus_nodes(spark, data_triples, shape, closure)
         if focus is None:
             continue
-        for c in shape.properties:
-            result_dfs.extend(evaluate_constraint(spark, data_triples, focus, c, closure))
+        result_dfs.extend(
+            _evaluate_shape(
+                spark, data_triples, focus, shape, closure, shape_map,
+                max_validation_depth, 0,
+            )
+        )
 
     if result_dfs:
         results = result_dfs[0]
