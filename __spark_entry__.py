@@ -1506,6 +1506,30 @@ SELECT n_name, c_custkey, revenue, rnk FROM r WHERE rnk <= 3
 """
 
 
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column handling: parse events.props with an explicit schema
+    (from_json) and aggregate the extracted field per event type."""
+    e = load(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "k", F.from_json(F.col("props"), "k BIGINT").getField("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type, count(*)::BIGINT AS n,
+  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+  min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+  max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1605,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
+        "events_json": q_events_json,
         "event_sessions": q_event_sessions,
     }
 
@@ -1660,5 +1685,6 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": ORACLE_PRICING,
         "revenue_by_nation": ORACLE_REVENUE,
         "top_customers": ORACLE_TOP_CUSTOMERS,
+        "events_json": ORACLE_EVENTS_JSON,
         "event_sessions": ORACLE_SESSIONS,
     }
