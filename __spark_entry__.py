@@ -668,6 +668,43 @@ FROM customer WHERE c_nationkey >= 22
 """
 
 
+def q_shacl_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:or — nation values must be typed OR carry an ex:name; nations
+    22..24 have neither, so their referencing customers violate."""
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        (EX + "CustShape", RDFT, (SH + "NodeShape", KIND_IRI, None, None)),
+        (EX + "CustShape", SH + "targetClass", (EX + "Customer", KIND_IRI, None, None)),
+        (EX + "CustShape", SH + "property", (EX + "CustShape-n", KIND_IRI, None, None)),
+        (EX + "CustShape-n", SH + "path", (EX + "nation", KIND_IRI, None, None)),
+        (EX + "CustShape-n", SH + "or", ("urn:orl:0", KIND_IRI, None, None)),
+        ("urn:orl:0", RDF_NS + "first", (EX + "Typed", KIND_IRI, None, None)),
+        ("urn:orl:0", RDF_NS + "rest", ("urn:orl:1", KIND_IRI, None, None)),
+        ("urn:orl:1", RDF_NS + "first", (EX + "Named", KIND_IRI, None, None)),
+        ("urn:orl:1", RDF_NS + "rest", (RDF_NS + "nil", KIND_IRI, None, None)),
+        (EX + "Typed", SH + "property", (EX + "Typed-p", KIND_IRI, None, None)),
+        (EX + "Typed-p", SH + "path", (RDFT, KIND_IRI, None, None)),
+        (EX + "Typed-p", SH + "minCount", ("1", "literal", None, None)),
+        (EX + "Named", SH + "property", (EX + "Named-p", KIND_IRI, None, None)),
+        (EX + "Named-p", SH + "path", (EX + "name", KIND_IRI, None, None)),
+        (EX + "Named-p", SH + "minCount", ("1", "literal", None, None)),
+    ]
+    shapes = triples_from_rows(spark, rows, graph="urn:graph:shapes")
+    res = validate(spark, derive_customer_graph(spark, sf_dir), shapes)
+    return res.select(
+        "focusNode", "value", "sourceConstraintComponent",
+        F.col("part_id").cast("long").alias("part_id"),
+    )
+
+
+ORACLE_SHACL_OR = f"""
+SELECT {_CUST} AS focusNode, 'urn:nation:' || c_nationkey AS value,
+  '{SH}OrConstraintComponent' AS sourceConstraintComponent,
+  {_PART16} AS part_id
+FROM customer WHERE c_nationkey >= 22
+"""
+
+
 def q_shacl_self_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node-level constraint: the focus node IRI itself must match a
     pattern (customers with >=4-digit keys violate)."""
@@ -1597,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_hasvalue": _shacl_q({"segment": {"path": EX + "segment", "hasValue": "BUILDING"}}),
         "shacl_full_report": q_shacl_full,
         "shacl_node_ref": q_shacl_node_ref,
+        "shacl_or": q_shacl_or,
         "shacl_self_pattern": q_shacl_self_pattern,
         "shacl_targets": q_shacl_targets,
         "shacl_partition_reports": q_shacl_partition_reports,
@@ -1656,6 +1694,7 @@ def oracle_sql() -> dict[str, str]:
         "shacl_hasvalue": ORACLE_SHACL_HASVALUE,
         "shacl_full_report": ORACLE_SHACL_FULL,
         "shacl_node_ref": ORACLE_SHACL_NODE_REF,
+        "shacl_or": ORACLE_SHACL_OR,
         "shacl_self_pattern": ORACLE_SHACL_SELF_PATTERN,
         "shacl_targets": ORACLE_SHACL_TARGETS,
         "shacl_partition_reports": ORACLE_SHACL_REPORTS,

@@ -111,6 +111,9 @@ class PropertyConstraint:
     in_values: list[str] | None = None  # sh:in (list of allowed values)
     has_value: str | None = None  # sh:hasValue
     node_ref: str | None = None  # sh:node (shape-to-shape reference)
+    not_ref: str | None = None  # sh:not
+    or_refs: list[str] | None = None  # sh:or (list of shapes)
+    and_refs: list[str] | None = None  # sh:and (list of shapes)
 
 
 @dataclass
@@ -198,7 +201,7 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
 
     _VALUE_PREDS = (
         "datatype", "class", "nodeKind", "pattern", "minLength",
-        "maxLength", "in", "hasValue", "node",
+        "maxLength", "in", "hasValue", "node", "not", "or", "and",
     )
 
     def constraint_from(node_id: str, owner: str, path: str | None) -> PropertyConstraint:
@@ -224,10 +227,12 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             in_values=rdf_list(obj(node_id, SH + "in")),
             has_value=obj(node_id, SH + "hasValue"),
             node_ref=obj(node_id, SH + "node"),
+            not_ref=obj(node_id, SH + "not"),
+            or_refs=rdf_list(obj(node_id, SH + "or")),
+            and_refs=rdf_list(obj(node_id, SH + "and")),
         )
 
-    shapes: list[NodeShape] = []
-    for sid in sorted(node_shape_ids):
+    def build_shape(sid: str) -> NodeShape:
         types = objs(sid, RDF_TYPE)
         ns = NodeShape(
             shape_id=sid,
@@ -253,7 +258,29 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             sc.min_count = None
             sc.max_count = None
             ns.self_constraints.append(sc)
-        shapes.append(ns)
+        return ns
+
+    def constraint_refs(ns: NodeShape) -> set[str]:
+        refs: set[str] = set()
+        for c in ns.properties + ns.self_constraints:
+            if c.node_ref:
+                refs.add(c.node_ref)
+            if c.not_ref:
+                refs.add(c.not_ref)
+            refs.update(c.or_refs or [])
+            refs.update(c.and_refs or [])
+        return refs
+
+    shapes: list[NodeShape] = [build_shape(sid) for sid in sorted(node_shape_ids)]
+    # shapes referenced from sh:node/sh:not/sh:or/sh:and may be inline
+    # (untyped, target-less) — compile them too, chasing refs-of-refs
+    built = set(node_shape_ids)
+    pending = set().union(*(constraint_refs(s) for s in shapes), set()) - built
+    while pending:
+        new = [build_shape(sid) for sid in sorted(pending)]
+        shapes.extend(new)
+        built |= pending
+        pending = set().union(*(constraint_refs(s) for s in new), set()) - built
     return CompiledShapes(shapes=shapes)
 
 
@@ -630,47 +657,97 @@ def evaluate_constraint(
             )
         )
 
+    # ---- shape-to-shape logical components (sh:node / sh:not / sh:or /
+    # sh:and). Recursion is bounded by max_validation_depth (the reference
+    # range-checks the same bound, plugin_pyshacl.py:296-305, :589-590);
+    # past the bound, or for non-IRI values, sub-shapes are treated as
+    # conforming (documented core approximation).
+    def noncon_values(ref_id: str) -> DataFrame | None:
+        """Distinct DataFrame[v_value] of IRI values NOT conforming to the
+        referenced shape, or None when the ref can't be expanded."""
+        ref = (shape_map or {}).get(ref_id)
+        if ref is None or depth >= max_depth:
+            return None
+        sub_focus = (
+            present.filter(F.col("v_kind") == KIND_IRI)
+            .select(F.col("v_value").alias("focus"), "part_id")
+            .groupBy("focus")
+            .agg(F.min("part_id").alias("part_id"))
+        )
+        sub_results = _evaluate_shape(
+            spark, data, sub_focus, ref, closure, shape_map, max_depth,
+            depth + 1,
+        )
+        if not sub_results:
+            return spark.createDataFrame([], schema="v_value string")
+        noncon = sub_results[0].select("focusNode")
+        for df in sub_results[1:]:
+            noncon = noncon.unionByName(df.select("focusNode"))
+        return noncon.distinct().withColumnRenamed("focusNode", "v_value")
+
+    def value_results(bad_values: DataFrame, comp: str, default_msg: str) -> DataFrame:
+        return present.join(bad_values, on="v_value", how="left_semi").select(
+            *_result_row(
+                F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
+                _message(c, comp, default_msg), c.severity, F.col("part_id"),
+            )
+        )
+
     if c.node_ref is not None and shape_map is not None:
-        # sh:node — every value must conform to the referenced node shape.
-        # Recursion is bounded by max_validation_depth (the reference
-        # range-checks the same bound, plugin_pyshacl.py:296-305, :589-590);
-        # past the bound values are treated as conforming. Core subset:
-        # applied to IRI values (a literal conforms vacuously here).
         comp = SH + "NodeConstraintComponent"
-        ref = shape_map.get(c.node_ref)
-        if ref is not None and depth < max_depth:
-            sub_focus = (
-                present.filter(F.col("v_kind") == KIND_IRI)
-                .select(F.col("v_value").alias("focus"), "part_id")
-                .groupBy("focus")
-                .agg(F.min("part_id").alias("part_id"))
-            )
-            sub_results = _evaluate_shape(
-                spark, data, sub_focus, ref, closure, shape_map, max_depth,
-                depth + 1,
-            )
-            if sub_results:
-                noncon = sub_results[0].select("focusNode")
-                for df in sub_results[1:]:
-                    noncon = noncon.unionByName(df.select("focusNode"))
-                noncon = noncon.distinct().withColumnRenamed("focusNode", "v_value")
-                results.append(
-                    present.join(noncon, on="v_value", how="left_semi").select(
-                        *_result_row(
-                            F.col("focus"),
-                            c.path,
-                            F.col("v_value"),
-                            c.shape_id,
-                            comp,
-                            _message(
-                                c, comp,
-                                f"Value does not conform to shape {c.node_ref}",
-                            ),
-                            c.severity,
-                            F.col("part_id"),
-                        )
-                    )
+        noncon = noncon_values(c.node_ref)
+        if noncon is not None:
+            results.append(
+                value_results(
+                    noncon, comp,
+                    f"Value does not conform to shape {c.node_ref}",
                 )
+            )
+
+    if c.not_ref is not None and shape_map is not None:
+        comp = SH + "NotConstraintComponent"
+        noncon = noncon_values(c.not_ref)
+        if noncon is not None:
+            # violation iff the value DOES conform: IRI values minus noncon
+            conforming = (
+                present.filter(F.col("v_kind") == KIND_IRI)
+                .select("v_value")
+                .distinct()
+                .join(noncon, on="v_value", how="left_anti")
+            )
+            results.append(
+                value_results(
+                    conforming, comp,
+                    f"Value must not conform to shape {c.not_ref}",
+                )
+            )
+
+    if c.or_refs and shape_map is not None:
+        comp = SH + "OrConstraintComponent"
+        noncons = [noncon_values(r) for r in c.or_refs]
+        if all(n is not None for n in noncons):
+            # violation iff the value fails EVERY alternative: intersection
+            bad = noncons[0]
+            for n in noncons[1:]:
+                bad = bad.join(n, on="v_value", how="left_semi")
+            results.append(
+                value_results(bad, comp, "Value matches none of the sh:or shapes")
+            )
+
+    if c.and_refs and shape_map is not None:
+        comp = SH + "AndConstraintComponent"
+        noncons = [noncon_values(r) for r in c.and_refs]
+        if all(n is not None for n in noncons):
+            # violation iff the value fails ANY conjunct: union
+            bad = noncons[0]
+            for n in noncons[1:]:
+                bad = bad.unionByName(n)
+            results.append(
+                value_results(
+                    bad.distinct(), comp,
+                    "Value does not match every sh:and shape",
+                )
+            )
     return results
 
 
