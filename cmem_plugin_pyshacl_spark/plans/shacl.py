@@ -114,6 +114,8 @@ class PropertyConstraint:
     not_ref: str | None = None  # sh:not
     or_refs: list[str] | None = None  # sh:or (list of shapes)
     and_refs: list[str] | None = None  # sh:and (list of shapes)
+    language_in: list[str] | None = None  # sh:languageIn (list of BCP-47 tags)
+    unique_lang: bool = False  # sh:uniqueLang
 
 
 @dataclass
@@ -202,6 +204,7 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
     _VALUE_PREDS = (
         "datatype", "class", "nodeKind", "pattern", "minLength",
         "maxLength", "in", "hasValue", "node", "not", "or", "and",
+        "languageIn",
     )
 
     def constraint_from(node_id: str, owner: str, path: str | None) -> PropertyConstraint:
@@ -230,6 +233,8 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             not_ref=obj(node_id, SH + "not"),
             or_refs=rdf_list(obj(node_id, SH + "or")),
             and_refs=rdf_list(obj(node_id, SH + "and")),
+            language_in=rdf_list(obj(node_id, SH + "languageIn")),
+            unique_lang=(obj(node_id, SH + "uniqueLang") == "true"),
         )
 
     def build_shape(sid: str) -> NodeShape:
@@ -653,6 +658,45 @@ def evaluate_constraint(
                     _message(c, comp, f"Value does not match pattern {c.pattern}"),
                     c.severity,
                     F.col("part_id"),
+                )
+            )
+        )
+
+    if c.language_in is not None:
+        comp = SH + "LanguageInConstraintComponent"
+        tags = [t.lower() for t in c.language_in]
+        primaries = sorted({t.split("-")[0] for t in tags})
+        lang = F.lower(F.coalesce(F.col("v_lang"), F.lit("")))
+        # W3C SHACL §4.5.3 basic filtering: exact tag or primary-subtag match
+        ok = (F.col("v_kind") == KIND_LITERAL) & (
+            lang.isin(tags) | F.split(lang, "-").getItem(0).isin(primaries)
+        )
+        results.append(
+            present.filter(~ok).select(
+                *_result_row(
+                    F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
+                    _message(c, comp, "Value has no language tag from the allowed list"),
+                    c.severity, F.col("part_id"),
+                )
+            )
+        )
+
+    if c.unique_lang:
+        comp = SH + "UniqueLangConstraintComponent"
+        dup = (
+            present.filter(
+                (F.col("v_kind") == KIND_LITERAL) & F.col("v_lang").isNotNull()
+            )
+            .groupBy("focus", F.lower(F.col("v_lang")).alias("_lang"))
+            .agg(F.count(F.lit(1)).alias("_n"), F.min("part_id").alias("part_id"))
+            .filter(F.col("_n") > 1)
+        )
+        results.append(
+            dup.select(
+                *_result_row(
+                    F.col("focus"), c.path, F.col("_lang"), c.shape_id, comp,
+                    _message(c, comp, "Language tag used more than once"),
+                    c.severity, F.col("part_id"),
                 )
             )
         )
