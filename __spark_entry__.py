@@ -930,6 +930,52 @@ SELECT '<urn:xl:' || p_partkey
 """
 
 
+def q_node_cbd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 CBD branch — bounded per-node description over the label graph,
+    truncated to 3 lines to exercise the cap."""
+    from cmem_plugin_pyshacl_spark.operators.graph_ops import node_cbd
+
+    return node_cbd(derive_label_graph(spark, sf_dir), max_lines=3)
+
+
+# per part subject urn:part:k the outgoing lines (skos always; rdfs if k%2=0;
+# skosxl ref if k%3=0) sorted lexicographically, capped at 3; xl nodes have
+# exactly one line each. '<urn' < '"' is false — sort is on the full line
+# string, which starts '<urn:part:k> <pred> ...' so ordering is by predicate
+# IRI then object.
+ORACLE_NODE_CBD = """
+WITH lines AS (
+  SELECT 'urn:part:' || p_partkey AS s,
+    '<urn:part:' || p_partkey
+      || '> <http://www.w3.org/2004/02/skos/core#prefLabel> "skos '
+      || p_name || '" .' AS line
+  FROM part
+  UNION ALL
+  SELECT 'urn:part:' || p_partkey,
+    '<urn:part:' || p_partkey
+      || '> <http://www.w3.org/2000/01/rdf-schema#label> "rdfs '
+      || p_name || '" .'
+  FROM part WHERE p_partkey % 2 = 0
+  UNION ALL
+  SELECT 'urn:part:' || p_partkey,
+    '<urn:part:' || p_partkey
+      || '> <http://www.w3.org/2008/05/skos-xl#prefLabel> <urn:xl:'
+      || p_partkey || '> .'
+  FROM part WHERE p_partkey % 3 = 0
+  UNION ALL
+  SELECT 'urn:xl:' || p_partkey,
+    '<urn:xl:' || p_partkey
+      || '> <http://www.w3.org/2008/05/skos-xl#literalForm> "xl '
+      || p_name || '" .'
+  FROM part WHERE p_partkey % 3 = 0
+)
+SELECT s,
+  array_to_string(list_sort(list(line))[1:3], chr(10)) AS cbd,
+  count(*)::BIGINT AS n_lines
+FROM lines GROUP BY s
+"""
+
+
 def q_entities_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = derive_customer_graph(spark, sf_dir)
     shapes = shapes_graph(spark, CUSTOMER_SHAPES_ALL)
@@ -1645,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labels_preferred": q_labels_preferred,
         "skolemize": q_skolemize,
         "ntriples": q_ntriples,
+        "node_cbd": q_node_cbd,
         "entities_table": q_entities_table,
         "report_graph": q_report_graph,
         # training-data operators
@@ -1704,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
         "labels_preferred": ORACLE_LABELS,
         "skolemize": ORACLE_SKOLEMIZE,
         "ntriples": ORACLE_NTRIPLES,
+        "node_cbd": ORACLE_NODE_CBD,
         "entities_table": ORACLE_ENTITIES,
         "report_graph": ORACLE_REPORT_GRAPH,
         "dedup_exact_groups": ORACLE_DEDUP_EXACT_GROUPS,

@@ -30,6 +30,7 @@ from ..data_model import (
     XSD_BOOLEAN,
     XSD_DATETIME,
     XSD_STRING,
+    nt_term,
     to_ntriples,
 )
 from ..functions.hashing import skolem_iri
@@ -239,6 +240,38 @@ def results_to_report_graph(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out, results_n
+
+
+def node_cbd(triples: DataFrame, max_lines: int = 50) -> DataFrame:
+    """R13 (check_object CBD branch) — bounded concise description per
+    subject: the node's outgoing triples rendered as sorted N-Triples-ish
+    lines, truncated to `max_lines` (the reference truncates the BNode CBD
+    turtle serialization to 50 lines, plugin_pyshacl.py:479-489; with
+    skolemization on, bnodes don't survive, so this is the best-effort
+    relational equivalent: one-hop outgoing subgraph, deterministic order).
+
+    Returns (s, cbd string, n_lines long). collect_list -> sort_array ->
+    slice keeps the truncation inside the aggregate, so a pathological
+    hub node contributes at most max_lines lines downstream."""
+    lines = triples.select(
+        "s",
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("<"), F.col("s"), F.lit(">")),
+            F.concat(F.lit("<"), F.col("p"), F.lit(">")),
+            nt_term(
+                F.col("o_kind"), F.col("o_value"),
+                F.col("o_datatype"), F.col("o_lang"),
+            ),
+            F.lit("."),
+        ).alias("line"),
+    )
+    return lines.groupBy("s").agg(
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("line")), 1, max_lines), "\n"
+        ).alias("cbd"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
 
 
 def post_graph(
