@@ -705,6 +705,34 @@ FROM customer WHERE c_nationkey >= 22
 """
 
 
+def q_shacl_inverse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh:inversePath — every typed nation must have >=60 incoming
+    ex:nation edges (customers); under-referenced nations violate."""
+    rows = [
+        (EX + "NShape", RDFT, (SH + "NodeShape", KIND_IRI, None, None)),
+        (EX + "NShape", SH + "targetClass", (EX + "Nation", KIND_IRI, None, None)),
+        (EX + "NShape", SH + "property", (EX + "NShape-in", KIND_IRI, None, None)),
+        (EX + "NShape-in", SH + "path", ("urn:pn:1", KIND_IRI, None, None)),
+        ("urn:pn:1", SH + "inversePath", (EX + "nation", KIND_IRI, None, None)),
+        (EX + "NShape-in", SH + "minCount", ("60", "literal", None, None)),
+    ]
+    shapes = triples_from_rows(spark, rows, graph="urn:graph:shapes")
+    res = validate(spark, derive_customer_graph(spark, sf_dir), shapes)
+    return res.select(
+        "focusNode", "sourceConstraintComponent",
+        F.col("part_id").cast("long").alias("part_id"),
+    )
+
+
+ORACLE_SHACL_INVERSE = f"""
+SELECT 'urn:nation:' || n_nationkey AS focusNode,
+  '{SH_MIN}' AS sourceConstraintComponent, 0::BIGINT AS part_id
+FROM nation
+WHERE n_nationkey < 22
+  AND (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) < 60
+"""
+
+
 def q_shacl_self_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node-level constraint: the focus node IRI itself must match a
     pattern (customers with >=4-digit keys violate)."""
@@ -1681,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_full_report": q_shacl_full,
         "shacl_node_ref": q_shacl_node_ref,
         "shacl_or": q_shacl_or,
+        "shacl_inverse_path": q_shacl_inverse_path,
         "shacl_self_pattern": q_shacl_self_pattern,
         "shacl_targets": q_shacl_targets,
         "shacl_partition_reports": q_shacl_partition_reports,
@@ -1742,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "shacl_full_report": ORACLE_SHACL_FULL,
         "shacl_node_ref": ORACLE_SHACL_NODE_REF,
         "shacl_or": ORACLE_SHACL_OR,
+        "shacl_inverse_path": ORACLE_SHACL_INVERSE,
         "shacl_self_pattern": ORACLE_SHACL_SELF_PATTERN,
         "shacl_targets": ORACLE_SHACL_TARGETS,
         "shacl_partition_reports": ORACLE_SHACL_REPORTS,

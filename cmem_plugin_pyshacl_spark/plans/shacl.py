@@ -116,6 +116,7 @@ class PropertyConstraint:
     and_refs: list[str] | None = None  # sh:and (list of shapes)
     language_in: list[str] | None = None  # sh:languageIn (list of BCP-47 tags)
     unique_lang: bool = False  # sh:uniqueLang
+    inverse: bool = False  # sh:path [sh:inversePath p] — incoming edges
 
 
 @dataclass
@@ -254,7 +255,12 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             path = obj(pshape, SH + "path")
             if path is None:
                 continue  # complex paths out of core scope
-            ns.properties.append(constraint_from(pshape, sid, path))
+            # sh:path [ sh:inversePath p ] — the path object is a node
+            # carrying an inversePath edge
+            inv = obj(path, SH + "inversePath")
+            pc = constraint_from(pshape, sid, inv if inv is not None else path)
+            pc.inverse = inv is not None
+            ns.properties.append(pc)
         # value constraints declared directly on the node shape apply to
         # the focus node itself (min/maxCount are property-shape-only per
         # W3C SHACL and are ignored here)
@@ -433,6 +439,22 @@ def evaluate_constraint(
             F.lit(None).cast("string").alias("v_lang"),
             F.col("part_id").alias("v_part_id"),
             F.col("part_id"),
+        )
+    elif c.inverse:
+        # inverse path: values of focus f are SUBJECTS of triples whose
+        # object is f — subjects are IRIs (post-skolemization)
+        path_triples = data.filter(F.col("p") == c.path).select(
+            F.col("o_value").alias("focus"),
+            F.lit(KIND_IRI).alias("v_kind"),
+            F.col("s").alias("v_value"),
+            F.lit(None).cast("string").alias("v_datatype"),
+            F.lit(None).cast("string").alias("v_lang"),
+            F.col("part_id").alias("v_part_id"),
+        )
+        values = (
+            F.broadcast(focus)
+            .join(path_triples, on="focus", how="left")
+            .withColumn("part_id", F.coalesce(F.col("part_id"), F.col("v_part_id")))
         )
     else:
         path_triples = data.filter(F.col("p") == c.path).select(

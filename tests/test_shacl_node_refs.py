@@ -111,3 +111,29 @@ def test_node_shape_self_constraint(spark):
     res = validate(spark, data, shapes)
     rows = {(r.focusNode, r.resultPath, r.sourceConstraintComponent) for r in res.collect()}
     assert rows == {("bad id", None, SH + "PatternConstraintComponent")}
+
+
+def test_inverse_path(spark):
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:p1", RDF_TYPE, iri(EX + "Place")),
+            ("urn:p2", RDF_TYPE, iri(EX + "Place")),
+            ("urn:o1", EX + "basedIn", iri("urn:p1")),
+            # urn:p2 has no incoming basedIn
+        ],
+    )
+    shapes = triples_from_rows(
+        spark,
+        [
+            (EX + "PlaceShape", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "PlaceShape", SH + "targetClass", iri(EX + "Place")),
+            (EX + "PlaceShape", SH + "property", iri(EX + "PlaceShape-in")),
+            (EX + "PlaceShape-in", SH + "path", iri("urn:pathnode:1")),
+            ("urn:pathnode:1", SH + "inversePath", iri(EX + "basedIn")),
+            (EX + "PlaceShape-in", SH + "minCount", lit_typed("1")),
+        ],
+    )
+    res = validate(spark, data, shapes)
+    got = {(r.focusNode, r.sourceConstraintComponent) for r in res.collect()}
+    assert got == {("urn:p2", SH + "MinCountConstraintComponent")}
