@@ -117,6 +117,15 @@ class PropertyConstraint:
     language_in: list[str] | None = None  # sh:languageIn (list of BCP-47 tags)
     unique_lang: bool = False  # sh:uniqueLang
     inverse: bool = False  # sh:path [sh:inversePath p] — incoming edges
+    seq_path: list[str] | None = None  # sh:path ( p1 p2 ... ) — sequence
+    equals_: str | None = None  # sh:equals (property pair)
+    disjoint: str | None = None  # sh:disjoint
+    less_than: str | None = None  # sh:lessThan
+    less_than_eq: str | None = None  # sh:lessThanOrEquals
+    xone_refs: list[str] | None = None  # sh:xone (exactly one shape)
+    qualified_ref: str | None = None  # sh:qualifiedValueShape
+    q_min: int | None = None  # sh:qualifiedMinCount
+    q_max: int | None = None  # sh:qualifiedMaxCount
 
 
 @dataclass
@@ -205,7 +214,7 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
     _VALUE_PREDS = (
         "datatype", "class", "nodeKind", "pattern", "minLength",
         "maxLength", "in", "hasValue", "node", "not", "or", "and",
-        "languageIn",
+        "languageIn", "xone",
     )
 
     def constraint_from(node_id: str, owner: str, path: str | None) -> PropertyConstraint:
@@ -236,6 +245,22 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             and_refs=rdf_list(obj(node_id, SH + "and")),
             language_in=rdf_list(obj(node_id, SH + "languageIn")),
             unique_lang=(obj(node_id, SH + "uniqueLang") == "true"),
+            equals_=obj(node_id, SH + "equals"),
+            disjoint=obj(node_id, SH + "disjoint"),
+            less_than=obj(node_id, SH + "lessThan"),
+            less_than_eq=obj(node_id, SH + "lessThanOrEquals"),
+            xone_refs=rdf_list(obj(node_id, SH + "xone")),
+            qualified_ref=obj(node_id, SH + "qualifiedValueShape"),
+            q_min=(
+                int(obj(node_id, SH + "qualifiedMinCount"))
+                if obj(node_id, SH + "qualifiedMinCount") is not None
+                else None
+            ),
+            q_max=(
+                int(obj(node_id, SH + "qualifiedMaxCount"))
+                if obj(node_id, SH + "qualifiedMaxCount") is not None
+                else None
+            ),
         )
 
     def build_shape(sid: str) -> NodeShape:
@@ -256,10 +281,16 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             if path is None:
                 continue  # complex paths out of core scope
             # sh:path [ sh:inversePath p ] — the path object is a node
-            # carrying an inversePath edge
+            # carrying an inversePath edge; sh:path ( p1 p2 ... ) — the
+            # path object is an RDF list (sequence path)
             inv = obj(path, SH + "inversePath")
-            pc = constraint_from(pshape, sid, inv if inv is not None else path)
-            pc.inverse = inv is not None
+            seq = rdf_list(path) if obj(path, RDF_NS + "first") else None
+            if seq:
+                pc = constraint_from(pshape, sid, "/".join(seq))
+                pc.seq_path = seq
+            else:
+                pc = constraint_from(pshape, sid, inv if inv is not None else path)
+                pc.inverse = inv is not None
             ns.properties.append(pc)
         # value constraints declared directly on the node shape apply to
         # the focus node itself (min/maxCount are property-shape-only per
@@ -278,8 +309,11 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
                 refs.add(c.node_ref)
             if c.not_ref:
                 refs.add(c.not_ref)
+            if c.qualified_ref:
+                refs.add(c.qualified_ref)
             refs.update(c.or_refs or [])
             refs.update(c.and_refs or [])
+            refs.update(c.xone_refs or [])
         return refs
 
     shapes: list[NodeShape] = [build_shape(sid) for sid in sorted(node_shape_ids)]
@@ -439,6 +473,41 @@ def evaluate_constraint(
             F.lit(None).cast("string").alias("v_lang"),
             F.col("part_id").alias("v_part_id"),
             F.col("part_id"),
+        )
+    elif c.seq_path:
+        # sequence path ( p1 p2 ... ): chain of joins hop-to-hop; the
+        # intermediate node of hop i is the subject of hop i+1. INNER
+        # joins build the reachable value set, then one LEFT join from the
+        # focus set preserves zero-value focus nodes for minCount.
+        hops = c.seq_path
+        cur = data.filter(F.col("p") == hops[0]).select(
+            F.col("s").alias("focus"),
+            F.col("o_kind").alias("v_kind"),
+            F.col("o_value").alias("v_value"),
+            F.col("o_datatype").alias("v_datatype"),
+            F.col("o_lang").alias("v_lang"),
+            F.col("part_id").alias("v_part_id"),
+        )
+        for hop in hops[1:]:
+            nxt = data.filter(F.col("p") == hop).select(
+                F.col("s").alias("v_value"),
+                F.col("o_kind").alias("_k2"),
+                F.col("o_value").alias("_v2"),
+                F.col("o_datatype").alias("_d2"),
+                F.col("o_lang").alias("_l2"),
+            )
+            cur = cur.join(nxt, on="v_value").select(
+                "focus",
+                F.col("_k2").alias("v_kind"),
+                F.col("_v2").alias("v_value"),
+                F.col("_d2").alias("v_datatype"),
+                F.col("_l2").alias("v_lang"),
+                "v_part_id",
+            )
+        values = (
+            F.broadcast(focus)
+            .join(cur.dropDuplicates(["focus", "v_kind", "v_value", "v_datatype", "v_lang"]), on="focus", how="left")
+            .withColumn("part_id", F.coalesce(F.col("part_id"), F.col("v_part_id")))
         )
     elif c.inverse:
         # inverse path: values of focus f are SUBJECTS of triples whose
@@ -723,6 +792,96 @@ def evaluate_constraint(
             )
         )
 
+    # ---- property-pair constraints (sh:equals / sh:disjoint /
+    # sh:lessThan / sh:lessThanOrEquals): the value sets of the shape's
+    # path and another predicate on the SAME focus node are compared.
+    def _other_vals(pred: str) -> DataFrame:
+        return data.filter(F.col("p") == pred).select(
+            F.col("s").alias("focus"), F.col("o_value").alias("v2")
+        )
+
+    if c.equals_ is not None:
+        comp = SH + "EqualsConstraintComponent"
+        other = _other_vals(c.equals_)
+        msg = _message(c, comp, f"Value set must equal values of {c.equals_}")
+        # path values missing on the other side
+        miss1 = present.join(
+            other.withColumnRenamed("v2", "v_value"),
+            on=["focus", "v_value"], how="left_anti",
+        )
+        results.append(
+            miss1.select(
+                *_result_row(
+                    F.col("focus"), c.path, F.col("v_value"), c.shape_id,
+                    comp, msg, c.severity, F.col("part_id"),
+                )
+            )
+        )
+        # other-side values missing among path values (part_id via focus)
+        miss2 = (
+            other.join(
+                present.select("focus", F.col("v_value").alias("v2")),
+                on=["focus", "v2"], how="left_anti",
+            )
+            .join(focus, on="focus")
+        )
+        results.append(
+            miss2.select(
+                *_result_row(
+                    F.col("focus"), c.path, F.col("v2"), c.shape_id,
+                    comp, msg, c.severity, F.col("part_id"),
+                )
+            )
+        )
+
+    if c.disjoint is not None:
+        comp = SH + "DisjointConstraintComponent"
+        overlap = present.join(
+            _other_vals(c.disjoint).withColumnRenamed("v2", "v_value"),
+            on=["focus", "v_value"], how="left_semi",
+        )
+        results.append(
+            overlap.select(
+                *_result_row(
+                    F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
+                    _message(c, comp, f"Value must not also be a value of {c.disjoint}"),
+                    c.severity, F.col("part_id"),
+                )
+            )
+        )
+
+    for pred, comp_name, op in (
+        (c.less_than, "LessThanConstraintComponent", "<"),
+        (c.less_than_eq, "LessThanOrEqualsConstraintComponent", "<="),
+    ):
+        if pred is None:
+            continue
+        comp = SH + comp_name
+        paired = present.join(_other_vals(pred), on="focus")
+        # numeric-aware comparison: numbers compare numerically, otherwise
+        # lexical string order (try_cast stays ANSI-safe)
+        a_num = F.expr("try_cast(v_value as double)")
+        b_num = F.expr("try_cast(v2 as double)")
+        if op == "<":
+            ok = F.when(
+                a_num.isNotNull() & b_num.isNotNull(), a_num < b_num
+            ).otherwise(F.col("v_value") < F.col("v2"))
+        else:
+            ok = F.when(
+                a_num.isNotNull() & b_num.isNotNull(), a_num <= b_num
+            ).otherwise(F.col("v_value") <= F.col("v2"))
+        results.append(
+            paired.filter(~ok)
+            .dropDuplicates(["focus", "v_value"])
+            .select(
+                *_result_row(
+                    F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
+                    _message(c, comp, f"Value must be {op} every value of {pred}"),
+                    c.severity, F.col("part_id"),
+                )
+            )
+        )
+
     # ---- shape-to-shape logical components (sh:node / sh:not / sh:or /
     # sh:and). Recursion is bounded by max_validation_depth (the reference
     # range-checks the same bound, plugin_pyshacl.py:296-305, :589-590);
@@ -814,6 +973,83 @@ def evaluate_constraint(
                     "Value does not match every sh:and shape",
                 )
             )
+
+    if c.xone_refs and shape_map is not None:
+        comp = SH + "XoneConstraintComponent"
+        noncons = [noncon_values(r) for r in c.xone_refs]
+        if all(n is not None for n in noncons):
+            # conform-count per value = n_shapes - (#noncon sets holding it);
+            # violation iff conform-count != 1
+            universe = (
+                present.filter(F.col("v_kind") == KIND_IRI)
+                .select("v_value")
+                .distinct()
+            )
+            marked = noncons[0].select("v_value")
+            for n in noncons[1:]:
+                marked = marked.unionByName(n.select("v_value"))
+            ncnt = marked.groupBy("v_value").agg(F.count(F.lit(1)).alias("_nc"))
+            bad = (
+                universe.join(ncnt, on="v_value", how="left")
+                .withColumn(
+                    "_conf", F.lit(len(c.xone_refs)) - F.coalesce(F.col("_nc"), F.lit(0))
+                )
+                .filter(F.col("_conf") != 1)
+                .select("v_value")
+            )
+            results.append(
+                value_results(bad, comp, "Value must match exactly one sh:xone shape")
+            )
+
+    if (
+        c.qualified_ref is not None
+        and shape_map is not None
+        and (c.q_min is not None or c.q_max is not None)
+    ):
+        noncon = noncon_values(c.qualified_ref)
+        if noncon is not None:
+            conforming = (
+                present.filter(F.col("v_kind") == KIND_IRI)
+                .join(noncon, on="v_value", how="left_anti")
+                .groupBy("focus")
+                .agg(F.count(F.lit(1)).alias("_qc"))
+            )
+            qcounts = (
+                focus.join(conforming, on="focus", how="left")
+                .withColumn("_qc", F.coalesce(F.col("_qc"), F.lit(0)))
+            )
+            if c.q_min is not None:
+                comp = SH + "QualifiedMinCountConstraintComponent"
+                results.append(
+                    qcounts.filter(F.col("_qc") < c.q_min).select(
+                        *_result_row(
+                            F.col("focus"), c.path, F.lit(None).cast("string"),
+                            c.shape_id, comp,
+                            _message(
+                                c, comp,
+                                f"Less than {c.q_min} values conform to "
+                                f"{c.qualified_ref}",
+                            ),
+                            c.severity, F.col("part_id"),
+                        )
+                    )
+                )
+            if c.q_max is not None:
+                comp = SH + "QualifiedMaxCountConstraintComponent"
+                results.append(
+                    qcounts.filter(F.col("_qc") > c.q_max).select(
+                        *_result_row(
+                            F.col("focus"), c.path, F.lit(None).cast("string"),
+                            c.shape_id, comp,
+                            _message(
+                                c, comp,
+                                f"More than {c.q_max} values conform to "
+                                f"{c.qualified_ref}",
+                            ),
+                            c.severity, F.col("part_id"),
+                        )
+                    )
+                )
     return results
 
 
