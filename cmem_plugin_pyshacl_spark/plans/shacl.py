@@ -142,6 +142,8 @@ class NodeShape:
     # shapes may carry value constraints that apply to the focus node
     # itself, e.g. sh:nodeKind / sh:pattern / sh:in) — path is None
     self_constraints: list[PropertyConstraint] = field(default_factory=list)
+    closed: bool = False  # sh:closed
+    ignored_properties: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -275,6 +277,8 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             in types
             or "http://www.w3.org/2002/07/owl#Class" in types,
             deactivated=(obj(sid, SH + "deactivated") == "true"),
+            closed=(obj(sid, SH + "closed") == "true"),
+            ignored_properties=rdf_list(obj(sid, SH + "ignoredProperties")) or [],
         )
         for pshape in objs(sid, SH + "property"):
             path = obj(pshape, SH + "path")
@@ -1063,9 +1067,9 @@ def _evaluate_shape(
     max_depth: int,
     depth: int,
 ) -> list[DataFrame]:
-    """Evaluate ALL of a shape's constraints (self + property) against an
-    explicit focus set — the sh:node recursion entry point (no target
-    selection)."""
+    """Evaluate ALL of a shape's constraints (self + property + closed)
+    against an explicit focus set — the sh:node recursion entry point (no
+    target selection)."""
     out: list[DataFrame] = []
     for sc in shape.self_constraints:
         out.extend(
@@ -1077,6 +1081,37 @@ def _evaluate_shape(
         out.extend(
             evaluate_constraint(
                 spark, data, focus, pc, closure, shape_map, max_depth, depth
+            )
+        )
+    if shape.closed:
+        # sh:closed — one result per (focus, value) whose predicate is
+        # neither a declared simple property path nor ignored
+        comp = SH + "ClosedConstraintComponent"
+        allowed = sorted(
+            {pc.path for pc in shape.properties if pc.path and not pc.inverse and not pc.seq_path}
+            | set(shape.ignored_properties)
+        )
+        extra = (
+            F.broadcast(focus)
+            .join(
+                data.select(
+                    F.col("s").alias("focus"), "p",
+                    F.col("o_value").alias("v_value"),
+                ),
+                on="focus",
+            )
+            .filter(~F.col("p").isin(allowed))
+        )
+        out.append(
+            extra.select(
+                F.col("focus").alias("focusNode"),
+                F.col("p").alias("resultPath"),
+                F.col("v_value").alias("value"),
+                F.lit(shape.shape_id).alias("sourceShape"),
+                F.lit(comp).alias("sourceConstraintComponent"),
+                F.lit("Predicate is not allowed (closed shape)").alias("resultMessage"),
+                F.lit(SH_VIOLATION).alias("resultSeverity"),
+                F.col("part_id").alias("part_id"),
             )
         )
     return out

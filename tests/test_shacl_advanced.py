@@ -166,3 +166,30 @@ def test_sequence_path(spark):
             SH + "MinCountConstraintComponent",
         )
     }
+
+
+def test_closed_shape(spark):
+    data = [
+        ("urn:x", RDF_TYPE, iri(EX + "T")),
+        ("urn:x", EX + "a", lit_typed("ok")),
+        ("urn:x", EX + "rogue", lit_typed("not allowed")),
+    ]
+    shapes = triples_from_rows(
+        spark,
+        [
+            (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "S", SH + "targetClass", iri(EX + "T")),
+            (EX + "S", SH + "closed", lit_typed("true")),
+            (EX + "S", SH + "ignoredProperties", iri("urn:ig:0")),
+            ("urn:ig:0", RDF_NS + "first", iri(RDF_TYPE)),
+            ("urn:ig:0", RDF_NS + "rest", iri(RDF_NS + "nil")),
+            (EX + "S", SH + "property", iri(EX + "S-p")),
+            (EX + "S-p", SH + "path", iri(EX + "a")),
+        ],
+    )
+    res = validate(spark, triples_from_rows(spark, data), shapes)
+    got = {(r.focusNode, r.resultPath, r.value, r.sourceConstraintComponent)
+           for r in res.collect()}
+    assert got == {
+        ("urn:x", EX + "rogue", "not allowed", SH + "ClosedConstraintComponent")
+    }
