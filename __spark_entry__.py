@@ -523,6 +523,15 @@ SELECT {_CUST} AS focusNode, 'http://example.org/segment' AS resultPath,
 FROM customer WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
 """
 
+ORACLE_SHACL_RANGE = f"""
+SELECT {_CUST} AS focusNode, 'http://example.org/age' AS resultPath,
+  CASE WHEN c_custkey % 11 = 0 THEN 'n/a'
+       ELSE (c_custkey % 80)::VARCHAR END AS value,
+  '{SH}MinInclusiveConstraintComponent' AS sourceConstraintComponent,
+  'Value is not >= 18' AS resultMessage, {_PART16} AS part_id
+FROM customer WHERE c_custkey % 11 = 0 OR c_custkey % 80 < 18
+"""
+
 ORACLE_SHACL_HASVALUE = f"""
 SELECT {_CUST} AS focusNode, 'http://example.org/segment' AS resultPath,
   NULL::VARCHAR AS value, '{SH_HASVAL}' AS sourceConstraintComponent,
@@ -1705,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_minlength": _shacl_q({"email": {"path": EX + "email", "minLength": 16}}),
         "shacl_maxlength": _shacl_q({"email": {"path": EX + "email", "maxLength": 17}}),
         "shacl_in": _shacl_q({"segment": {"path": EX + "segment", "in": ["BUILDING", "MACHINERY", "AUTOMOBILE"]}}),
+        "shacl_range": _shacl_q({"age": {"path": EX + "age", "minInclusive": 18}}),
         "shacl_hasvalue": _shacl_q({"segment": {"path": EX + "segment", "hasValue": "BUILDING"}}),
         "shacl_full_report": q_shacl_full,
         "shacl_node_ref": q_shacl_node_ref,
@@ -1767,6 +1777,7 @@ def oracle_sql() -> dict[str, str]:
         "shacl_minlength": ORACLE_SHACL_MINLENGTH,
         "shacl_maxlength": ORACLE_SHACL_MAXLENGTH,
         "shacl_in": ORACLE_SHACL_IN,
+        "shacl_range": ORACLE_SHACL_RANGE,
         "shacl_hasvalue": ORACLE_SHACL_HASVALUE,
         "shacl_full_report": ORACLE_SHACL_FULL,
         "shacl_node_ref": ORACLE_SHACL_NODE_REF,

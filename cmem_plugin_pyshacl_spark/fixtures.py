@@ -167,6 +167,8 @@ def shapes_graph(spark: SparkSession, constraints: dict[str, dict]) -> DataFrame
             ("nodeKind", "nodeKind"), ("pattern", "pattern"), ("flags", "flags"),
             ("minLength", "minLength"), ("maxLength", "maxLength"),
             ("hasValue", "hasValue"),
+            ("minInclusive", "minInclusive"), ("maxInclusive", "maxInclusive"),
+            ("minExclusive", "minExclusive"), ("maxExclusive", "maxExclusive"),
         ]:
             if key in spec:
                 v = spec[key]

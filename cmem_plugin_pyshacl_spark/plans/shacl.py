@@ -123,6 +123,10 @@ class PropertyConstraint:
     less_than: str | None = None  # sh:lessThan
     less_than_eq: str | None = None  # sh:lessThanOrEquals
     xone_refs: list[str] | None = None  # sh:xone (exactly one shape)
+    min_inclusive: str | None = None  # sh:minInclusive
+    max_inclusive: str | None = None  # sh:maxInclusive
+    min_exclusive: str | None = None  # sh:minExclusive
+    max_exclusive: str | None = None  # sh:maxExclusive
     qualified_ref: str | None = None  # sh:qualifiedValueShape
     q_min: int | None = None  # sh:qualifiedMinCount
     q_max: int | None = None  # sh:qualifiedMaxCount
@@ -217,6 +221,7 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
         "datatype", "class", "nodeKind", "pattern", "minLength",
         "maxLength", "in", "hasValue", "node", "not", "or", "and",
         "languageIn", "xone",
+        "minInclusive", "maxInclusive", "minExclusive", "maxExclusive",
     )
 
     def constraint_from(node_id: str, owner: str, path: str | None) -> PropertyConstraint:
@@ -252,6 +257,10 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             less_than=obj(node_id, SH + "lessThan"),
             less_than_eq=obj(node_id, SH + "lessThanOrEquals"),
             xone_refs=rdf_list(obj(node_id, SH + "xone")),
+            min_inclusive=obj(node_id, SH + "minInclusive"),
+            max_inclusive=obj(node_id, SH + "maxInclusive"),
+            min_exclusive=obj(node_id, SH + "minExclusive"),
+            max_exclusive=obj(node_id, SH + "maxExclusive"),
             qualified_ref=obj(node_id, SH + "qualifiedValueShape"),
             q_min=(
                 int(obj(node_id, SH + "qualifiedMinCount"))
@@ -661,6 +670,38 @@ def evaluate_constraint(
                     _message(c, comp, f"Value does not have node kind {nk}"),
                     c.severity,
                     F.col("part_id"),
+                )
+            )
+        )
+
+    # value-range components (sh:min/maxInclusive/Exclusive, W3C §4.3):
+    # numeric comparison when both sides parse as numbers; a value that is
+    # not comparable with the bound violates
+    for bound, comp_name, cmp_ok in (
+        (c.min_inclusive, "MinInclusiveConstraintComponent", ">="),
+        (c.max_inclusive, "MaxInclusiveConstraintComponent", "<="),
+        (c.min_exclusive, "MinExclusiveConstraintComponent", ">"),
+        (c.max_exclusive, "MaxExclusiveConstraintComponent", "<"),
+    ):
+        if bound is None:
+            continue
+        comp = SH + comp_name
+        v_num = F.expr("try_cast(v_value as double)")
+        b_num = F.expr(f"try_cast({bound!r} as double)")
+        ops = {
+            ">=": v_num >= b_num, "<=": v_num <= b_num,
+            ">": v_num > b_num, "<": v_num < b_num,
+        }
+        ok = (
+            (F.col("v_kind") == KIND_LITERAL)
+            & v_num.isNotNull() & b_num.isNotNull() & ops[cmp_ok]
+        )
+        results.append(
+            present.filter(~ok).select(
+                *_result_row(
+                    F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
+                    _message(c, comp, f"Value is not {cmp_ok} {bound}"),
+                    c.severity, F.col("part_id"),
                 )
             )
         )

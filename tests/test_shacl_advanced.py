@@ -193,3 +193,20 @@ def test_closed_shape(spark):
     assert got == {
         ("urn:x", EX + "rogue", "not allowed", SH + "ClosedConstraintComponent")
     }
+
+
+def test_value_range(spark):
+    data = [
+        ("urn:x", RDF_TYPE, iri(EX + "T")),
+        ("urn:x", EX + "a", lit_typed("5")),
+        ("urn:y", RDF_TYPE, iri(EX + "T")),
+        ("urn:y", EX + "a", lit_typed("25")),
+        ("urn:z", RDF_TYPE, iri(EX + "T")),
+        ("urn:z", EX + "a", lit_typed("nope")),  # non-numeric -> violates
+    ]
+    got = _run(spark, data, [(EX + "S-p", SH + "minInclusive", lit_typed("10"))])
+    comp = SH + "MinInclusiveConstraintComponent"
+    assert got == {("urn:x", "5", comp), ("urn:z", "nope", comp)}
+    got2 = _run(spark, data, [(EX + "S-p", SH + "maxExclusive", lit_typed("25"))])
+    comp2 = SH + "MaxExclusiveConstraintComponent"
+    assert got2 == {("urn:y", "25", comp2), ("urn:z", "nope", comp2)}
