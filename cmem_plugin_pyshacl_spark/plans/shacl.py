@@ -118,6 +118,7 @@ class PropertyConstraint:
     unique_lang: bool = False  # sh:uniqueLang
     inverse: bool = False  # sh:path [sh:inversePath p] — incoming edges
     seq_path: list[str] | None = None  # sh:path ( p1 p2 ... ) — sequence
+    alt_path: list[str] | None = None  # sh:path [sh:alternativePath (..)]
     equals_: str | None = None  # sh:equals (property pair)
     disjoint: str | None = None  # sh:disjoint
     less_than: str | None = None  # sh:lessThan
@@ -297,8 +298,12 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             # carrying an inversePath edge; sh:path ( p1 p2 ... ) — the
             # path object is an RDF list (sequence path)
             inv = obj(path, SH + "inversePath")
+            alt = rdf_list(obj(path, SH + "alternativePath"))
             seq = rdf_list(path) if obj(path, RDF_NS + "first") else None
-            if seq:
+            if alt:
+                pc = constraint_from(pshape, sid, "|".join(alt))
+                pc.alt_path = alt
+            elif seq:
                 pc = constraint_from(pshape, sid, "/".join(seq))
                 pc.seq_path = seq
             else:
@@ -486,6 +491,22 @@ def evaluate_constraint(
             F.lit(None).cast("string").alias("v_lang"),
             F.col("part_id").alias("v_part_id"),
             F.col("part_id"),
+        )
+    elif c.alt_path:
+        # alternative path (p1 | p2 | ...): union of each predicate's
+        # values — a single isin filter on the predicate column
+        path_triples = data.filter(F.col("p").isin(c.alt_path)).select(
+            F.col("s").alias("focus"),
+            F.col("o_kind").alias("v_kind"),
+            F.col("o_value").alias("v_value"),
+            F.col("o_datatype").alias("v_datatype"),
+            F.col("o_lang").alias("v_lang"),
+            F.col("part_id").alias("v_part_id"),
+        )
+        values = (
+            F.broadcast(focus)
+            .join(path_triples, on="focus", how="left")
+            .withColumn("part_id", F.coalesce(F.col("part_id"), F.col("v_part_id")))
         )
     elif c.seq_path:
         # sequence path ( p1 p2 ... ): chain of joins hop-to-hop; the

@@ -210,3 +210,32 @@ def test_value_range(spark):
     got2 = _run(spark, data, [(EX + "S-p", SH + "maxExclusive", lit_typed("25"))])
     comp2 = SH + "MaxExclusiveConstraintComponent"
     assert got2 == {("urn:y", "25", comp2), ("urn:z", "nope", comp2)}
+
+
+def test_alternative_path(spark):
+    # path (a | b): union of both predicates' values
+    data = [
+        ("urn:x", RDF_TYPE, iri(EX + "T")),
+        ("urn:x", EX + "a", lit_typed("va")),
+        ("urn:y", RDF_TYPE, iri(EX + "T")),
+        ("urn:y", EX + "b", lit_typed("vb")),
+        ("urn:z", RDF_TYPE, iri(EX + "T")),  # neither -> minCount violation
+    ]
+    shapes = triples_from_rows(
+        spark,
+        [
+            (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "S", SH + "targetClass", iri(EX + "T")),
+            (EX + "S", SH + "property", iri(EX + "S-p")),
+            (EX + "S-p", SH + "path", iri("urn:alt:node")),
+            ("urn:alt:node", SH + "alternativePath", iri("urn:al:0")),
+            ("urn:al:0", RDF_NS + "first", iri(EX + "a")),
+            ("urn:al:0", RDF_NS + "rest", iri("urn:al:1")),
+            ("urn:al:1", RDF_NS + "first", iri(EX + "b")),
+            ("urn:al:1", RDF_NS + "rest", iri(RDF_NS + "nil")),
+            (EX + "S-p", SH + "minCount", lit_typed("1")),
+        ],
+    )
+    res = validate(spark, triples_from_rows(spark, data), shapes)
+    got = {(r.focusNode, r.resultPath) for r in res.collect()}
+    assert got == {("urn:z", EX + "a" + "|" + EX + "b")}
