@@ -34,6 +34,7 @@ SHUI = "https://vocab.eccenca.com/shui/"
 EX = "http://example.org/"
 
 RDF_TYPE = RDF + "type"
+RDF_LANGSTRING = RDF + "langString"  # RDF 1.1: datatype of lang-tagged literals
 RDFS_LABEL = RDFS + "label"
 RDFS_SUBCLASSOF = RDFS + "subClassOf"
 SKOS_PREFLABEL = SKOS + "prefLabel"

