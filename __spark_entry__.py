@@ -1026,7 +1026,12 @@ def q_entities_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ENTITIES = f"""
 WITH {_VIOL_UNION_CTE.strip()}
-SELECT c.c_name AS focusNode, v.path AS resultPath, v.value,
+SELECT c.c_name AS focusNode, v.path AS resultPath,
+       CASE WHEN v.comp = '{SH_DT}'
+              THEN '"' || v.value || '"^^<{XSD_INTEGER}>'
+            WHEN v.comp IN ('{SH_NK}', '{SH_PAT}')
+              THEN '"' || v.value || '"^^<{XSD_STRING}>'
+            ELSE v.value END AS value,
        v.shape AS sourceShape, v.comp AS sourceConstraintComponent,
        v.msg AS resultMessage, '{SH_VIOL}' AS resultSeverity,
        'false' AS conforms, '{GRAPH}' AS wasDerivedFrom,
@@ -1043,7 +1048,10 @@ def q_report_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     g, res_n = results_to_report_graph(
         spark, res, report_node, conforms=False, graph="urn:graph:val"
     )
-    g = add_report_labels(spark, g, res_n, report_node, False, graph="urn:graph:val")
+    g = add_report_labels(
+        spark, g, res_n, report_node, False, graph="urn:graph:val",
+        include_graphs_labels=True, data_triples=data, shapes_triples=shapes,
+    )
     g = add_shui_conforms(res_n, g, graph="urn:graph:val")
     g = add_prov(
         spark, g, report_node, GRAPH, "urn:graph:shapes", UTCTIME,
@@ -1083,6 +1091,9 @@ UNION ALL SELECT rn, '{RLBL}', 'literal',
   FROM vn
 UNION ALL SELECT DISTINCT focusNode, 'https://vocab.eccenca.com/shui/conforms',
   'literal', 'false', '{XSD_BOOLEAN}' FROM vn
+UNION ALL SELECT DISTINCT focusNode, '{RLBL}', 'literal', c.c_name,
+  '{XSD_STRING}'
+  FROM vn JOIN customer c ON vn.focusNode = 'urn:cust:' || c.c_custkey
 UNION ALL
 SELECT 'urn:report:1', 'http://www.w3.org/ns/prov#wasDerivedFrom', 'iri',
        '{GRAPH}', NULL
@@ -1243,9 +1254,15 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the REGISTERED path is the scale path: SRP-LSH bucketed candidates
+    # feeding exact cosine verification — never an all-pairs crossJoin
+    # (brute force remains a pytest recall cross-check)
     from cmem_plugin_pyshacl_spark.operators.dedup import embedding_near_dup
+    from cmem_plugin_pyshacl_spark.operators.similarity import srp_candidate_pairs
 
-    pairs = embedding_near_dup(_emb_double(spark, sf_dir), threshold=0.3)
+    emb = _emb_double(spark, sf_dir)
+    cand = srp_candidate_pairs(emb, dim=64, n_planes=6, n_bands=2, seed=42)
+    pairs = embedding_near_dup(emb, threshold=0.3, candidate_pairs=cand)
     return pairs.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1259,11 +1276,37 @@ _COS = (
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 )
 
-ORACLE_EMB_NEAR_DUP = f"""
-WITH {_E_CTE.strip()}
-SELECT a.vec_id AS a_id, b.vec_id AS b_id, round({_COS}, 6) AS cosine
-FROM e a, e b
-WHERE a.vec_id < b.vec_id AND {_COS} >= 0.3
+def _srp_bucket_sql(n_planes: int, seed: int) -> str:
+    planes = _hyperplanes(64, n_planes, seed=seed)
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN round(list_dot_product(v, {arr}), 9) >= 0 "
+            f"THEN {1 << i}::BIGINT ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _oracle_emb_near_dup() -> str:
+    bands = []
+    for band in range(2):
+        bucket = _srp_bucket_sql(6, seed=42 + band)
+        bands.append(f"""
+b{band} AS (SELECT vec_id AS id, ({bucket}) AS bucket FROM e),
+ok{band} AS (SELECT bucket FROM b{band} GROUP BY bucket
+             HAVING count(*) <= 1000),
+p{band} AS (SELECT x.id AS a_id, y.id AS b_id
+            FROM b{band} x JOIN b{band} y USING (bucket)
+                 JOIN ok{band} USING (bucket)
+            WHERE x.id < y.id)""")
+    return f"""
+WITH {_E_CTE.strip()},{','.join(bands)},
+cand AS (SELECT DISTINCT a_id, b_id
+         FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1))
+SELECT a_id, b_id, round({_COS}, 6) AS cosine
+FROM cand JOIN e a ON a.vec_id = cand.a_id JOIN e b ON b.vec_id = cand.b_id
+WHERE {_COS} >= 0.3
 """
 
 
@@ -1800,7 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": ORACLE_DEDUP_MINHASH,
         "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
-        "embedding_near_dup": ORACLE_EMB_NEAR_DUP,
+        "embedding_near_dup": _oracle_emb_near_dup(),
         "similarity_topk": ORACLE_SIM_TOPK,
         "similarity_lsh_topk": _oracle_sim_lsh(),
         "text_lang_id": _oracle_lang_id(),

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..data_model import ENTITY_COLUMNS, XSD_STRING
+from ..data_model import ENTITY_COLUMNS, KIND_LITERAL, XSD_STRING
 from .labels import labels_table
 
 
@@ -52,19 +52,38 @@ def make_entities(
 
         lab("focusNode", data_labels, "focus_label")
         lab("sourceShape", shape_labels, "shape_label")
+        # reference check_object labels EVERY URIRef cell except
+        # sourceConstraintComponent/resultSeverity (:471-474): value and
+        # resultPath cells are looked up in the DATA graph (:462-465)
+        lab("value", data_labels, "value_label")
+        lab("resultPath", data_labels, "path_label")
         focus_cell = F.coalesce(F.col("_focus_label"), F.col("focusNode"))
         shape_cell = F.coalesce(F.col("_shape_label"), F.col("sourceShape"))
+        iri_value_cell = F.coalesce(F.col("_value_label"), F.col("value"))
+        path_cell = F.coalesce(F.col("_path_label"), F.col("resultPath"))
     else:
         focus_cell = F.col("focusNode")
         shape_cell = F.col("sourceShape")
+        iri_value_cell = F.col("value")
+        path_cell = F.col("resultPath")
 
-    # sh:value rendering: typed literal as "lex"^^<dt> (the engine's results
-    # carry the lexical form; IRIs pass through as-is)
-    value_cell = F.col("value")
+    # sh:value cell rendering (reference :490-492): typed literal as
+    # '"lex"^^<dt>', plain/lang-tagged literal as '"lex"'; IRIs pass
+    # through (labeled above when add_labels)
+    literal_cell = F.when(
+        F.col("value_datatype").isNotNull(),
+        F.concat(
+            F.lit('"'), F.col("value"), F.lit('"^^<'),
+            F.col("value_datatype"), F.lit(">"),
+        ),
+    ).otherwise(F.concat(F.lit('"'), F.col("value"), F.lit('"')))
+    value_cell = F.when(
+        F.col("value_kind") == KIND_LITERAL, literal_cell
+    ).otherwise(iri_value_cell)
 
     return df.select(
         focus_cell.alias("focusNode"),
-        F.col("resultPath").alias("resultPath"),
+        path_cell.alias("resultPath"),
         value_cell.alias("value"),
         shape_cell.alias("sourceShape"),
         F.col("sourceConstraintComponent"),

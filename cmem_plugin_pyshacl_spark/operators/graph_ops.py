@@ -98,10 +98,20 @@ def add_report_labels(
     report_node: str,
     conforms: bool,
     graph: str | None = None,
+    include_graphs_labels: bool = False,
+    data_triples: DataFrame | None = None,
+    shapes_triples: DataFrame | None = None,
+    language: str | None = None,
 ) -> DataFrame:
     """R10 — label the report node ("SHACL validation report,
     conforms={bool}", reference :391-394) and every result ("SHACL:
-    {resultPath}: {resultMessage}", :395-404)."""
+    {resultPath}: {resultMessage}", :395-404).
+
+    With include_graphs_labels (reference param :188-208, branch
+    :405-424), also COPY preferred labels into the report graph for each
+    result's focusNode and IRI value (looked up in the DATA graph) and
+    sourceShape (looked up in the SHAPES graph) — three broadcast label
+    joins over the distinct node sets, the big graphs never shuffle."""
     report_label = spark.createDataFrame(
         [
             (
@@ -133,7 +143,47 @@ def add_report_labels(
         F.lit(graph).alias("graph"),
         F.col("part_id"),
     )
-    return report_triples.unionByName(report_label).unionByName(result_labels)
+    out = report_triples.unionByName(report_label).unionByName(result_labels)
+
+    if include_graphs_labels and data_triples is not None:
+        from .labels import labels_table
+
+        def _copied(nodes: DataFrame, col: str, labels: DataFrame) -> DataFrame:
+            lab = labels.withColumnRenamed("s", col)
+            return (
+                nodes.join(F.broadcast(lab), on=col)
+                .select(
+                    F.col(col).alias("s"),
+                    F.lit(RDFS_LABEL).alias("p"),
+                    F.lit(KIND_LITERAL).alias("o_kind"),
+                    F.col("label").alias("o_value"),
+                    F.lit(XSD_STRING).alias("o_datatype"),
+                    F.lit(None).cast("string").alias("o_lang"),
+                    F.lit(graph).alias("graph"),
+                    F.col("part_id"),
+                )
+            )
+
+        data_labels = labels_table(data_triples, language)
+        focus_nodes = results.groupBy("focusNode").agg(
+            F.min("part_id").alias("part_id")
+        )
+        out = out.unionByName(_copied(focus_nodes, "focusNode", data_labels))
+        value_nodes = (
+            results.filter(
+                (F.col("value_kind") == KIND_IRI) & F.col("value").isNotNull()
+            )
+            .groupBy("value")
+            .agg(F.min("part_id").alias("part_id"))
+        )
+        out = out.unionByName(_copied(value_nodes, "value", data_labels))
+        if shapes_triples is not None:
+            shape_labels = labels_table(shapes_triples, language)
+            shape_nodes = results.groupBy("sourceShape").agg(
+                F.min("part_id").alias("part_id")
+            )
+            out = out.unionByName(_copied(shape_nodes, "sourceShape", shape_labels))
+    return out
 
 
 def add_shui_conforms(

@@ -155,3 +155,50 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def srp_candidate_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_bands: int = 2,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SRP-LSH candidate pairs for embedding near-dup detection
+    (DataFrame[a_id, b_id], a_id < b_id).
+
+    Each band hashes every vector to a bucket (one sign bit per
+    hyperplane); vectors sharing a bucket in ANY band become candidates.
+    Buckets larger than `max_bucket` are dropped BEFORE the pair explosion
+    (the degenerate-bucket cap, same policy as plans/linking.py
+    MinHash-LSH). Scale shape: one shuffle per band keyed on bucket,
+    quadratic work only inside capped buckets — never an all-pairs
+    crossJoin (round-1 VERDICT finding 2)."""
+    pairs: DataFrame | None = None
+    for band in range(n_bands):
+        planes = _hyperplanes(dim, n_planes, seed + band)
+        b = embeddings.select(
+            F.col(id_col).alias("id"),
+            srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        ok_buckets = (
+            b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("bucket")
+        )
+        # <= 2^n_planes buckets: always broadcastable
+        b = b.join(F.broadcast(ok_buckets), on="bucket")
+        x = b.select("bucket", F.col("id").alias("a_id"))
+        y = b.select("bucket", F.col("id").alias("b_id"))
+        p = (
+            x.join(y, on="bucket")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    assert pairs is not None
+    return pairs.distinct()

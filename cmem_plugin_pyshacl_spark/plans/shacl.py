@@ -903,7 +903,9 @@ def evaluate_constraint(
     def _zero_focus() -> DataFrame:
         """Focus nodes with NO value on the path (anti join against the
         ≤|focus|-sized present keys); keeps the focus part_id."""
-        return focus.join(present.select("focus"), on="focus", how="left_anti")
+        return focus.join(
+            F.broadcast(present.select("focus")), on="focus", how="left_anti"
+        )
 
     if c.min_count is not None or c.max_count is not None:
         counts = present.groupBy("focus").agg(
@@ -1147,7 +1149,7 @@ def evaluate_constraint(
         else:
             matched = present.filter(F.col("v_value") == c.has_value).select("focus")
         results.append(
-            focus.join(matched, on="focus", how="left_anti")
+            focus.join(F.broadcast(matched), on="focus", how="left_anti")
             .select(
                 *_result_row(
                     F.col("focus"), c.path, F.lit(None).cast("string"),
@@ -1594,12 +1596,13 @@ def _constraint_predicates(compiled: CompiledShapes) -> set[str] | None:
     return preds
 
 
-def _check_shapes_integrity(shapes_triples: DataFrame, compiled: CompiledShapes) -> None:
-    """meta_shacl structural invariants (round-1 ADVICE: self-validation is
-    usually a no-op). Checks the SHACL-SHACL invariants that matter for
-    this engine: every sh:property object carries an sh:path; count/length
-    parameters have integer lexical forms; sh:nodeKind is one of the six
-    IRIs; sh:pattern compiles. Raises ValueError listing all problems."""
+def _check_shapes_rows(shapes_triples: DataFrame) -> None:
+    """meta_shacl structural invariants, pre-compilation pass (round-1
+    ADVICE: self-validation is usually a no-op). Checks raw-triple
+    SHACL-SHACL invariants: every sh:property object carries an sh:path;
+    count/length parameters have integer lexical forms; sh:nodeKind is one
+    of the six IRIs. Raises ValueError listing all problems (these would
+    otherwise crash or mis-compile shape compilation)."""
     import re as _re
 
     problems: list[str] = []
@@ -1614,6 +1617,16 @@ def _check_shapes_integrity(shapes_triples: DataFrame, compiled: CompiledShapes)
             problems.append(f"{r.s}: {r.p.split('#')[-1]} is not an integer: {r.o_value!r}")
         if r.p == SH + "nodeKind" and r.o_value not in _NODEKIND_ALLOWED:
             problems.append(f"{r.s}: unknown sh:nodeKind {r.o_value}")
+    if problems:
+        raise ValueError("meta-SHACL: shapes graph does not conform: " + "; ".join(problems))
+
+
+def _check_shapes_compiled(compiled: CompiledShapes) -> None:
+    """meta_shacl structural invariants over compiled constraints:
+    compilable sh:pattern, consistent count bounds."""
+    import re as _re
+
+    problems: list[str] = []
     for c in compiled.constraints:
         if c.pattern is not None:
             try:
@@ -1677,9 +1690,11 @@ def validate(
 
         data_triples = apply_inference(data_triples, ont_triples, profile=inference)
 
+    if meta_shacl:
+        _check_shapes_rows(shapes_triples)
     compiled = compile_shapes(shapes_triples)
     if meta_shacl:
-        _check_shapes_integrity(shapes_triples, compiled)
+        _check_shapes_compiled(compiled)
         # ... and validate shapes against themselves (cheap: shapes are tiny)
         meta_results = validate(spark, shapes_triples, shapes_triples)
         if meta_results.limit(1).count() > 0:

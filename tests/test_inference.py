@@ -89,3 +89,95 @@ def test_idempotent(spark):
     once = rdfs_inference(t)
     twice = rdfs_inference(once)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# ------------------------------------------------- OWL subset (round 2)
+def test_owl_equivalent_class(spark):
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_EQ_CLASS,
+        apply_inference,
+    )
+
+    data = triples_from_rows(
+        spark,
+        [
+            (EX + "A", OWL_EQ_CLASS, iri(EX + "B")),
+            ("urn:x", RDF_TYPE, iri(EX + "A")),
+            ("urn:y", RDF_TYPE, iri(EX + "B")),
+        ],
+    )
+    types = _types(apply_inference(data, profile="owlrl"))
+    assert ("urn:x", EX + "B") in types and ("urn:y", EX + "A") in types
+
+
+def test_owl_equivalent_property(spark):
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_EQ_PROP,
+        apply_inference,
+    )
+
+    data = triples_from_rows(
+        spark,
+        [
+            (EX + "p", OWL_EQ_PROP, iri(EX + "q")),
+            ("urn:x", EX + "p", iri("urn:y")),
+        ],
+    )
+    out = apply_inference(data, profile="both")
+    got = {(r.s, r.p, r.o_value) for r in out.collect()}
+    assert ("urn:x", EX + "q", "urn:y") in got
+
+
+def test_owl_inverse_of(spark):
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_INVERSE_OF,
+        apply_inference,
+    )
+
+    data = triples_from_rows(
+        spark,
+        [
+            (EX + "parentOf", OWL_INVERSE_OF, iri(EX + "childOf")),
+            ("urn:x", EX + "parentOf", iri("urn:y")),
+            ("urn:z", EX + "childOf", iri("urn:w")),
+        ],
+    )
+    out = apply_inference(data, profile="owlrl")
+    got = {(r.s, r.p, r.o_value) for r in out.collect()}
+    assert ("urn:y", EX + "childOf", "urn:x") in got
+    assert ("urn:w", EX + "parentOf", "urn:z") in got
+
+
+def test_owl_symmetric(spark):
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_SYMMETRIC,
+        apply_inference,
+    )
+
+    data = triples_from_rows(
+        spark,
+        [
+            (EX + "knows", RDF_TYPE, iri(OWL_SYMMETRIC)),
+            ("urn:x", EX + "knows", iri("urn:y")),
+        ],
+    )
+    out = apply_inference(data, profile="owlrl")
+    got = {(r.s, r.p, r.o_value) for r in out.collect()}
+    assert ("urn:y", EX + "knows", "urn:x") in got
+
+
+def test_rdfs_profile_ignores_owl(spark):
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_EQ_CLASS,
+        apply_inference,
+    )
+
+    data = triples_from_rows(
+        spark,
+        [
+            (EX + "A", OWL_EQ_CLASS, iri(EX + "B")),
+            ("urn:x", RDF_TYPE, iri(EX + "A")),
+        ],
+    )
+    types = _types(apply_inference(data, profile="rdfs"))
+    assert ("urn:x", EX + "B") not in types

@@ -1,0 +1,348 @@
+"""Round-2 SHACL semantics: BCP-47 languageIn ranges, alternativePath
+set-semantics, temporal value ranges, RDF term identity for sh:in /
+sh:hasValue, rdf:langString datatypes, sh:zeroOrMore/oneOrMore/zeroOrOne
+paths, literal values under shape-ref constraints, meta-SHACL structural
+checks, and the large-catalog plan guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from cmem_plugin_pyshacl_spark.data_model import (
+    EX,
+    RDF_TYPE,
+    SH,
+    XSD_DATE,
+    XSD_INTEGER,
+    XSD_STRING,
+    iri,
+    lit_typed,
+    triples_from_rows,
+)
+from cmem_plugin_pyshacl_spark.plans.shacl import validate
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_LANGSTRING = RDF_NS + "langString"
+
+
+def _shape_rows(extra, path=EX + "p"):
+    return [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "T")),
+        (EX + "S", SH + "property", iri(EX + "S-p")),
+        (EX + "S-p", SH + "path", iri(path)),
+    ] + extra
+
+
+def _rdf_list(prefix, items):
+    rows = []
+    for i, item in enumerate(items):
+        node = f"urn:{prefix}:{i}"
+        nxt = f"urn:{prefix}:{i + 1}" if i + 1 < len(items) else RDF_NS + "nil"
+        rows.append((node, RDF_NS + "first", item))
+        rows.append((node, RDF_NS + "rest", iri(nxt)))
+    return rows
+
+
+def test_language_in_range_semantics(spark):
+    """languageIn ('en-GB') accepts en-GB and en-GB-oed ONLY — not en-US,
+    not bare en (RFC 4647 basic filtering; round-1 ADVICE finding)."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "p", ("colour", "literal", None, "en-GB")),
+            ("urn:a", EX + "p", ("colour2", "literal", None, "en-GB-oed")),
+            ("urn:a", EX + "p", ("color", "literal", None, "en-US")),
+            ("urn:a", EX + "p", ("colr", "literal", None, "en")),
+        ],
+    )
+    extra = [(EX + "S-p", SH + "languageIn", iri("urn:li:0"))]
+    extra += _rdf_list("li", [("en-GB", "literal", None, None)])
+    res = validate(spark, data, triples_from_rows(spark, _shape_rows(extra)))
+    assert {r.value for r in res.collect()} == {"color", "colr"}
+
+
+def test_alternative_path_no_double_count(spark):
+    """A value node reachable via two alternatives counts ONCE for
+    maxCount (round-1 ADVICE finding)."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "name", ("Alice", "literal", XSD_STRING, None)),
+            ("urn:a", EX + "prefLabel", ("Alice", "literal", XSD_STRING, None)),
+        ],
+    )
+    alt = iri("urn:alt")
+    rows = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "T")),
+        (EX + "S", SH + "property", iri(EX + "S-p")),
+        (EX + "S-p", SH + "path", iri("urn:altnode")),
+        ("urn:altnode", SH + "alternativePath", iri("urn:ap:0")),
+        (EX + "S-p", SH + "maxCount", lit_typed("1", XSD_INTEGER)),
+    ]
+    rows += _rdf_list("ap", [iri(EX + "name"), iri(EX + "prefLabel")])
+    res = validate(spark, data, triples_from_rows(spark, rows))
+    assert res.count() == 0  # identical term via both paths -> one value
+
+
+def test_value_range_dates(spark):
+    """xsd:date bounds compare temporally (round-1 ADVICE finding)."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "p", lit_typed("2021-06-01", XSD_DATE)),
+            ("urn:b", RDF_TYPE, iri(EX + "T")),
+            ("urn:b", EX + "p", lit_typed("2019-01-15", XSD_DATE)),
+            ("urn:c", RDF_TYPE, iri(EX + "T")),
+            ("urn:c", EX + "p", ("not-a-date", "literal", XSD_STRING, None)),
+        ],
+    )
+    extra = [(EX + "S-p", SH + "minInclusive", lit_typed("2020-01-01", XSD_DATE))]
+    res = validate(spark, data, triples_from_rows(spark, _shape_rows(extra)))
+    assert {r.focusNode for r in res.collect()} == {"urn:b", "urn:c"}
+
+
+def test_in_term_identity(spark):
+    """sh:in compares RDF terms: plain ≡ xsd:string, but a datatyped
+    integer or a lang-tagged literal is NOT the plain string."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "p", ("A", "literal", XSD_STRING, None)),  # in (≡ plain)
+            ("urn:b", RDF_TYPE, iri(EX + "T")),
+            ("urn:b", EX + "p", ("1", "literal", XSD_INTEGER, None)),  # int ≠ string
+            ("urn:c", RDF_TYPE, iri(EX + "T")),
+            ("urn:c", EX + "p", ("A", "literal", None, "en")),  # lang ≠ plain
+        ],
+    )
+    extra = [(EX + "S-p", SH + "in", iri("urn:in:0"))]
+    extra += _rdf_list(
+        "in",
+        [("A", "literal", None, None), ("1", "literal", None, None)],
+    )
+    res = validate(spark, data, triples_from_rows(spark, _shape_rows(extra)))
+    assert {r.focusNode for r in res.collect()} == {"urn:b", "urn:c"}
+
+
+def test_has_value_term_identity(spark):
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "p", lit_typed("5", XSD_INTEGER)),
+            ("urn:b", RDF_TYPE, iri(EX + "T")),
+            ("urn:b", EX + "p", ("5", "literal", XSD_STRING, None)),
+        ],
+    )
+    extra = [(EX + "S-p", SH + "hasValue", lit_typed("5", XSD_INTEGER))]
+    res = validate(spark, data, triples_from_rows(spark, _shape_rows(extra)))
+    assert {r.focusNode for r in res.collect()} == {"urn:b"}
+
+
+def test_datatype_langstring(spark):
+    """xsd:string rejects lang-tagged literals; rdf:langString requires
+    them (RDF 1.1 effective datatypes)."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "p", ("plain", "literal", None, None)),
+            ("urn:b", RDF_TYPE, iri(EX + "T")),
+            ("urn:b", EX + "p", ("tagged", "literal", None, "en")),
+        ],
+    )
+    extra_s = [(EX + "S-p", SH + "datatype", iri(XSD_STRING))]
+    res = validate(spark, data, triples_from_rows(spark, _shape_rows(extra_s)))
+    assert {r.focusNode for r in res.collect()} == {"urn:b"}
+
+    extra_l = [(EX + "S-p", SH + "datatype", iri(RDF_LANGSTRING))]
+    res = validate(spark, data, triples_from_rows(spark, _shape_rows(extra_l)))
+    assert {r.focusNode for r in res.collect()} == {"urn:a"}
+
+
+# ------------------------------------------------------------- path closures
+def _chain_data(spark):
+    return triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:b", RDF_TYPE, iri(EX + "T")),
+            ("urn:c", RDF_TYPE, iri(EX + "T")),
+            ("urn:d", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "next", iri("urn:b")),
+            ("urn:b", EX + "next", iri("urn:c")),
+        ],
+    )
+
+
+def _closure_shape(spark, kind, extra):
+    rows = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "T")),
+        (EX + "S", SH + "property", iri(EX + "S-p")),
+        (EX + "S-p", SH + "path", iri("urn:pathnode")),
+        ("urn:pathnode", SH + kind, iri(EX + "next")),
+    ] + extra
+    return triples_from_rows(spark, rows)
+
+
+def test_one_or_more_path(spark):
+    """hasValue urn:c over next+ — a,b reach c; c,d have no next values."""
+    shapes = _closure_shape(
+        spark, "oneOrMorePath", [(EX + "S-p", SH + "hasValue", iri("urn:c"))]
+    )
+    res = validate(spark, _chain_data(spark), shapes)
+    assert {r.focusNode for r in res.collect()} == {"urn:c", "urn:d"}
+
+
+def test_zero_or_more_path(spark):
+    """next* includes the focus itself, so c now reaches c."""
+    shapes = _closure_shape(
+        spark, "zeroOrMorePath", [(EX + "S-p", SH + "hasValue", iri("urn:c"))]
+    )
+    res = validate(spark, _chain_data(spark), shapes)
+    assert {r.focusNode for r in res.collect()} == {"urn:d"}
+
+
+def test_zero_or_one_path(spark):
+    """next? = self + direct successor: a,b have 2 values; c,d have 1."""
+    shapes = _closure_shape(
+        spark, "zeroOrOnePath",
+        [(EX + "S-p", SH + "minCount", lit_typed("2", XSD_INTEGER))],
+    )
+    res = validate(spark, _chain_data(spark), shapes)
+    assert {r.focusNode for r in res.collect()} == {"urn:c", "urn:d"}
+
+
+def test_one_or_more_cycle_terminates(spark):
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:x", RDF_TYPE, iri(EX + "T")),
+            ("urn:x", EX + "next", iri("urn:y")),
+            ("urn:y", EX + "next", iri("urn:x")),
+        ],
+    )
+    shapes = _closure_shape(
+        spark, "oneOrMorePath",
+        [(EX + "S-p", SH + "minCount", lit_typed("2", XSD_INTEGER))],
+    )
+    res = validate(spark, data, shapes)
+    # x reaches {y, x}, y reaches {x, y}: both satisfy minCount 2
+    assert res.count() == 0
+
+
+# ----------------------------------------------- literals under shape refs
+def test_or_over_datatype_subshapes(spark):
+    """The canonical SHACL idiom: sh:or (string-shape langString-shape)
+    must REJECT an integer literal (round-1 ADVICE: literal values were
+    silently conforming)."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "p", ("ok", "literal", XSD_STRING, None)),
+            ("urn:b", RDF_TYPE, iri(EX + "T")),
+            ("urn:b", EX + "p", ("also ok", "literal", None, "en")),
+            ("urn:c", RDF_TYPE, iri(EX + "T")),
+            ("urn:c", EX + "p", lit_typed("7", XSD_INTEGER)),
+        ],
+    )
+    rows = _shape_rows([(EX + "S-p", SH + "or", iri("urn:or:0"))])
+    rows += _rdf_list("or", [iri(EX + "StrShape"), iri(EX + "LangShape")])
+    rows += [
+        (EX + "StrShape", SH + "datatype", iri(XSD_STRING)),
+        (EX + "LangShape", SH + "datatype", iri(RDF_LANGSTRING)),
+    ]
+    res = validate(spark, data, triples_from_rows(spark, rows))
+    assert {r.focusNode for r in res.collect()} == {"urn:c"}
+
+
+def test_node_ref_literal_values(spark):
+    """sh:node over literal values: min-length sub-shape applies."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "p", ("long enough", "literal", XSD_STRING, None)),
+            ("urn:b", RDF_TYPE, iri(EX + "T")),
+            ("urn:b", EX + "p", ("x", "literal", XSD_STRING, None)),
+        ],
+    )
+    rows = _shape_rows([(EX + "S-p", SH + "node", iri(EX + "LenShape"))])
+    rows += [(EX + "LenShape", SH + "minLength", lit_typed("3", XSD_INTEGER))]
+    res = validate(spark, data, triples_from_rows(spark, rows))
+    assert {r.focusNode for r in res.collect()} == {"urn:b"}
+
+
+def test_not_ref_literal_values(spark):
+    """sh:not over a datatype sub-shape: conforming literals violate."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "p", lit_typed("9", XSD_INTEGER)),
+            ("urn:b", RDF_TYPE, iri(EX + "T")),
+            ("urn:b", EX + "p", ("word", "literal", XSD_STRING, None)),
+        ],
+    )
+    rows = _shape_rows([(EX + "S-p", SH + "not", iri(EX + "IntShape"))])
+    rows += [(EX + "IntShape", SH + "datatype", iri(XSD_INTEGER))]
+    res = validate(spark, data, triples_from_rows(spark, rows))
+    assert {r.focusNode for r in res.collect()} == {"urn:a"}
+
+
+# ---------------------------------------------------------------- meta-SHACL
+def test_meta_shacl_missing_path(spark):
+    data = triples_from_rows(spark, [("urn:a", RDF_TYPE, iri(EX + "T"))])
+    rows = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "T")),
+        (EX + "S", SH + "property", iri(EX + "S-p")),
+        # no sh:path on the property shape
+        (EX + "S-p", SH + "minCount", lit_typed("1", XSD_INTEGER)),
+    ]
+    with pytest.raises(ValueError, match="no sh:path"):
+        validate(spark, data, triples_from_rows(spark, rows), meta_shacl=True)
+
+
+def test_meta_shacl_bad_mincount_lexical(spark):
+    data = triples_from_rows(spark, [("urn:a", RDF_TYPE, iri(EX + "T"))])
+    rows = _shape_rows([])
+    rows[-1:] = rows[-1:]  # keep path row
+    bad = rows + [(EX + "S-p", SH + "maxLength", ("many", "literal", None, None))]
+    with pytest.raises(ValueError, match="not an integer"):
+        validate(spark, data, triples_from_rows(spark, bad), meta_shacl=True)
+
+
+# ------------------------------------------------------- big-catalog guard
+def test_large_catalog_bounded_plan(spark):
+    """200 property shapes evaluate without plan-size blowup (chunked
+    lineage-truncating union) and produce per-constraint results."""
+    data_rows = [("urn:a", RDF_TYPE, iri(EX + "T"))]
+    # a has p0..p9 present only
+    for i in range(10):
+        data_rows.append(("urn:a", EX + f"p{i}", ("v", "literal", XSD_STRING, None)))
+    shape_rows = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "T")),
+    ]
+    for i in range(200):
+        pid = f"{EX}S-p{i}"
+        shape_rows += [
+            (EX + "S", SH + "property", iri(pid)),
+            (pid, SH + "path", iri(EX + f"p{i}")),
+            (pid, SH + "minCount", lit_typed("1", XSD_INTEGER)),
+        ]
+    res = validate(
+        spark,
+        triples_from_rows(spark, data_rows),
+        triples_from_rows(spark, shape_rows),
+    )
+    # p10..p199 are missing -> 190 MinCount violations
+    assert res.count() == 190

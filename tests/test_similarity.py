@@ -73,3 +73,43 @@ def test_lsh_deterministic(spark, emb):
     a = sorted(map(tuple, lsh_topk(df, q, k=3, dim=DIM, n_planes=4).collect()))
     b = sorted(map(tuple, lsh_topk(df, q, k=3, dim=DIM, n_planes=4).collect()))
     assert a == b
+
+
+# --------------------------------------------- SRP candidates (round 2)
+def test_srp_candidates_recall_on_near_dups(spark):
+    """Construct true near-duplicates (cosine >= 0.999): the SRP
+    candidate path must surface every one, and the candidate-fed
+    embedding_near_dup must agree with brute force on them."""
+    from cmem_plugin_pyshacl_spark.operators.dedup import embedding_near_dup
+    from cmem_plugin_pyshacl_spark.operators.similarity import srp_candidate_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(30, DIM)
+    rows = []
+    for i in range(30):
+        rows.append((i, [float(x) for x in base[i]]))
+        # near-dup copy: id 100+i, tiny perturbation
+        rows.append((100 + i, [float(x) for x in base[i] + 1e-4 * rng.randn(DIM)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cand = srp_candidate_pairs(emb, dim=DIM, n_planes=6, n_bands=2, seed=42)
+    found = embedding_near_dup(emb, threshold=0.99, candidate_pairs=cand)
+    got = {(r.a_id, r.b_id) for r in found.collect()}
+    expected = {(i, 100 + i) for i in range(30)}
+    assert expected <= got
+
+    brute = embedding_near_dup(emb, threshold=0.99)
+    assert {(r.a_id, r.b_id) for r in brute.collect()} >= got
+
+
+def test_srp_candidates_no_crossjoin(spark):
+    from cmem_plugin_pyshacl_spark.operators.dedup import embedding_near_dup
+    from cmem_plugin_pyshacl_spark.operators.similarity import srp_candidate_pairs
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(DIM)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cand = srp_candidate_pairs(emb, dim=DIM, n_planes=4, n_bands=1)
+    out = embedding_near_dup(emb, threshold=0.5, candidate_pairs=cand)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
