@@ -53,6 +53,24 @@ def dedup_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.join(keep, on="doc_id", how="left_semi")
 
 
+def exact_dedup_annotated(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document exact-dedup verdict: (doc_id, content_hash, dup_count,
+    kept) — the groups view and the keep-one view in one pass. `kept` marks
+    the canonical survivor (min doc_id per hash). Same single hash-shuffle
+    as exact_duplicates; the survivor pick is a window over the hash
+    partition (no second join)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash")
+    return (
+        documents.select(
+            F.col("doc_id"), md5_int60(F.col(text_col)).alias("content_hash")
+        )
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .withColumn("kept", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+
+
 def minhash_duplicates(
     documents: DataFrame,
     text_col: str = "text",

@@ -41,7 +41,7 @@ OWL_EQ_PROP = OWL + "equivalentProperty"
 OWL_INVERSE_OF = OWL + "inverseOf"
 OWL_SYMMETRIC = OWL + "SymmetricProperty"
 _SCHEMA_PREDS = [RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RDFS_DOMAIN, RDFS_RANGE]
-_OWL_SCHEMA_PREDS = [OWL_EQ_CLASS, OWL_EQ_PROP, OWL_INVERSE_OF, RDF_TYPE]
+_OWL_SCHEMA_PREDS = [OWL_EQ_CLASS, OWL_EQ_PROP, OWL_INVERSE_OF]
 
 
 def _transitive_close(edges: set[tuple[str, str]]) -> set[tuple[str, str]]:
@@ -112,8 +112,15 @@ def rdfs_inference(
     spark = data.sparkSession
     schema_src = data if ontology is None else data.unionByName(ontology)
     schema_preds = _SCHEMA_PREDS + (_OWL_SCHEMA_PREDS if owl else [])
+    schema_filter = F.col("p").isin(schema_preds)
+    if owl:
+        # symmetric-property declarations are the ONLY rdf:type rows the
+        # schema needs — never collect the data graph's instance types
+        schema_filter = schema_filter | (
+            (F.col("p") == RDF_TYPE) & (F.col("o_value") == OWL_SYMMETRIC)
+        )
     schema_rows = (
-        schema_src.filter(F.col("p").isin(schema_preds))
+        schema_src.filter(schema_filter)
         .select("s", "p", "o_value")
         .distinct()
         .collect()
