@@ -1720,7 +1720,12 @@ def validate(
     n_constraints = sum(
         len(s.properties) + len(s.self_constraints) for s in compiled.shapes
     )
-    if preds is not None and n_constraints > 1:
+    try:
+        lvl = data_triples.storageLevel
+        already_cached = lvl.useMemory or lvl.useDisk
+    except Exception:
+        already_cached = False
+    if preds is not None and n_constraints > 1 and not already_cached:
         eval_data = data_triples.filter(F.col("p").isin(sorted(preds)))
         eval_data.persist()
         _track_eval_slice(eval_data)
