@@ -181,6 +181,89 @@ class PropertyConstraint:
     # predicate: closure_kind in {'zeroOrMore','oneOrMore','zeroOrOne'}
     closure_path: str | None = None
     closure_kind: str | None = None
+    # arbitrarily NESTED path expression (sequence of inverses, alternative
+    # of sequences, closure of inverse, ...) — normalized PathExpr tree;
+    # flat forms keep the dedicated fast paths above and leave this None
+    path_expr: "PathExpr | None" = None
+
+
+# ---------------------------------------------------------------- SHACL
+# property-path algebra (W3C SHACL §2.3.1 / SPARQL 1.1 property paths).
+# Flat shapes (one predicate, one inverse, one-level sequence/alternative/
+# closure) take the dedicated plans in evaluate_constraint; everything else
+# compiles to this tree and evaluates via _eval_path_expr.
+@dataclass(frozen=True)
+class PPred:
+    iri: str
+
+
+@dataclass(frozen=True)
+class PInv:
+    sub: "PathExpr"
+
+
+@dataclass(frozen=True)
+class PSeq:
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class PAlt:
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class PClosure:
+    sub: "PathExpr"
+    kind: str  # 'zeroOrMore' | 'oneOrMore' | 'zeroOrOne'
+
+
+PathExpr = PPred | PInv | PSeq | PAlt | PClosure
+
+
+def _normalize_path(e: PathExpr) -> PathExpr:
+    """Push inverses to the leaves: ^(a/b) = ^b/^a, ^(a|b) = ^a|^b,
+    ^(p*) = (^p)*, ^^p = p — after this, PInv only ever wraps PPred."""
+    if isinstance(e, PPred):
+        return e
+    if isinstance(e, PSeq):
+        return PSeq(tuple(_normalize_path(p) for p in e.parts))
+    if isinstance(e, PAlt):
+        return PAlt(tuple(_normalize_path(p) for p in e.parts))
+    if isinstance(e, PClosure):
+        return PClosure(_normalize_path(e.sub), e.kind)
+    # PInv
+    s = e.sub
+    if isinstance(s, PPred):
+        return e
+    if isinstance(s, PInv):
+        return _normalize_path(s.sub)
+    if isinstance(s, PSeq):
+        return PSeq(tuple(_normalize_path(PInv(p)) for p in reversed(s.parts)))
+    if isinstance(s, PAlt):
+        return PAlt(tuple(_normalize_path(PInv(p)) for p in s.parts))
+    if isinstance(s, PClosure):
+        return PClosure(_normalize_path(PInv(s.sub)), s.kind)
+    raise TypeError(type(s))
+
+
+def _path_display(e: PathExpr) -> str:
+    """SPARQL 1.1 property-path surface syntax for resultPath cells."""
+    if isinstance(e, PPred):
+        return e.iri
+    if isinstance(e, PInv):
+        return f"^{_path_display(e.sub)}"
+    if isinstance(e, PSeq):
+        return "/".join(_maybe_paren(p) for p in e.parts)
+    if isinstance(e, PAlt):
+        return "|".join(_maybe_paren(p) for p in e.parts)
+    sym = {"zeroOrMore": "*", "oneOrMore": "+", "zeroOrOne": "?"}[e.kind]
+    return f"{_maybe_paren(e.sub)}{sym}"
+
+
+def _maybe_paren(e: PathExpr) -> str:
+    s = _path_display(e)
+    return s if isinstance(e, (PPred, PInv)) else f"({s})"
 
 
 @dataclass
@@ -363,35 +446,54 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
             # sh:path [ sh:inversePath p ] — the path object is a node
             # carrying an inversePath edge; sh:path ( p1 p2 ... ) — the
             # path object is an RDF list (sequence path)
-            inv = obj(path, SH + "inversePath")
-            alt = rdf_list(obj(path, SH + "alternativePath"))
-            seq = rdf_list(path) if obj(path, RDF_NS + "first") else None
-            zero_or_more = obj(path, SH + "zeroOrMorePath")
-            one_or_more = obj(path, SH + "oneOrMorePath")
-            zero_or_one = obj(path, SH + "zeroOrOnePath")
-            if alt:
-                pc = constraint_from(pshape, sid, "|".join(alt))
-                pc.alt_path = alt
-            elif seq:
-                pc = constraint_from(pshape, sid, "/".join(seq))
-                pc.seq_path = seq
-            elif zero_or_more or one_or_more or zero_or_one:
-                pred, kind = next(
-                    (p_, k_)
-                    for p_, k_ in (
-                        (zero_or_more, "zeroOrMore"),
-                        (one_or_more, "oneOrMore"),
-                        (zero_or_one, "zeroOrOne"),
-                    )
-                    if p_
-                )
-                sym = {"zeroOrMore": "*", "oneOrMore": "+", "zeroOrOne": "?"}[kind]
-                pc = constraint_from(pshape, sid, f"{pred}{sym}")
-                pc.closure_path = pred
-                pc.closure_kind = kind
+            def parse_path(node: str) -> PathExpr:
+                """Recursive SHACL path parser — handles ARBITRARY nesting
+                (sequence of inverses, alternative of sequences, closure of
+                inverse, ...), matching pySHACL's full path support."""
+                inv_t = obj(node, SH + "inversePath")
+                if inv_t is not None:
+                    return PInv(parse_path(inv_t))
+                alt_t = obj(node, SH + "alternativePath")
+                if alt_t is not None:
+                    return PAlt(tuple(parse_path(x) for x in rdf_list(alt_t) or ()))
+                for pred_name, kind in (
+                    ("zeroOrMorePath", "zeroOrMore"),
+                    ("oneOrMorePath", "oneOrMore"),
+                    ("zeroOrOnePath", "zeroOrOne"),
+                ):
+                    t = obj(node, SH + pred_name)
+                    if t is not None:
+                        return PClosure(parse_path(t), kind)
+                if obj(node, RDF_NS + "first") is not None:
+                    return PSeq(tuple(parse_path(x) for x in rdf_list(node) or ()))
+                return PPred(node)
+
+            expr = _normalize_path(parse_path(path))
+            display = _path_display(expr)
+            # flat forms keep their dedicated one/two-join plans; anything
+            # nested evaluates through the generic path-algebra walker
+            if isinstance(expr, PPred):
+                pc = constraint_from(pshape, sid, expr.iri)
+            elif isinstance(expr, PInv):
+                pc = constraint_from(pshape, sid, expr.sub.iri)
+                pc.inverse = True
+            elif isinstance(expr, PSeq) and all(
+                isinstance(p, PPred) for p in expr.parts
+            ):
+                pc = constraint_from(pshape, sid, display)
+                pc.seq_path = [p.iri for p in expr.parts]
+            elif isinstance(expr, PAlt) and all(
+                isinstance(p, PPred) for p in expr.parts
+            ):
+                pc = constraint_from(pshape, sid, display)
+                pc.alt_path = [p.iri for p in expr.parts]
+            elif isinstance(expr, PClosure) and isinstance(expr.sub, PPred):
+                pc = constraint_from(pshape, sid, display)
+                pc.closure_path = expr.sub.iri
+                pc.closure_kind = expr.kind
             else:
-                pc = constraint_from(pshape, sid, inv if inv is not None else path)
-                pc.inverse = inv is not None
+                pc = constraint_from(pshape, sid, display)
+                pc.path_expr = expr
             ns.properties.append(pc)
         # value constraints declared directly on the node shape apply to
         # the focus node itself (min/maxCount are property-shape-only per
@@ -622,6 +724,126 @@ def _closure_values(
             )
         out = acc if c.closure_kind == "oneOrMore" else self_rows.unionByName(acc)
     return out.groupBy("focus", *term).agg(F.min("v_part_id").alias("v_part_id"))
+
+
+_PATH_TERM = ["v_kind", "v_value", "v_datatype", "v_lang"]
+
+
+def _path_step(data: DataFrame, frontier: DataFrame, expr: PathExpr) -> DataFrame:
+    """One evaluation of a (normalized) path expression from a frontier.
+
+    frontier: DataFrame[focus, node] — `node` is where traversal stands,
+    `focus` the originating focus node. Returns DataFrame[focus, v_kind,
+    v_value, v_datatype, v_lang, v_part_id] of reachable value nodes (NOT
+    deduplicated — callers dedup by (focus, term) for set semantics).
+
+    Scale notes: each leaf is a `p == iri` slice of the (persisted,
+    predicate-sliced) relation joined with the frontier; no broadcast hint
+    is forced here — nested-path frontiers can outgrow the focus set, so
+    the build side is left to AQE. Closure leaves reuse the bounded,
+    lineage-truncated fixpoint pattern of _closure_values."""
+    if isinstance(expr, PPred):
+        return (
+            data.filter(F.col("p") == expr.iri)
+            .join(frontier.withColumnRenamed("node", "s"), on="s")
+            .select(
+                "focus",
+                F.col("o_kind").alias("v_kind"),
+                F.col("o_value").alias("v_value"),
+                F.col("o_datatype").alias("v_datatype"),
+                F.col("o_lang").alias("v_lang"),
+                F.col("part_id").alias("v_part_id"),
+            )
+        )
+    if isinstance(expr, PInv):
+        # normalized: sub is always PPred
+        return (
+            data.filter(F.col("p") == expr.sub.iri)
+            .join(frontier.withColumnRenamed("node", "o_value"), on="o_value")
+            .select(
+                "focus",
+                F.lit(KIND_IRI).alias("v_kind"),
+                F.col("s").alias("v_value"),
+                F.lit(None).cast("string").alias("v_datatype"),
+                F.lit(None).cast("string").alias("v_lang"),
+                F.col("part_id").alias("v_part_id"),
+            )
+        )
+    if isinstance(expr, PSeq):
+        cur = frontier
+        for part in expr.parts[:-1]:
+            vals = _path_step(data, cur, part)
+            # literals cannot be traversed further (no outgoing edges)
+            cur = (
+                vals.filter(F.col("v_kind") != KIND_LITERAL)
+                .select("focus", F.col("v_value").alias("node"))
+                .distinct()
+            )
+        return _path_step(data, cur, expr.parts[-1])
+    if isinstance(expr, PAlt):
+        out = None
+        for part in expr.parts:
+            step = _path_step(data, frontier, part)
+            out = step if out is None else out.unionByName(step)
+        return out
+    # PClosure
+    self_rows = frontier.select(
+        "focus",
+        F.lit(KIND_IRI).alias("v_kind"),
+        F.col("node").alias("v_value"),
+        F.lit(None).cast("string").alias("v_datatype"),
+        F.lit(None).cast("string").alias("v_lang"),
+        F.lit(None).cast(T.IntegerType()).alias("v_part_id"),
+    )
+    level1 = _path_step(data, frontier, expr.sub).dropDuplicates(
+        ["focus", *_PATH_TERM]
+    )
+    if expr.kind == "zeroOrOne":
+        return self_rows.unionByName(level1)
+    acc = level1.localCheckpoint(eager=True)
+    frontier_i = (
+        acc.filter(F.col("v_kind") != KIND_LITERAL)
+        .select("focus", F.col("v_value").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(25):
+        if frontier_i.isEmpty():
+            break
+        stepped = _path_step(data, frontier_i, expr.sub)
+        new_rows = (
+            stepped.dropDuplicates(["focus", *_PATH_TERM])
+            .join(
+                acc.select("focus", *_PATH_TERM),
+                on=["focus", *_PATH_TERM],
+                how="left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if new_rows.isEmpty():
+            break
+        acc = acc.unionByName(new_rows).localCheckpoint(eager=True)
+        frontier_i = (
+            new_rows.filter(F.col("v_kind") != KIND_LITERAL)
+            .select("focus", F.col("v_value").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return acc if expr.kind == "oneOrMore" else self_rows.unionByName(acc)
+
+
+def _eval_path_expr(
+    data: DataFrame, focus: DataFrame, expr: PathExpr
+) -> DataFrame:
+    """Evaluate an arbitrarily nested path from the focus set; returns the
+    standard DataFrame[focus, v_kind, v_value, v_datatype, v_lang,
+    v_part_id] with SET semantics."""
+    seeds = focus.select("focus", F.col("focus").alias("node"))
+    return (
+        _path_step(data, seeds, expr)
+        .groupBy("focus", *_PATH_TERM)
+        .agg(F.min("v_part_id").alias("v_part_id"))
+    )
 
 
 _NODEKIND_ALLOWED = {
@@ -858,6 +1080,9 @@ def evaluate_constraint(
             path_triples = cur.groupBy(_TERM_COLS).agg(
                 F.min("v_part_id").alias("v_part_id")
             )
+        elif c.path_expr is not None:
+            # arbitrarily nested path — generic path-algebra evaluation
+            path_triples = _eval_path_expr(data, focus, c.path_expr)
         elif c.closure_kind is not None:
             # sh:zeroOrMorePath / sh:oneOrMorePath / sh:zeroOrOnePath —
             # bounded reachability fixpoint (see _closure_values)
@@ -1570,6 +1795,19 @@ def _evaluate_shape(
     return out
 
 
+def _path_leaf_preds(e: PathExpr) -> set[str]:
+    if isinstance(e, PPred):
+        return {e.iri}
+    if isinstance(e, PInv):
+        return _path_leaf_preds(e.sub)
+    if isinstance(e, (PSeq, PAlt)):
+        out: set[str] = set()
+        for p in e.parts:
+            out |= _path_leaf_preds(p)
+        return out
+    return _path_leaf_preds(e.sub)
+
+
 def _constraint_predicates(compiled: CompiledShapes) -> set[str] | None:
     """Every data-graph predicate the compiled shapes can touch, or None
     when the set is open (sh:closed shapes must see ALL predicates).
@@ -1581,7 +1819,9 @@ def _constraint_predicates(compiled: CompiledShapes) -> set[str] | None:
         preds.update(s.target_subjects_of)
         preds.update(s.target_objects_of)
         for c in s.properties:
-            if c.alt_path:
+            if c.path_expr is not None:
+                preds.update(_path_leaf_preds(c.path_expr))
+            elif c.alt_path:
                 preds.update(c.alt_path)
             elif c.seq_path:
                 preds.update(c.seq_path)

@@ -346,3 +346,137 @@ def test_large_catalog_bounded_plan(spark):
     )
     # p10..p199 are missing -> 190 MinCount violations
     assert res.count() == 190
+
+
+# ------------------------------------------------- nested path expressions
+def _nested_shape(spark, path_rows, extra):
+    rows = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "T")),
+        (EX + "S", SH + "property", iri(EX + "S-p")),
+        (EX + "S-p", SH + "path", iri("urn:path")),
+    ] + path_rows + extra
+    return triples_from_rows(spark, rows)
+
+
+def test_sequence_with_inverse_element(spark):
+    """path = manages / ^worksFor : boss -> company -> its employees."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:boss", RDF_TYPE, iri(EX + "T")),
+            ("urn:boss", EX + "manages", iri("urn:acme")),
+            ("urn:e1", EX + "worksFor", iri("urn:acme")),
+            ("urn:e2", EX + "worksFor", iri("urn:acme")),
+            ("urn:e3", EX + "worksFor", iri("urn:other")),
+        ],
+    )
+    path_rows = [
+        ("urn:path", RDF_NS + "first", iri(EX + "manages")),
+        ("urn:path", RDF_NS + "rest", iri("urn:path2")),
+        ("urn:path2", RDF_NS + "first", iri("urn:invnode")),
+        ("urn:path2", RDF_NS + "rest", iri(RDF_NS + "nil")),
+        ("urn:invnode", SH + "inversePath", iri(EX + "worksFor")),
+    ]
+    shapes = _nested_shape(
+        spark, path_rows,
+        [(EX + "S-p", SH + "minCount", lit_typed("3", XSD_INTEGER))],
+    )
+    res = validate(spark, data, shapes).collect()
+    # boss reaches e1, e2 (acme's employees) = 2 < 3 -> violation
+    assert {(r.focusNode, r.resultPath) for r in res} == {
+        ("urn:boss", EX + "manages/^" + "http://example.org/worksFor")
+    }
+
+
+def test_inverse_of_sequence_normalization(spark):
+    """^(a/b) == ^b/^a: focus reached backwards through two hops."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:x", EX + "a", iri("urn:m")),
+            ("urn:m", EX + "b", iri("urn:t")),
+            ("urn:t", RDF_TYPE, iri(EX + "T")),
+        ],
+    )
+    seq_rows = [
+        ("urn:seq", RDF_NS + "first", iri(EX + "a")),
+        ("urn:seq", RDF_NS + "rest", iri("urn:seq2")),
+        ("urn:seq2", RDF_NS + "first", iri(EX + "b")),
+        ("urn:seq2", RDF_NS + "rest", iri(RDF_NS + "nil")),
+        ("urn:path", SH + "inversePath", iri("urn:seq")),
+    ]
+    shapes = _nested_shape(
+        spark, seq_rows,
+        [(EX + "S-p", SH + "hasValue", iri("urn:x"))],
+    )
+    # t -^(a/b)-> x : hasValue satisfied, no violations
+    assert validate(spark, data, shapes).count() == 0
+
+
+def test_alternative_of_sequences(spark):
+    """path = (a/b) | c."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:f1", RDF_TYPE, iri(EX + "T")),
+            ("urn:f1", EX + "a", iri("urn:m1")),
+            ("urn:m1", EX + "b", ("viaAB", "literal", None, None)),
+            ("urn:f2", RDF_TYPE, iri(EX + "T")),
+            ("urn:f2", EX + "c", ("viaC", "literal", None, None)),
+            ("urn:f3", RDF_TYPE, iri(EX + "T")),
+        ],
+    )
+    path_rows = [
+        ("urn:path", SH + "alternativePath", iri("urn:al:0")),
+        ("urn:al:0", RDF_NS + "first", iri("urn:seqAB")),
+        ("urn:al:0", RDF_NS + "rest", iri("urn:al:1")),
+        ("urn:al:1", RDF_NS + "first", iri(EX + "c")),
+        ("urn:al:1", RDF_NS + "rest", iri(RDF_NS + "nil")),
+        ("urn:seqAB", RDF_NS + "first", iri(EX + "a")),
+        ("urn:seqAB", RDF_NS + "rest", iri("urn:seqAB2")),
+        ("urn:seqAB2", RDF_NS + "first", iri(EX + "b")),
+        ("urn:seqAB2", RDF_NS + "rest", iri(RDF_NS + "nil")),
+    ]
+    shapes = _nested_shape(
+        spark, path_rows,
+        [(EX + "S-p", SH + "minCount", lit_typed("1", XSD_INTEGER))],
+    )
+    res = validate(spark, data, shapes).collect()
+    assert {r.focusNode for r in res} == {"urn:f3"}
+
+
+def test_closure_of_inverse(spark):
+    """path = (^parentOf)+ : ancestors via inverse edges."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:gp", EX + "parentOf", iri("urn:p")),
+            ("urn:p", EX + "parentOf", iri("urn:c")),
+            ("urn:c", RDF_TYPE, iri(EX + "T")),
+            ("urn:orphan", RDF_TYPE, iri(EX + "T")),
+        ],
+    )
+    path_rows = [
+        ("urn:path", SH + "oneOrMorePath", iri("urn:invp")),
+        ("urn:invp", SH + "inversePath", iri(EX + "parentOf")),
+    ]
+    shapes = _nested_shape(
+        spark, path_rows,
+        [(EX + "S-p", SH + "hasValue", iri("urn:gp"))],
+    )
+    res = validate(spark, data, shapes).collect()
+    # c's ancestors: p, gp (contains gp) -> ok; orphan has none -> violation
+    assert {r.focusNode for r in res} == {"urn:orphan"}
+
+
+def test_path_display_parens(spark):
+    from cmem_plugin_pyshacl_spark.plans.shacl import (
+        PAlt, PClosure, PInv, PPred, PSeq, _normalize_path, _path_display,
+    )
+
+    e = _normalize_path(PInv(PSeq((PPred("a"), PPred("b")))))
+    assert _path_display(e) == "^b/^a"
+    e2 = PClosure(PAlt((PPred("a"), PPred("b"))), "zeroOrMore")
+    assert _path_display(e2) == "(a|b)*"
+    assert _normalize_path(PInv(PInv(PPred("a")))) == PPred("a")
