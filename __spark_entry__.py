@@ -1041,7 +1041,9 @@ FROM v JOIN customer c ON v.focusNode = 'urn:cust:' || c.c_custkey
 
 
 def q_report_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    data = derive_customer_graph(spark, sf_dir)
+    # the report consumes the data graph several times (validation, focus
+    # labels, value labels) — truncate the 9-branch derive lineage once
+    data = derive_customer_graph(spark, sf_dir).localCheckpoint(eager=False)
     shapes = shapes_graph(spark, CUSTOMER_SHAPES_ALL)
     res = validate(spark, data, shapes)
     report_node = "urn:report:1"

@@ -234,6 +234,12 @@ def results_to_report_graph(
             F.col("sourceConstraintComponent"),
         ),
     )
+    # the report fans results_n into ~12 per-predicate projections (plus the
+    # R10/R11 enrichment joins downstream) — without lineage truncation each
+    # branch would RE-RUN the whole validation; checkpoint lazily so the
+    # first action computes the results once and every branch reuses the
+    # materialized blocks
+    results_n = results_n.localCheckpoint(eager=False)
     head = spark.createDataFrame(
         [
             (report_node, RDF_TYPE, KIND_IRI, SH + "ValidationReport", None, None, graph, 0),
