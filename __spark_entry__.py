@@ -193,7 +193,10 @@ def q_kg_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = relations_stage(_pages(spark, sf_dir))
     mapping = canonicalize_stage(rel)
-    return triples_stage(rel, mapping)
+    # consumers hit this several times (validate's path slice, the subclass
+    # closure scan, partition id lists) — truncate the UDF+CC lineage so the
+    # construction pipeline runs once
+    return triples_stage(rel, mapping).localCheckpoint(eager=False)
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
