@@ -120,7 +120,10 @@ def _term_key_col(kind: Column, value: Column, datatype: Column, lang: Column) -
         kind,
         value,
         F.coalesce(_effective_datatype(kind, datatype, lang), F.lit("")),
-        F.lower(F.coalesce(lang, F.lit(""))),
+        # lang participates in term identity ONLY for literals
+        F.when(
+            kind == KIND_LITERAL, F.lower(F.coalesce(lang, F.lit("")))
+        ).otherwise(F.lit("")),
     )
 
 
@@ -128,9 +131,12 @@ def _term_key_py(value: str, kind: str, datatype: str | None, lang: str | None) 
     """Driver-side mirror of ``_term_key_col`` for compiled shape terms."""
     if kind == KIND_LITERAL:
         eff = datatype or (RDF_LANGSTRING if lang else XSD_STRING)
+        tag = (lang or "").lower()
     else:
+        # lang/datatype are not part of IRI/bnode term identity
         eff = ""
-    return "".join([kind, value, eff, (lang or "").lower()])
+        tag = ""
+    return "".join([kind, value, eff, tag])
 
 
 @dataclass
