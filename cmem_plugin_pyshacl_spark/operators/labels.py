@@ -52,7 +52,11 @@ def labels_table(triples: DataFrame, language: str | None = None) -> DataFrame:
     hop2 = triples.filter(
         (F.col("p") == SKOSXL_LITERALFORM) & (F.col("o_kind") == KIND_LITERAL)
     ).select(F.col("s").alias("xl"), F.col("o_value").alias("label"), F.col("o_lang").alias("lang"))
-    xl = hop1.join(hop2, on="xl").select("s", "label", "lang", F.lit(1).alias("prio"))
+    # both hops are tiny label-dimension slices; broadcast keeps the 2-hop
+    # path out of SortMergeJoin (plan audit round 2)
+    xl = hop1.join(F.broadcast(hop2), on="xl").select(
+        "s", "label", "lang", F.lit(1).alias("prio")
+    )
 
     alll = direct.unionByName(xl)
     if language is not None:
