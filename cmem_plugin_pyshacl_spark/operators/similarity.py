@@ -202,3 +202,86 @@ def srp_candidate_pairs(
         pairs = p if pairs is None else pairs.unionByName(p)
     assert pairs is not None
     return pairs.distinct()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into n_centroids cells; each query probes its
+    n_probe nearest cells and re-ranks exactly by cosine inside them.
+
+    The second ANN scale path next to SRP-LSH (lsh_topk): at 100 TB the
+    corpus is scanned once to assign cells (one ML transform, then
+    cell-partitioned storage), and each query touches n_probe/n_centroids
+    of the data. The centroid table is tiny and handled driver-side; the
+    probe join is a broadcast of (query × n_probe) rows against the
+    cell-keyed corpus.
+
+    Returns DataFrame[query_id, neighbor_id, cosine, rank].
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(c_feat)
+    assigned = model.transform(c_feat).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("cell")
+    )
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # per-query distance to every centroid (few centroids -> a small array
+    # expression), keep the n_probe nearest cells
+    def _sq_dist(vec: Column, center: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vec.cast("array<double>"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col("q_vec"), c).alias("d"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn("_near", F.slice(F.array_sort(dists), 1, n_probe))
+        .select(
+            "query_id", "q_vec", F.explode(F.col("_near.cell")).alias("cell")
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from cmem_plugin_pyshacl_spark.operators.similarity import (
     brute_force_topk,
@@ -113,3 +114,40 @@ def test_srp_candidates_no_crossjoin(spark):
     out = embedding_near_dup(emb, threshold=0.5, candidate_pairs=cand)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """Cluster-structured corpus: IVF probing must recover the brute-force
+    neighbors (which are in-cluster) with high recall."""
+    from cmem_plugin_pyshacl_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(8, DIM) * 10
+    rows = []
+    vid = 0
+    for ci in range(8):
+        for _ in range(25):
+            rows.append((vid, [float(x) for x in centers[ci] + rng.randn(DIM)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)  # one query per cluster
+
+    exact = brute_force_topk(emb, qs, k=5)
+    approx = ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.9
+
+
+def test_ivf_topk_ranks_and_schema(spark, emb):
+    from cmem_plugin_pyshacl_spark.operators.similarity import ivf_topk
+
+    df, _ = emb
+    out = ivf_topk(df, df.filter(F.col("vec_id") < 5), k=3, n_centroids=4, n_probe=4)
+    rows = out.collect()
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
