@@ -500,23 +500,42 @@ SH_MAXLEN = SH + "MaxLengthConstraintComponent"
 SH_IN = SH + "InConstraintComponent"
 SH_HASVAL = SH + "HasValueConstraintComponent"
 
-# email lengths: 'c<k>@example.com' = 13+len(k) chars; 'alt-c<k>@...' = 17+len(k)
+# emails: 'c<k>@example.com' (k%3!=0) and 'alt-c<k>@example.com'
+# (k%3!=0 AND k%7=0). Length predicates are computed with length() so the
+# oracle holds at EVERY scale factor (at sf0.1 five-digit custkeys push the
+# plain email past maxLength 17 — a hand-derived k-range missed that).
 ORACLE_SHACL_MINLENGTH = f"""
 SELECT {_CUST} AS focusNode, 'http://example.org/email' AS resultPath,
   'c' || c_custkey || '@example.com' AS value,
   '{SH_MINLEN}' AS sourceConstraintComponent,
   'Value has less than 16 characters' AS resultMessage,
   {_PART16} AS part_id
-FROM customer WHERE c_custkey % 3 != 0 AND c_custkey < 100
+FROM customer
+WHERE c_custkey % 3 != 0 AND length('c' || c_custkey || '@example.com') < 16
+UNION ALL
+SELECT {_CUST}, 'http://example.org/email',
+  'alt-c' || c_custkey || '@example.com', '{SH_MINLEN}',
+  'Value has less than 16 characters', {_PART16}
+FROM customer
+WHERE c_custkey % 3 != 0 AND c_custkey % 7 = 0
+  AND length('alt-c' || c_custkey || '@example.com') < 16
 """
 
 ORACLE_SHACL_MAXLENGTH = f"""
 SELECT {_CUST} AS focusNode, 'http://example.org/email' AS resultPath,
-  'alt-c' || c_custkey || '@example.com' AS value,
+  'c' || c_custkey || '@example.com' AS value,
   '{SH_MAXLEN}' AS sourceConstraintComponent,
   'Value has more than 17 characters' AS resultMessage,
   {_PART16} AS part_id
-FROM customer WHERE c_custkey % 3 != 0 AND c_custkey % 7 = 0
+FROM customer
+WHERE c_custkey % 3 != 0 AND length('c' || c_custkey || '@example.com') > 17
+UNION ALL
+SELECT {_CUST}, 'http://example.org/email',
+  'alt-c' || c_custkey || '@example.com', '{SH_MAXLEN}',
+  'Value has more than 17 characters', {_PART16}
+FROM customer
+WHERE c_custkey % 3 != 0 AND c_custkey % 7 = 0
+  AND length('alt-c' || c_custkey || '@example.com') > 17
 """
 
 ORACLE_SHACL_IN = f"""
