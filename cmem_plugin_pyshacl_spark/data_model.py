@@ -182,3 +182,61 @@ def to_ntriples(df: DataFrame) -> DataFrame:
             F.lit("."),
         ).alias("line")
     )
+
+
+def from_ntriples(
+    lines: DataFrame,
+    line_col: str = "line",
+    graph: str | None = None,
+    part_id_expr: Column | None = None,
+) -> DataFrame:
+    """Parse N-Triples lines into the TRIPLES_SCHEMA relation — the source
+    twin of ``to_ntriples`` (round-trips exactly on its output; accepts the
+    standard single-line `<s> <p> object .` form, comments and blank lines
+    skipped). Pure codegen regexp extraction — no Python UDFs.
+
+    Object forms: `<iri>`, `"lex"`, `"lex"@lang`, `"lex"^^<dt>`; the three
+    N-Triples escapes emitted by nt_term (backslash, quote, newline) are
+    unescaped.
+    """
+    line = F.col("_l")
+    body = F.regexp_extract(line, r"^<([^>]*)>\s+<([^>]*)>\s+(.*?)\s*\.$", 3)
+    s = F.regexp_extract(line, r"^<([^>]*)>", 1)
+    p = F.regexp_extract(line, r"^<[^>]*>\s+<([^>]*)>", 1)
+    is_iri = body.startswith("<")
+    lex_raw = F.regexp_extract(body, r'^"((?:[^"\\]|\\.)*)"', 1)
+    lex = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(lex_raw, r"\\n", "\n"), r'\\"', '"'
+        ),
+        r"\\\\",
+        r"\\",
+    )
+    lang = F.regexp_extract(body, r'^"(?:[^"\\]|\\.)*"@([A-Za-z0-9-]+)$', 1)
+    dt = F.regexp_extract(body, r'^"(?:[^"\\]|\\.)*"\^\^<([^>]*)>$', 1)
+    parsed = (
+        lines.select(F.trim(F.col(line_col)).alias("_l"))
+        .filter((F.length("_l") > 0) & ~F.col("_l").startswith("#"))
+        .select(
+            s.alias("s"),
+            p.alias("p"),
+            F.when(is_iri, F.lit(KIND_IRI)).otherwise(F.lit(KIND_LITERAL)).alias(
+                "o_kind"
+            ),
+            F.when(is_iri, F.regexp_extract(body, r"^<([^>]*)>$", 1))
+            .otherwise(lex)
+            .alias("o_value"),
+            F.when(~is_iri & (dt != ""), dt)
+            .when(~is_iri & (lang == "") & (dt == ""), F.lit(XSD_STRING))
+            .cast("string")
+            .alias("o_datatype"),
+            F.when(~is_iri & (lang != ""), lang).cast("string").alias("o_lang"),
+        )
+        .filter(F.col("s") != "")
+    )
+    pid = part_id_expr if part_id_expr is not None else F.lit(0).cast("int")
+    return parsed.select(
+        "s", "p", "o_kind", "o_value", "o_datatype", "o_lang",
+        F.lit(graph).cast("string").alias("graph"),
+        pid.alias("part_id"),
+    )

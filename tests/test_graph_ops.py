@@ -125,3 +125,44 @@ def test_ntriples_serialization_escapes(spark):
         in lines
     )
     assert '<urn:s> <http://example.org/t> "bonjour"@fr .' in lines
+
+
+def test_ntriples_round_trip(spark):
+    """from_ntriples is the exact inverse of to_ntriples (modulo the RDF 1.1
+    plain≡xsd:string equivalence and graph/part metadata)."""
+    from cmem_plugin_pyshacl_spark.data_model import (
+        XSD_INTEGER,
+        XSD_STRING,
+        from_ntriples,
+        to_ntriples,
+        triples_from_rows,
+    )
+
+    rows = [
+        ("urn:a", EX + "p", ("urn:b", "iri", None, None)),
+        ("urn:a", EX + "q", ("plain", "literal", None, None)),
+        ("urn:a", EX + "q", ("typed-str", "literal", XSD_STRING, None)),
+        ("urn:a", EX + "r", ("42", "literal", XSD_INTEGER, None)),
+        ("urn:a", EX + "s", ("hallo", "literal", None, "de-DE")),
+        ("urn:a", EX + "t", ('esc "quoted" \\ back\nnewline', "literal", None, None)),
+    ]
+    t = triples_from_rows(spark, rows)
+    lines = to_ntriples(t)
+    back = from_ntriples(lines)
+    got = {
+        (r.s, r.p, r.o_kind, r.o_value, r.o_datatype, r.o_lang)
+        for r in back.collect()
+    }
+    expected = {
+        ("urn:a", EX + "p", "iri", "urn:b", None, None),
+        # plain and explicitly-typed xsd:string both parse back as xsd:string
+        ("urn:a", EX + "q", "literal", "plain", XSD_STRING, None),
+        ("urn:a", EX + "q", "literal", "typed-str", XSD_STRING, None),
+        ("urn:a", EX + "r", "literal", "42", XSD_INTEGER, None),
+        ("urn:a", EX + "s", "literal", "hallo", None, "de-DE"),
+        ("urn:a", EX + "t", "literal", 'esc "quoted" \\ back\nnewline', XSD_STRING, None),
+    }
+    assert got == expected
+    # no Python UDFs in the parse plan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
