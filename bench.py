@@ -54,9 +54,16 @@ def main() -> None:
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     # warm up JVM + python workers so the first timed query isn't paying
-    # one-time startup costs
+    # one-time startup costs; the pandas-UDF pass actually forks/ramps the
+    # python worker pool (a JVM-only warmup leaves the first timed UDF
+    # stage paying the ~5s worker ramp)
     spark.range(10000).select(F.sum("id")).collect()
     spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10).count()
+    from cmem_plugin_pyshacl_spark.plans.pipeline import relations_fused_stage
+
+    relations_fused_stage(
+        generate_pages(spark, 4000, num_partitions=cpus)
+    ).count()
 
     timings: dict[str, float] = {}
     extras: dict = {"cpus": cpus}

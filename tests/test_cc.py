@@ -53,3 +53,19 @@ def test_bipartite_hub_pattern(spark):
     assert got["org0"] == got["org0 Inc."] == got["norm:org0"]
     assert got["org1"] == got["norm:org1"]
     assert got["org0"] != got["org1"]
+
+
+def test_driver_and_distributed_paths_identical(spark):
+    """The adaptive small-graph union-find must produce EXACTLY the
+    distributed star-contraction labeling."""
+    from cmem_plugin_pyshacl_spark.plans.connected_components import (
+        connected_components,
+    )
+
+    rows = [(f"n{i}", f"n{(i * 7) % 40}") for i in range(40)] + [
+        ("a", "b"), ("b", "c"), ("x", "x"), ("lone", "lone"),
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    small = connected_components(edges)  # threshold path
+    big = connected_components(edges, small_graph_threshold=0)  # distributed
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
