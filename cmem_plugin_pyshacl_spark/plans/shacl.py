@@ -180,6 +180,10 @@ class PropertyConstraint:
     qualified_ref: str | None = None  # sh:qualifiedValueShape
     q_min: int | None = None  # sh:qualifiedMinCount
     q_max: int | None = None  # sh:qualifiedMaxCount
+    q_disjoint: bool = False  # sh:qualifiedValueShapesDisjoint
+    # qualifiedValueShape refs of SIBLING property shapes (same node shape)
+    # — populated at compile time when q_disjoint is set
+    sibling_q_refs: list[str] | None = None
     # full RDF terms (value, kind, datatype, lang) for term-identity checks
     in_terms: list[tuple[str, str, str | None, str | None]] | None = None
     has_value_term: tuple[str, str, str | None, str | None] | None = None
@@ -428,6 +432,9 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
                 if obj(node_id, SH + "qualifiedMaxCount") is not None
                 else None
             ),
+            q_disjoint=(
+                obj(node_id, SH + "qualifiedValueShapesDisjoint") == "true"
+            ),
         )
 
     def build_shape(sid: str) -> NodeShape:
@@ -501,6 +508,15 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
                 pc = constraint_from(pshape, sid, display)
                 pc.path_expr = expr
             ns.properties.append(pc)
+        # sh:qualifiedValueShapesDisjoint: record the sibling qualified
+        # shapes each disjoint-qualified constraint must exclude
+        for pc in ns.properties:
+            if pc.q_disjoint and pc.qualified_ref is not None:
+                pc.sibling_q_refs = [
+                    o.qualified_ref
+                    for o in ns.properties
+                    if o is not pc and o.qualified_ref is not None
+                ]
         # value constraints declared directly on the node shape apply to
         # the focus node itself (min/maxCount are property-shape-only per
         # W3C SHACL and are ignored here)
@@ -1690,11 +1706,28 @@ def evaluate_constraint(
     ):
         noncon = noncon_values(c.qualified_ref)
         if noncon is not None:
-            conforming = (
-                present.filter(F.col("v_kind") != "bnode")
-                .join(noncon, on="v_value", how="left_anti")
-                .groupBy("focus")
-                .agg(F.count(F.lit(1)).alias("_qc"))
+            countable = present.filter(F.col("v_kind") != "bnode").join(
+                noncon, on="v_value", how="left_anti"
+            )
+            if c.q_disjoint and c.sibling_q_refs:
+                # sh:qualifiedValueShapesDisjoint (W3C SHACL §4.5.4): value
+                # nodes that ALSO conform to a sibling qualifiedValueShape
+                # are excluded from this shape's count
+                for sib_ref in c.sibling_q_refs:
+                    sib_noncon = noncon_values(sib_ref)
+                    if sib_noncon is None:
+                        continue  # unexpandable sibling: lenient skip
+                    sib_conforming = (
+                        present.filter(F.col("v_kind") != "bnode")
+                        .select("v_value")
+                        .distinct()
+                        .join(sib_noncon, on="v_value", how="left_anti")
+                    )
+                    countable = countable.join(
+                        sib_conforming, on="v_value", how="left_anti"
+                    )
+            conforming = countable.groupBy("focus").agg(
+                F.count(F.lit(1)).alias("_qc")
             )
             qcounts = (
                 focus.join(conforming, on="focus", how="left")

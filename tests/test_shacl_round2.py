@@ -480,3 +480,46 @@ def test_path_display_parens(spark):
     e2 = PClosure(PAlt((PPred("a"), PPred("b"))), "zeroOrMore")
     assert _path_display(e2) == "(a|b)*"
     assert _normalize_path(PInv(PInv(PPred("a")))) == PPred("a")
+
+
+def test_qualified_value_shapes_disjoint(spark):
+    """sh:qualifiedValueShapesDisjoint: a value conforming to a SIBLING
+    qualified shape is excluded from this shape's qualified count."""
+    def shapes(disjoint: bool):
+        rows = [
+            (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "S", SH + "targetClass", iri(EX + "T")),
+            (EX + "S", SH + "property", iri(EX + "S-a")),
+            (EX + "S-a", SH + "path", iri(EX + "val")),
+            (EX + "S-a", SH + "qualifiedValueShape", iri(EX + "AShape")),
+            (EX + "S-a", SH + "qualifiedMinCount", lit_typed("1", XSD_INTEGER)),
+            (EX + "S", SH + "property", iri(EX + "S-b")),
+            (EX + "S-b", SH + "path", iri(EX + "val")),
+            (EX + "S-b", SH + "qualifiedValueShape", iri(EX + "BShape")),
+            (EX + "S-b", SH + "qualifiedMinCount", lit_typed("0", XSD_INTEGER)),
+            (EX + "AShape", SH + "pattern", ("^a", "literal", None, None)),
+            (EX + "BShape", SH + "pattern", ("b$", "literal", None, None)),
+        ]
+        if disjoint:
+            rows.append(
+                (EX + "S-a", SH + "qualifiedValueShapesDisjoint",
+                 ("true", "literal", None, None))
+            )
+        return triples_from_rows(spark, rows)
+
+    # focus urn:x has only "ab" — conforms to BOTH AShape and BShape
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:x", RDF_TYPE, iri(EX + "T")),
+            ("urn:x", EX + "val", ("ab", "literal", XSD_STRING, None)),
+        ],
+    )
+    # without disjoint: "ab" counts for AShape -> no violation
+    res = validate(spark, data, shapes(disjoint=False))
+    assert res.count() == 0
+    # with disjoint: "ab" also conforms to sibling BShape -> excluded ->
+    # qualifiedMinCount 1 violated
+    res = validate(spark, data, shapes(disjoint=True))
+    got = [(r.focusNode, r.sourceConstraintComponent) for r in res.collect()]
+    assert got == [("urn:x", SH + "QualifiedMinCountConstraintComponent")]
