@@ -157,3 +157,38 @@ def test_mention_sentences_drive_relations(spark):
     rel = relations_fused_stage(pages).select("url").distinct().count()
     with_mentions = sum(1 for i in range(40) if _mention_sentences(i))
     assert rel == with_mentions
+
+
+def test_spark_submit_py_files_ships_package(tmp_path):
+    """north_rule: the job ships via `spark-submit --py-files`. Build the
+    package zip, spark-submit tools/submit_job.py from OUTSIDE the repo
+    with no PYTHONPATH, and check the pipeline ran end-to-end off the
+    shipped zip alone."""
+    import json
+    import os
+    import shutil
+    import subprocess
+
+    zip_base = str(tmp_path / "cmem_plugin_pyshacl_spark")
+    shutil.make_archive(
+        zip_base, "zip", root_dir="/root/repo", base_dir="cmem_plugin_pyshacl_spark"
+    )
+    out_dir = str(tmp_path / "out")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH",)
+    }
+    proc = subprocess.run(
+        [
+            "/opt/spark/bin/spark-submit",
+            "--master", "local[4]",
+            "--py-files", zip_base + ".zip",
+            "/root/repo/tools/submit_job.py", "200", out_dir,
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    metrics = json.loads(open(os.path.join(out_dir, "metrics.json")).read())
+    assert metrics["n_results"] > 0 and metrics["n_report_partitions"] > 0
+    assert os.path.exists(os.path.join(out_dir, "triples", "_SUCCESS"))
