@@ -106,3 +106,75 @@ def fingerprint(documents: DataFrame, text_col: str = "text", window: int = 8) -
         F.array_min(hashes).alias("winnow_min"),
         md5_int60(F.col(text_col)).alias("content_hash"),
     )
+
+
+# --------------------------------------------------------------- round 2:
+# corpus-hygiene operators a Common-Crawl-scale training pipeline needs
+# before tokenization. All native Column expressions (codegen, no UDFs).
+
+_PII_PATTERNS = [
+    # email addresses
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 addresses BEFORE phones (dotted digit runs would otherwise
+    # match the phone pattern)
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # international-ish phone numbers (7+ digits with separators)
+    (r"\+?\d[\d\s().-]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(
+    documents: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace emails / phone numbers / IPv4s with typed placeholder
+    tokens — the standard pre-training scrub pass. Chained
+    regexp_replace stays inside whole-stage codegen; at 100 TB this is a
+    pure map stage with zero shuffle."""
+    col = F.col(text_col)
+    for pat, token in _PII_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    return documents.withColumn(out_col or text_col, col)
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable host of a URL (scheme/userinfo/port/path stripped),
+    lowercased — the standard per-domain grouping key."""
+    return F.lower(
+        F.regexp_extract(url, r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)
+    )
+
+
+def cap_per_domain(
+    documents: DataFrame,
+    url_col: str = "url",
+    max_docs: int = 1000,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most `max_docs` documents per domain (deterministic: lowest
+    `order_col` first) — bounds any single host's share of the corpus.
+    One window shuffle keyed on domain; skewed mega-domains are exactly the
+    rows being dropped, so the skew self-limits."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_domain").orderBy(F.col(order_col))
+    return (
+        documents.withColumn("_domain", url_domain(F.col(url_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_docs)
+        .drop("_domain", "_rn")
+    )
+
+
+def repetition_ratio(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Fraction of duplicated lines within each document (1 - distinct
+    lines / lines) — the classic boilerplate/repetition quality signal.
+    Array expressions only; zero shuffle."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda s: F.trim(s) != "")
+    n = F.size(lines)
+    distinct_n = F.size(F.array_distinct(lines))
+    return documents.withColumn(
+        "repetition_ratio",
+        F.when(n > 0, F.round(1.0 - distinct_n / n, 6)).otherwise(F.lit(0.0)),
+    )

@@ -93,3 +93,53 @@ def test_frame_sample(spark):
     for r in rows:
         expected = (durations[r.media_id] - 1) // 1000 + 1
         assert r["count"] == expected
+
+
+# --------------------------------------------------- corpus hygiene (round 2)
+def test_redact_pii(spark):
+    from cmem_plugin_pyshacl_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe+x@example.co.uk please"),
+            (2, "call +1 (555) 123-4567 or 555-7788990"),
+            (3, "server at 192.168.0.1 responded"),
+            (4, "clean text stays clean"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    assert got[1] == "mail me at <EMAIL> please"
+    assert "<PHONE>" in got[2] and "555" not in got[2]
+    assert got[3] == "server at <IP> responded"
+    assert got[4] == "clean text stays clean"
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # pure codegen
+
+
+def test_url_domain_and_cap(spark):
+    from cmem_plugin_pyshacl_spark.operators.text import cap_per_domain, url_domain
+
+    rows = [(i, f"https://user@Big.Example.com:8080/p/{i}?q=1") for i in range(10)]
+    rows += [(100 + i, f"http://small.org/{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    doms = df.select(url_domain(F.col("url")).alias("d")).distinct().collect()
+    assert {r.d for r in doms} == {"big.example.com", "small.org"}
+    capped = cap_per_domain(df, max_docs=4)
+    got = sorted(r.doc_id for r in capped.collect())
+    assert got == [0, 1, 2, 3, 100, 101, 102]  # lowest ids kept per domain
+
+
+def test_repetition_ratio(spark):
+    from cmem_plugin_pyshacl_spark.operators.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\nc"),          # all distinct -> 0
+            (2, "x\nx\nx\nx"),        # 1 distinct of 4 -> 0.75
+            (3, ""),                   # no lines -> 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.repetition_ratio for r in repetition_ratio(df).collect()}
+    assert got[1] == 0.0 and abs(got[2] - 0.75) < 1e-9 and got[3] == 0.0
