@@ -36,6 +36,14 @@ sh:class, sh:nodeKind, sh:pattern (+sh:flags), sh:severity, sh:message,
 sh:deactivated. Out-of-core pySHACL params (meta_shacl, inference=owlrl,
 advanced/js, max_validation_depth) are accepted as documented flags — see
 ``validate()``.
+
+Documented approximation: focus nodes are assumed to be IRIs
+(post-skolemization). sh:targetObjectsOf therefore selects only IRI
+objects — a LITERAL object selected as a focus node (legal per W3C SHACL)
+is not modeled; property constraints on such a focus would trivially
+yield zero values anyway, but self constraints on literal focus nodes are
+not evaluated. (Literal VALUE nodes, including under shape refs, are
+fully supported — see _literal_fail_condition.)
 """
 
 from __future__ import annotations

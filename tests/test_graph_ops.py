@@ -166,3 +166,67 @@ def test_ntriples_round_trip(spark):
     # no Python UDFs in the parse plan
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_include_graphs_labels_copies_value_and_shape_labels(spark):
+    """R10 include_graphs_labels: focusNode + IRI-value labels come from
+    the DATA graph, sourceShape labels from the SHAPES graph; literal
+    values get no label triple (reference plugin_pyshacl.py:405-424)."""
+    from cmem_plugin_pyshacl_spark.data_model import (
+        RDFS_LABEL,
+        iri,
+        lit_typed,
+        triples_from_rows,
+    )
+    from cmem_plugin_pyshacl_spark.operators.graph_ops import (
+        add_report_labels,
+        results_to_report_graph,
+    )
+    from cmem_plugin_pyshacl_spark.plans.shacl import RESULT_SCHEMA
+
+    results = spark.createDataFrame(
+        [
+            ("urn:f1", EX + "p", "urn:v1", EX + "shapeA", EX + "comp",
+             "msg", "sev", 0, "iri", None),
+            ("urn:f1", EX + "p", "a literal", EX + "shapeA", EX + "comp",
+             "msg", "sev", 0, "literal", None),
+        ],
+        schema=RESULT_SCHEMA,
+    )
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:f1", RDFS_LABEL, lit_typed("Focus One")),
+            ("urn:v1", RDFS_LABEL, lit_typed("Value One")),
+        ],
+    )
+    shapes = triples_from_rows(
+        spark, [(EX + "shapeA", RDFS_LABEL, lit_typed("Shape A"))]
+    )
+    g, res_n = results_to_report_graph(spark, results, "urn:rep", False)
+    out = add_report_labels(
+        spark, g, res_n, "urn:rep", False,
+        include_graphs_labels=True, data_triples=data, shapes_triples=shapes,
+    )
+    labels = {
+        (r.s, r.o_value)
+        for r in out.filter(
+            (out.p == RDFS_LABEL) & ~out.s.startswith("urn:rep")
+        ).collect()
+    }
+    assert ("urn:f1", "Focus One") in labels
+    assert ("urn:v1", "Value One") in labels
+    assert (EX + "shapeA", "Shape A") in labels
+    assert not any(s == "a literal" for s, _ in labels)
+
+
+def test_owlrl_downgrade_is_logged(spark, caplog):
+    import logging
+
+    from cmem_plugin_pyshacl_spark.data_model import RDF_TYPE, iri, triples_from_rows
+    from cmem_plugin_pyshacl_spark.plans.inference import apply_inference
+
+    data = triples_from_rows(spark, [("urn:a", RDF_TYPE, iri(EX + "T"))])
+    with caplog.at_level(logging.WARNING):
+        apply_inference(data, profile="owlrl").count()
+    assert any("NOT the full OWL-RL closure" in r.message for r in caplog.records)
