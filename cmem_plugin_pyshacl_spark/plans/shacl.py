@@ -1019,6 +1019,8 @@ def _literal_fail_condition(
     automatic failure when the shape requires properties (sh:minCount >= 1)
     — literals have no outgoing edges."""
     fail = F.lit(False)
+    if shape.deactivated:
+        return fail  # deactivated shapes conform everywhere (§2.1.3.2)
     if any(pc.min_count is not None and pc.min_count > 0 for pc in shape.properties):
         return F.lit(True)
     for c in shape.self_constraints:
@@ -1790,6 +1792,10 @@ def _evaluate_shape(
     against an explicit focus set — the sh:node recursion entry point (no
     target selection)."""
     out: list[DataFrame] = []
+    if shape.deactivated:
+        # W3C SHACL §2.1.3.2: a deactivated shape has NO effect — every
+        # focus node conforms, including when reached via shape refs
+        return out
     for sc in shape.self_constraints:
         out.extend(
             evaluate_constraint(

@@ -523,3 +523,25 @@ def test_qualified_value_shapes_disjoint(spark):
     res = validate(spark, data, shapes(disjoint=True))
     got = [(r.focusNode, r.sourceConstraintComponent) for r in res.collect()]
     assert got == [("urn:x", SH + "QualifiedMinCountConstraintComponent")]
+
+
+def test_deactivated_shape_conforms_as_node_ref(spark):
+    """W3C SHACL 2.1.3.2: a deactivated shape has no effect — values
+    'validated' against it via sh:node always conform."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "p", ("x", "literal", XSD_STRING, None)),
+            ("urn:a", EX + "q", iri("urn:other")),
+        ],
+    )
+    def shapes(deactivated: bool):
+        rows = _shape_rows([(EX + "S-p", SH + "node", iri(EX + "Strict"))])
+        rows += [(EX + "Strict", SH + "minLength", lit_typed("5", XSD_INTEGER))]
+        if deactivated:
+            rows += [(EX + "Strict", SH + "deactivated", ("true", "literal", None, None))]
+        return triples_from_rows(spark, rows)
+
+    assert validate(spark, data, shapes(False)).count() == 1  # "x" too short
+    assert validate(spark, data, shapes(True)).count() == 0  # deactivated
