@@ -1721,12 +1721,15 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    # ts is TIMESTAMP_NTZ in the parquet; go through epoch seconds portably
-    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
-    prev_secs = F.unix_timestamp(prev.cast("timestamp"))
-    new_s = (prev.isNull() | ((secs - prev_secs) > 1800)).cast("long")
+    # ts is TIMESTAMP_NTZ: compute the gap with timestampdiff on the NTZ
+    # values directly — session-timezone-independent (unix_timestamp would
+    # interpret NTZ in the session zone and could shift across DST walls)
+    gap_us = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    new_s = (prev.isNull() | (gap_us > 1800 * 1000000)).cast("long")
     return (
-        e.withColumn("new_s", new_s)
+        e.withColumn("_prev_ts", prev)
+        .withColumn("new_s", new_s)
+        .drop("_prev_ts")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1740,7 +1743,8 @@ WITH x AS (SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
            FROM events)
 SELECT user_id, count(*)::BIGINT AS n_events,
-  sum(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+  sum(CASE WHEN prev IS NULL
+        OR date_diff('microsecond', prev, ts) > 1800 * 1000000
       THEN 1 ELSE 0 END)::BIGINT AS n_sessions
 FROM x GROUP BY user_id
 """
