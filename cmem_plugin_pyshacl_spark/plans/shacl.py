@@ -1778,6 +1778,302 @@ def evaluate_constraint(
     return results
 
 
+# ---------------------------------------------------------- batched path
+# Catalogs with MANY property shapes (50-200 constraints is a normal
+# enterprise shapes graph) pay ~0.4 s of Catalyst analysis per constraint
+# when each gets its own plan — a 200-constraint catalog spent >2 min just
+# BUILDING plans. Above this threshold, simple-path count/value constraints
+# are evaluated through ONE constraint-table-driven plan per constraint
+# TYPE: the (tiny) compiled constraint table broadcasts, the data joins it
+# once, and per-constraint parameters become columns. Per-constraint plans
+# remain for complex paths / shape refs / pair constraints.
+_BATCH_THRESHOLD = 16
+
+
+def _is_batchable(c: PropertyConstraint) -> bool:
+    return (
+        c.path is not None
+        and not (c.inverse or c.seq_path or c.alt_path or c.closure_kind)
+        and c.path_expr is None
+        and c.node_ref is None and c.not_ref is None
+        and not c.or_refs and not c.and_refs and not c.xone_refs
+        and c.qualified_ref is None
+        and c.class_ is None
+        and c.equals_ is None and c.disjoint is None
+        and c.less_than is None and c.less_than_eq is None
+        and not c.unique_lang and c.language_in is None
+        and c.in_values is None and c.has_value is None
+    )
+
+
+def _evaluate_simple_batch(
+    spark: SparkSession,
+    data: DataFrame,
+    focus: DataFrame,
+    constraints: list[PropertyConstraint],
+) -> list[DataFrame]:
+    """Evaluate simple-path count/value constraints via a broadcast
+    constraint table — a FIXED number of plans regardless of how many
+    constraints the catalog declares."""
+    ct_rows = []
+    for c in constraints:
+        ct_rows.append(
+            (
+                c.path, c.shape_id, c.severity, c.message,
+                c.min_count, c.max_count,
+                c.datatype, _LEXICAL_RE.get(c.datatype) if c.datatype else None,
+                _NODEKIND_ALLOWED.get(c.node_kind, [KIND_IRI]) if c.node_kind else None,
+                c.node_kind,
+                _java_pattern(c) if c.pattern is not None else None,
+                c.pattern,
+                c.min_length, c.max_length,
+                c.min_inclusive, c.max_inclusive, c.min_exclusive, c.max_exclusive,
+            )
+        )
+    ct_schema = (
+        "p string, shape_id string, severity string, message string, "
+        "min_count int, max_count int, datatype string, lex_re string, "
+        "nk_allowed array<string>, node_kind string, pattern_java string, "
+        "pattern_raw string, min_len int, max_len int, "
+        "min_inc string, max_inc string, min_exc string, max_exc string"
+    )
+    ct = F.broadcast(spark.createDataFrame(ct_rows, schema=ct_schema))
+    paths = sorted({c.path for c in constraints})
+
+    f = focus.withColumnRenamed("part_id", "f_part_id")
+    vals = (
+        data.filter(F.col("p").isin(paths))
+        .select(
+            F.col("s").alias("focus"), "p",
+            F.col("o_kind").alias("v_kind"),
+            F.col("o_value").alias("v_value"),
+            F.col("o_datatype").alias("v_datatype"),
+            F.col("o_lang").alias("v_lang"),
+            F.col("part_id").alias("v_part_id"),
+        )
+        .join(F.broadcast(f), on="focus")
+        .withColumn("part_id", F.coalesce(F.col("f_part_id"), F.col("v_part_id")))
+        .drop("f_part_id", "v_part_id")
+        .join(ct, on="p")
+    )
+
+    def row(component: Column | str, message: Column, value: Column,
+            vk: Column, vd: Column, src: DataFrame, path_col: Column) -> DataFrame:
+        comp = F.lit(component) if isinstance(component, str) else component
+        return src.select(
+            F.col("focus").alias("focusNode"),
+            path_col.alias("resultPath"),
+            value.alias("value"),
+            F.col("shape_id").alias("sourceShape"),
+            comp.alias("sourceConstraintComponent"),
+            F.coalesce(F.col("message"), message).alias("resultMessage"),
+            F.col("severity").alias("resultSeverity"),
+            F.col("part_id").alias("part_id"),
+            vk.alias("value_kind"),
+            vd.alias("value_datatype"),
+        )
+
+    out: list[DataFrame] = []
+    vnull = F.lit(None).cast("string")
+
+    # ---- counts: ONE aggregation for every min/max constraint
+    if any(c.min_count is not None or c.max_count is not None for c in constraints):
+        counts = vals.groupBy(
+            "focus", "p", "shape_id", "severity", "message",
+            "min_count", "max_count",
+        ).agg(F.count(F.lit(1)).alias("cnt"), F.min("part_id").alias("part_id"))
+        out.append(
+            row(
+                SH + "MinCountConstraintComponent",
+                F.concat(F.lit("Less than "), F.col("min_count").cast("string"),
+                         F.lit(" values on "), F.col("p")),
+                vnull, vnull, vnull,
+                counts.filter(
+                    F.col("min_count").isNotNull()
+                    & (F.col("cnt") < F.col("min_count"))
+                ),
+                F.col("p"),
+            )
+        )
+        out.append(
+            row(
+                SH + "MaxCountConstraintComponent",
+                F.concat(F.lit("More than "), F.col("max_count").cast("string"),
+                         F.lit(" values on "), F.col("p")),
+                vnull, vnull, vnull,
+                counts.filter(
+                    F.col("max_count").isNotNull()
+                    & (F.col("cnt") > F.col("max_count"))
+                ),
+                F.col("p"),
+            )
+        )
+        # zero-value recovery for minCount: focus × (tiny) constraint rows
+        # via explode of a literal array — no join, no cartesian node
+        min_specs = [
+            (c.path, c.shape_id, c.severity, c.message, c.min_count)
+            for c in constraints
+            if c.min_count is not None and c.min_count > 0
+        ]
+        if min_specs:
+            spec_arr = F.array(*[
+                F.struct(
+                    F.lit(p0).alias("p"), F.lit(sid).alias("shape_id"),
+                    F.lit(sev).alias("severity"),
+                    F.lit(msg).cast("string").alias("message"),
+                    F.lit(mc).alias("min_count"),
+                )
+                for p0, sid, sev, msg, mc in min_specs
+            ])
+            zero = (
+                focus.withColumn("_c", F.explode(spec_arr))
+                .select(
+                    "focus", "part_id",
+                    F.col("_c.p").alias("p"),
+                    F.col("_c.shape_id").alias("shape_id"),
+                    F.col("_c.severity").alias("severity"),
+                    F.col("_c.message").alias("message"),
+                    F.col("_c.min_count").alias("min_count"),
+                )
+                .join(
+                    F.broadcast(vals.select("focus", "p", "shape_id").distinct()),
+                    on=["focus", "p", "shape_id"],
+                    how="left_anti",
+                )
+            )
+            out.append(
+                row(
+                    SH + "MinCountConstraintComponent",
+                    F.concat(F.lit("Less than "), F.col("min_count").cast("string"),
+                             F.lit(" values on "), F.col("p")),
+                    vnull, vnull, vnull, zero, F.col("p"),
+                )
+            )
+
+    vk = (F.col("v_kind"), F.col("v_datatype"))
+    vv = F.col("v_value")
+
+    # ---- datatype
+    if any(c.datatype is not None for c in constraints):
+        eff = _effective_datatype(F.col("v_kind"), F.col("v_datatype"), F.col("v_lang"))
+        bad = (F.col("v_kind") != KIND_LITERAL) | (eff != F.col("datatype")) | (
+            F.col("lex_re").isNotNull() & ~F.expr("rlike(v_value, lex_re)")
+        )
+        out.append(
+            row(
+                SH + "DatatypeConstraintComponent",
+                F.concat(F.lit("Value does not have datatype "), F.col("datatype")),
+                vv, *vk,
+                vals.filter(F.col("datatype").isNotNull() & bad),
+                F.col("p"),
+            )
+        )
+
+    # ---- nodeKind
+    if any(c.node_kind is not None for c in constraints):
+        out.append(
+            row(
+                SH + "NodeKindConstraintComponent",
+                F.concat(F.lit("Value does not have node kind "), F.col("node_kind")),
+                vv, *vk,
+                vals.filter(
+                    F.col("nk_allowed").isNotNull()
+                    & ~F.array_contains(F.col("nk_allowed"), F.col("v_kind"))
+                ),
+                F.col("p"),
+            )
+        )
+
+    # ---- pattern (column-valued regex: rlike(left, right))
+    if any(c.pattern is not None for c in constraints):
+        out.append(
+            row(
+                SH + "PatternConstraintComponent",
+                F.concat(F.lit("Value does not match pattern "), F.col("pattern_raw")),
+                vv, *vk,
+                vals.filter(
+                    F.col("pattern_java").isNotNull()
+                    & ((F.col("v_kind") == "bnode")
+                       | ~F.expr("rlike(v_value, pattern_java)"))
+                ),
+                F.col("p"),
+            )
+        )
+
+    # ---- lengths
+    if any(c.min_length is not None for c in constraints):
+        out.append(
+            row(
+                SH + "MinLengthConstraintComponent",
+                F.concat(F.lit("Value has less than "),
+                         F.col("min_len").cast("string"), F.lit(" characters")),
+                vv, *vk,
+                vals.filter(
+                    F.col("min_len").isNotNull()
+                    & ((F.col("v_kind") == "bnode")
+                       | (F.length(vv) < F.col("min_len")))
+                ),
+                F.col("p"),
+            )
+        )
+    if any(c.max_length is not None for c in constraints):
+        out.append(
+            row(
+                SH + "MaxLengthConstraintComponent",
+                F.concat(F.lit("Value has more than "),
+                         F.col("max_len").cast("string"), F.lit(" characters")),
+                vv, *vk,
+                vals.filter(
+                    F.col("max_len").isNotNull()
+                    & ((F.col("v_kind") == "bnode")
+                       | (F.length(vv) > F.col("max_len")))
+                ),
+                F.col("p"),
+            )
+        )
+
+    # ---- value ranges (numeric, then temporal; incomparable violates)
+    for bound_col, comp_name, cmp_ok in (
+        ("min_inc", "MinInclusiveConstraintComponent", ">="),
+        ("max_inc", "MaxInclusiveConstraintComponent", "<="),
+        ("min_exc", "MinExclusiveConstraintComponent", ">"),
+        ("max_exc", "MaxExclusiveConstraintComponent", "<"),
+    ):
+        if not any(getattr(c, {
+            "min_inc": "min_inclusive", "max_inc": "max_inclusive",
+            "min_exc": "min_exclusive", "max_exc": "max_exclusive",
+        }[bound_col]) is not None for c in constraints):
+            continue
+        v_num = F.expr("try_cast(v_value as double)")
+        b_num = F.expr(f"try_cast({bound_col} as double)")
+        v_ts = F.expr("try_cast(v_value as timestamp)")
+        b_ts = F.expr(f"try_cast({bound_col} as timestamp)")
+        num_ops = {">=": v_num >= b_num, "<=": v_num <= b_num,
+                   ">": v_num > b_num, "<": v_num < b_num}
+        ts_ops = {">=": v_ts >= b_ts, "<=": v_ts <= b_ts,
+                  ">": v_ts > b_ts, "<": v_ts < b_ts}
+        cmp_col = F.when(
+            v_num.isNotNull() & b_num.isNotNull(), num_ops[cmp_ok]
+        ).otherwise(
+            F.when(
+                v_num.isNull() & b_num.isNull()
+                & v_ts.isNotNull() & b_ts.isNotNull(),
+                ts_ops[cmp_ok],
+            )
+        )
+        ok = (F.col("v_kind") == KIND_LITERAL) & cmp_col.isNotNull() & cmp_col
+        out.append(
+            row(
+                SH + comp_name,
+                F.concat(F.lit(f"Value is not {cmp_ok} "), F.col(bound_col)),
+                vv, *vk,
+                vals.filter(F.col(bound_col).isNotNull() & ~ok),
+                F.col("p"),
+            )
+        )
+    return out
+
+
 def _evaluate_shape(
     spark: SparkSession,
     data: DataFrame,
@@ -1802,7 +2098,13 @@ def _evaluate_shape(
                 spark, data, focus, sc, closure, shape_map, max_depth, depth
             )
         )
-    for pc in shape.properties:
+    batchable = [pc for pc in shape.properties if _is_batchable(pc)]
+    per_constraint = shape.properties
+    if len(batchable) >= _BATCH_THRESHOLD:
+        out.extend(_evaluate_simple_batch(spark, data, focus, batchable))
+        batch_ids = {id(pc) for pc in batchable}
+        per_constraint = [pc for pc in shape.properties if id(pc) not in batch_ids]
+    for pc in per_constraint:
         out.extend(
             evaluate_constraint(
                 spark, data, focus, pc, closure, shape_map, max_depth, depth

@@ -545,3 +545,68 @@ def test_deactivated_shape_conforms_as_node_ref(spark):
 
     assert validate(spark, data, shapes(False)).count() == 1  # "x" too short
     assert validate(spark, data, shapes(True)).count() == 0  # deactivated
+
+
+def test_batched_evaluator_matches_per_constraint(spark, monkeypatch):
+    """The constraint-table batched path must produce EXACTLY the same
+    result set as the per-constraint plans, across every batchable
+    component incl. custom messages and severities."""
+    import cmem_plugin_pyshacl_spark.plans.shacl as shacl_mod
+
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "name", ("Jo", "literal", XSD_STRING, None)),
+            ("urn:a", EX + "age", ("n/a", "literal", XSD_INTEGER, None)),
+            ("urn:a", EX + "home", ("not-a-url", "literal", XSD_STRING, None)),
+            ("urn:b", RDF_TYPE, iri(EX + "T")),
+            ("urn:b", EX + "name", ("Alexandra", "literal", XSD_STRING, None)),
+            ("urn:b", EX + "name", ("Alex", "literal", XSD_STRING, None)),
+            ("urn:b", EX + "age", ("15", "literal", XSD_INTEGER, None)),
+            ("urn:b", EX + "home", iri("https://x.org")),
+            ("urn:b", EX + "tag", ("x" * 40, "literal", XSD_STRING, None)),
+        ],
+    )
+    rows = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "T")),
+    ]
+    specs = [
+        ("p0", EX + "name", [(SH + "minCount", ("1", "literal", None, None)),
+                             (SH + "maxCount", ("1", "literal", None, None))]),
+        ("p1", EX + "age", [(SH + "datatype", iri(XSD_INTEGER)),
+                            (SH + "minInclusive", ("18", "literal", None, None)),
+                            (SH + "severity", iri(SH + "Warning")),
+                            (SH + "message", ("age must be adult int", "literal", None, None))]),
+        ("p2", EX + "home", [(SH + "nodeKind", iri(SH + "IRI"))]),
+        ("p3", EX + "name", [(SH + "pattern", ("^[A-Z]", "literal", None, None)),
+                             (SH + "minLength", ("3", "literal", None, None)),
+                             (SH + "maxLength", ("20", "literal", None, None))]),
+        ("p4", EX + "tag", [(SH + "maxLength", ("10", "literal", None, None))]),
+        ("p5", EX + "missing", [(SH + "minCount", ("2", "literal", None, None))]),
+    ]
+    # pad with extra absent-path constraints so the batch threshold triggers
+    for i in range(14):
+        specs.append((f"pad{i}", EX + f"absent{i}",
+                      [(SH + "minCount", ("1", "literal", None, None))]))
+    for sid, path, extras in specs:
+        pid = f"{EX}S-{sid}"
+        rows += [(EX + "S", SH + "property", iri(pid)), (pid, SH + "path", iri(path))]
+        rows += [(pid, pred, obj) for pred, obj in extras]
+    shapes = triples_from_rows(spark, rows)
+
+    def run():
+        res = validate(spark, data, shapes)
+        return sorted(
+            (r.focusNode, r.resultPath, r.value, r.sourceShape,
+             r.sourceConstraintComponent, r.resultMessage, r.resultSeverity,
+             r.value_kind, r.value_datatype)
+            for r in res.collect()
+        )
+
+    batched = run()
+    monkeypatch.setattr(shacl_mod, "_BATCH_THRESHOLD", 10_000)
+    per_constraint = run()
+    assert batched == per_constraint
+    assert len(batched) > 10  # the fixture actually violates plenty
