@@ -1798,7 +1798,6 @@ def _is_batchable(c: PropertyConstraint) -> bool:
         and c.node_ref is None and c.not_ref is None
         and not c.or_refs and not c.and_refs and not c.xone_refs
         and c.qualified_ref is None
-        and c.class_ is None
         and c.equals_ is None and c.disjoint is None
         and c.less_than is None and c.less_than_eq is None
         and not c.unique_lang and c.language_in is None
@@ -1811,6 +1810,7 @@ def _evaluate_simple_batch(
     data: DataFrame,
     focus: DataFrame,
     constraints: list[PropertyConstraint],
+    closure: dict[str, set[str]] | None = None,
 ) -> list[DataFrame]:
     """Evaluate simple-path count/value constraints via a broadcast
     constraint table — a FIXED number of plans regardless of how many
@@ -1828,6 +1828,7 @@ def _evaluate_simple_batch(
                 c.pattern,
                 c.min_length, c.max_length,
                 c.min_inclusive, c.max_inclusive, c.min_exclusive, c.max_exclusive,
+                c.class_,
             )
         )
     ct_schema = (
@@ -1835,7 +1836,8 @@ def _evaluate_simple_batch(
         "min_count int, max_count int, datatype string, lex_re string, "
         "nk_allowed array<string>, node_kind string, pattern_java string, "
         "pattern_raw string, min_len int, max_len int, "
-        "min_inc string, max_inc string, min_exc string, max_exc string"
+        "min_inc string, max_inc string, min_exc string, max_exc string, "
+        "class string"
     )
     ct = F.broadcast(spark.createDataFrame(ct_rows, schema=ct_schema))
     paths = sorted({c.path for c in constraints})
@@ -2071,6 +2073,48 @@ def _evaluate_simple_batch(
                 F.col("p"),
             )
         )
+
+    # ---- sh:class: ONE anti join against the (class, instance) relation.
+    # The (constraint-class -> closure-member) map is tiny and broadcast;
+    # instances of any closure member become (constraint_class, instance)
+    # pairs; IRI values missing their pair violate, literals always do.
+    if any(c.class_ is not None for c in constraints):
+        cls_pairs = sorted({
+            (c.class_, member)
+            for c in constraints
+            if c.class_ is not None
+            for member in (closure or {}).get(c.class_, {c.class_})
+        })
+        cls_map = F.broadcast(
+            spark.createDataFrame(cls_pairs, schema="class string, member string")
+        )
+        instances = (
+            data.filter(F.col("p") == RDF_TYPE)
+            .select(F.col("s").alias("v_value"), F.col("o_value").alias("member"))
+            .join(cls_map, on="member")
+            .select("class", "v_value")
+            .distinct()
+        )
+        cls_vals = vals.filter(F.col("class").isNotNull())
+        cls_msg = F.concat(
+            F.lit("Value is not an instance of "), F.col("class")
+        )
+        out.append(
+            row(
+                SH + "ClassConstraintComponent", cls_msg, vv, *vk,
+                cls_vals.filter(F.col("v_kind") != KIND_IRI),
+                F.col("p"),
+            )
+        )
+        out.append(
+            row(
+                SH + "ClassConstraintComponent", cls_msg, vv, *vk,
+                cls_vals.filter(F.col("v_kind") == KIND_IRI).join(
+                    instances, on=["class", "v_value"], how="left_anti"
+                ),
+                F.col("p"),
+            )
+        )
     return out
 
 
@@ -2101,7 +2145,7 @@ def _evaluate_shape(
     batchable = [pc for pc in shape.properties if _is_batchable(pc)]
     per_constraint = shape.properties
     if len(batchable) >= _BATCH_THRESHOLD:
-        out.extend(_evaluate_simple_batch(spark, data, focus, batchable))
+        out.extend(_evaluate_simple_batch(spark, data, focus, batchable, closure))
         batch_ids = {id(pc) for pc in batchable}
         per_constraint = [pc for pc in shape.properties if id(pc) not in batch_ids]
     for pc in per_constraint:

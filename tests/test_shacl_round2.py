@@ -566,6 +566,9 @@ def test_batched_evaluator_matches_per_constraint(spark, monkeypatch):
             ("urn:b", EX + "age", ("15", "literal", XSD_INTEGER, None)),
             ("urn:b", EX + "home", iri("https://x.org")),
             ("urn:b", EX + "tag", ("x" * 40, "literal", XSD_STRING, None)),
+            ("urn:a", EX + "knows", iri("urn:b")),       # typed T -> ok
+            ("urn:a", EX + "knows", iri("urn:stranger")),  # untyped -> violates
+            ("urn:b", EX + "knows", ("lit", "literal", XSD_STRING, None)),  # literal
         ],
     )
     rows = [
@@ -585,6 +588,7 @@ def test_batched_evaluator_matches_per_constraint(spark, monkeypatch):
                              (SH + "maxLength", ("20", "literal", None, None))]),
         ("p4", EX + "tag", [(SH + "maxLength", ("10", "literal", None, None))]),
         ("p5", EX + "missing", [(SH + "minCount", ("2", "literal", None, None))]),
+        ("p6", EX + "knows", [(SH + "class", iri(EX + "T"))]),
     ]
     # pad with extra absent-path constraints so the batch threshold triggers
     for i in range(14):
