@@ -1800,8 +1800,7 @@ def _is_batchable(c: PropertyConstraint) -> bool:
         and c.qualified_ref is None
         and c.equals_ is None and c.disjoint is None
         and c.less_than is None and c.less_than_eq is None
-        and not c.unique_lang and c.language_in is None
-        and c.in_values is None and c.has_value is None
+        and not c.unique_lang
     )
 
 
@@ -1829,6 +1828,10 @@ def _evaluate_simple_batch(
                 c.min_length, c.max_length,
                 c.min_inclusive, c.max_inclusive, c.min_exclusive, c.max_exclusive,
                 c.class_,
+                [_term_key_py(*t) for t in c.in_terms] if c.in_terms is not None else None,
+                _term_key_py(*c.has_value_term) if c.has_value_term is not None else None,
+                c.has_value,
+                [t.lower() for t in c.language_in] if c.language_in is not None else None,
             )
         )
     ct_schema = (
@@ -1837,7 +1840,8 @@ def _evaluate_simple_batch(
         "nk_allowed array<string>, node_kind string, pattern_java string, "
         "pattern_raw string, min_len int, max_len int, "
         "min_inc string, max_inc string, min_exc string, max_exc string, "
-        "class string"
+        "class string, in_keys array<string>, hv_key string, hv_display string, "
+        "lang_tags array<string>"
     )
     ct = F.broadcast(spark.createDataFrame(ct_rows, schema=ct_schema))
     paths = sorted({c.path for c in constraints})
@@ -2070,6 +2074,88 @@ def _evaluate_simple_batch(
                 F.concat(F.lit(f"Value is not {cmp_ok} "), F.col(bound_col)),
                 vv, *vk,
                 vals.filter(F.col(bound_col).isNotNull() & ~ok),
+                F.col("p"),
+            )
+        )
+
+    # ---- sh:in (term identity via precomputed key arrays)
+    if any(c.in_values is not None for c in constraints):
+        vkey = _vterm_key()
+        out.append(
+            row(
+                SH + "InConstraintComponent",
+                F.lit("Value is not in the allowed list"),
+                vv, *vk,
+                vals.filter(
+                    F.col("in_keys").isNotNull()
+                    & ~F.array_contains(F.col("in_keys"), vkey)
+                ),
+                F.col("p"),
+            )
+        )
+
+    # ---- sh:hasValue: per-FOCUS anti join (explode the tiny spec list)
+    hv_specs = [
+        (c.path, c.shape_id, c.severity, c.message,
+         _term_key_py(*c.has_value_term) if c.has_value_term is not None else None,
+         c.has_value)
+        for c in constraints
+        if c.has_value is not None
+    ]
+    if hv_specs:
+        vkey = _vterm_key()
+        matched = (
+            vals.filter(F.col("hv_key").isNotNull() & (vkey == F.col("hv_key")))
+            .select("focus", "p", "shape_id")
+            .distinct()
+        )
+        hv_arr = F.array(*[
+            F.struct(
+                F.lit(p0).alias("p"), F.lit(sid).alias("shape_id"),
+                F.lit(sev).alias("severity"),
+                F.lit(msg).cast("string").alias("message"),
+                F.lit(disp).alias("hv_display"),
+            )
+            for p0, sid, sev, msg, _k, disp in hv_specs
+        ])
+        missing = (
+            focus.withColumn("_c", F.explode(hv_arr))
+            .select(
+                "focus", "part_id",
+                F.col("_c.p").alias("p"),
+                F.col("_c.shape_id").alias("shape_id"),
+                F.col("_c.severity").alias("severity"),
+                F.col("_c.message").alias("message"),
+                F.col("_c.hv_display").alias("hv_display"),
+            )
+            .join(F.broadcast(matched), on=["focus", "p", "shape_id"], how="left_anti")
+        )
+        out.append(
+            row(
+                SH + "HasValueConstraintComponent",
+                F.concat(F.lit("Value "), F.col("hv_display"),
+                         F.lit(" is required")),
+                vnull, vnull, vnull, missing, F.col("p"),
+            )
+        )
+
+    # ---- sh:languageIn (RFC 4647 ranges over a tag array column)
+    if any(c.language_in is not None for c in constraints):
+        lang = F.lower(F.coalesce(F.col("v_lang"), F.lit("")))
+        tag_ok = F.exists(
+            F.col("lang_tags"),
+            lambda t: (lang == t) | lang.startswith(F.concat(t, F.lit("-"))),
+        )
+        ok = (
+            (F.col("v_kind") == KIND_LITERAL)
+            & F.col("v_lang").isNotNull() & tag_ok
+        )
+        out.append(
+            row(
+                SH + "LanguageInConstraintComponent",
+                F.lit("Value has no language tag from the allowed list"),
+                vv, *vk,
+                vals.filter(F.col("lang_tags").isNotNull() & ~ok),
                 F.col("p"),
             )
         )

@@ -569,6 +569,10 @@ def test_batched_evaluator_matches_per_constraint(spark, monkeypatch):
             ("urn:a", EX + "knows", iri("urn:b")),       # typed T -> ok
             ("urn:a", EX + "knows", iri("urn:stranger")),  # untyped -> violates
             ("urn:b", EX + "knows", ("lit", "literal", XSD_STRING, None)),  # literal
+            ("urn:a", EX + "seg", ("GOLD", "literal", XSD_STRING, None)),
+            ("urn:b", EX + "seg", ("COPPER", "literal", XSD_STRING, None)),
+            ("urn:a", EX + "label", ("hi", "literal", None, "en-GB")),
+            ("urn:b", EX + "label", ("salut", "literal", None, "fr")),
         ],
     )
     rows = [
@@ -589,11 +593,17 @@ def test_batched_evaluator_matches_per_constraint(spark, monkeypatch):
         ("p4", EX + "tag", [(SH + "maxLength", ("10", "literal", None, None))]),
         ("p5", EX + "missing", [(SH + "minCount", ("2", "literal", None, None))]),
         ("p6", EX + "knows", [(SH + "class", iri(EX + "T"))]),
+        ("p7", EX + "seg", [(SH + "in", iri("urn:dl:0"))]),
+        ("p8", EX + "seg", [(SH + "hasValue", ("GOLD", "literal", None, None))]),
+        ("p9", EX + "label", [(SH + "languageIn", iri("urn:dll:0"))]),
     ]
     # pad with extra absent-path constraints so the batch threshold triggers
     for i in range(14):
         specs.append((f"pad{i}", EX + f"absent{i}",
                       [(SH + "minCount", ("1", "literal", None, None))]))
+    rows += _rdf_list("dl", [("GOLD", "literal", None, None),
+                             ("SILVER", "literal", None, None)])
+    rows += _rdf_list("dll", [("en", "literal", None, None)])
     for sid, path, extras in specs:
         pid = f"{EX}S-{sid}"
         rows += [(EX + "S", SH + "property", iri(pid)), (pid, SH + "path", iri(path))]
@@ -603,9 +613,11 @@ def test_batched_evaluator_matches_per_constraint(spark, monkeypatch):
     def run():
         res = validate(spark, data, shapes)
         return sorted(
-            (r.focusNode, r.resultPath, r.value, r.sourceShape,
-             r.sourceConstraintComponent, r.resultMessage, r.resultSeverity,
-             r.value_kind, r.value_datatype)
+            tuple("" if v is None else v for v in (
+                r.focusNode, r.resultPath, r.value, r.sourceShape,
+                r.sourceConstraintComponent, r.resultMessage, r.resultSeverity,
+                r.value_kind, r.value_datatype,
+            ))
             for r in res.collect()
         )
 
