@@ -149,3 +149,82 @@ def test_count_constraints_match_python_reference(spark, case):
         if k > max_c:
             expected.add((s, SH + "MaxCountConstraintComponent"))
     assert got == expected
+
+
+# ----------------------------------- batched vs per-constraint (randomized)
+@st.composite
+def _random_catalog(draw):
+    """Random data values + a random 18-constraint catalog (above the batch
+    threshold) mixing count/length/datatype/range constraints."""
+    n_subj = draw(st.integers(min_value=1, max_value=5))
+    data = {}
+    for i in range(n_subj):
+        vals = draw(
+            st.lists(
+                st.sampled_from(["7", "42", "abc", "de", "2020-01-01", ""]),
+                min_size=0, max_size=3,
+            )
+        )
+        data[f"urn:s{i}"] = vals
+    constraints = []
+    for j in range(18):
+        kind = draw(st.sampled_from(["min", "max", "minlen", "maxlen", "dt", "rng"]))
+        n = draw(st.integers(min_value=0, max_value=3))
+        constraints.append((j, kind, n))
+    return data, constraints
+
+
+@given(_random_catalog())
+@settings(max_examples=5, deadline=None)
+def test_batched_equals_per_constraint_randomized(spark, case):
+    import cmem_plugin_pyshacl_spark.plans.shacl as shacl_mod
+
+    data_map, constraints = case
+    rows = []
+    for s, vals in data_map.items():
+        rows.append((s, RDF_TYPE, iri(EX + "T")))
+        for v in vals:
+            rows.append((s, EX + "p", (v, "literal", XSD_STRING, None)))
+    data = triples_from_rows(spark, rows)
+    shape_rows = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "T")),
+    ]
+    for j, kind, n in constraints:
+        pid = f"{EX}S-p{j}"
+        shape_rows += [
+            (EX + "S", SH + "property", iri(pid)),
+            (pid, SH + "path", iri(EX + "p")),
+        ]
+        if kind == "min":
+            shape_rows.append((pid, SH + "minCount", lit_typed(str(n), XSD_INTEGER)))
+        elif kind == "max":
+            shape_rows.append((pid, SH + "maxCount", lit_typed(str(n), XSD_INTEGER)))
+        elif kind == "minlen":
+            shape_rows.append((pid, SH + "minLength", lit_typed(str(n), XSD_INTEGER)))
+        elif kind == "maxlen":
+            shape_rows.append((pid, SH + "maxLength", lit_typed(str(n), XSD_INTEGER)))
+        elif kind == "dt":
+            shape_rows.append((pid, SH + "datatype", iri(XSD_INTEGER)))
+        else:
+            shape_rows.append((pid, SH + "minInclusive", lit_typed(str(10 * n), XSD_INTEGER)))
+    shapes = triples_from_rows(spark, shape_rows)
+
+    def run():
+        res = validate(spark, data, shapes)
+        return sorted(
+            tuple("" if v is None else v for v in (
+                r.focusNode, r.sourceShape, r.sourceConstraintComponent,
+                r.value, r.resultMessage,
+            ))
+            for r in res.collect()
+        )
+
+    batched = run()
+    saved = shacl_mod._BATCH_THRESHOLD
+    shacl_mod._BATCH_THRESHOLD = 10_000
+    try:
+        per_constraint = run()
+    finally:
+        shacl_mod._BATCH_THRESHOLD = saved
+    assert batched == per_constraint
