@@ -125,6 +125,32 @@ def triples_from_rows(spark, rows, graph: str | None = None) -> DataFrame:
     return spark.createDataFrame(full, schema=TRIPLES_SCHEMA)
 
 
+def df_is_small(df: DataFrame, limit: int = 2_000_000) -> bool:
+    """Bounded-count probe for broadcast gating: an explicit F.broadcast()
+    hint is honored by Spark regardless of size (AQE never demotes user
+    hints), so callers must MEASURE before hinting. limit(n+1).count()
+    stops early once n+1 rows exist; the verdict is memoized on the
+    DataFrame object so repeated gates on the same frame cost one job."""
+    cached = getattr(df, "_gb_small", None)
+    if cached is not None:
+        return bool(cached)
+    try:
+        small = df.limit(limit + 1).count() <= limit
+    except Exception:  # pragma: no cover - probe failure → conservative
+        small = False
+    try:
+        df._gb_small = small  # type: ignore[attr-defined]
+    except Exception:  # pragma: no cover
+        pass
+    return small
+
+
+def maybe_broadcast(df: DataFrame, small: bool) -> DataFrame:
+    """Apply the broadcast hint only when the gate measured the frame small;
+    otherwise leave the join unhinted for AQE to pick the strategy."""
+    return F.broadcast(df) if small else df
+
+
 def dedupe_triples(df: DataFrame) -> DataFrame:
     """Restore rdflib set semantics: duplicate add is a no-op."""
     return df.dropDuplicates(TRIPLE_KEY_COLS)
@@ -145,10 +171,18 @@ def nt_term(kind: Column, value: Column, datatype: Column, lang: Column) -> Colu
     """
     escaped = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(value, r"\\", r"\\\\"), '"', r'\\"'
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(value, r"\\", r"\\\\"), '"', r'\\"'
+                ),
+                "\n",
+                r"\\n",
+            ),
+            "\r",
+            r"\\r",
         ),
-        "\n",
-        r"\\n",
+        "\t",
+        r"\\t",
     )
     return (
         F.when(kind == KIND_IRI, F.concat(F.lit("<"), value, F.lit(">")))
@@ -195,9 +229,12 @@ def from_ntriples(
     standard single-line `<s> <p> object .` form, comments and blank lines
     skipped). Pure codegen regexp extraction — no Python UDFs.
 
-    Object forms: `<iri>`, `"lex"`, `"lex"@lang`, `"lex"^^<dt>`; the three
-    N-Triples escapes emitted by nt_term (backslash, quote, newline) are
-    unescaped.
+    Object forms: `<iri>`, `"lex"`, `"lex"@lang`, `"lex"^^<dt>`; the
+    N-Triples escapes emitted by nt_term (backslash, quote, newline, CR,
+    tab) are unescaped. Escaped backslashes are resolved FIRST (into a
+    sentinel) so that e.g. NT `C:\\nightly` parses back to ``C:\nightly``
+    rather than backslash+newline — the pairs must not be re-interpreted
+    by the later `\n`/`\"` passes.
     """
     line = F.col("_l")
     body = F.regexp_extract(line, r"^<([^>]*)>\s+<([^>]*)>\s+(.*?)\s*\.$", 3)
@@ -205,13 +242,13 @@ def from_ntriples(
     p = F.regexp_extract(line, r"^<[^>]*>\s+<([^>]*)>", 1)
     is_iri = body.startswith("<")
     lex_raw = F.regexp_extract(body, r'^"((?:[^"\\]|\\.)*)"', 1)
-    lex = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(lex_raw, r"\\n", "\n"), r'\\"', '"'
-        ),
-        r"\\\\",
-        r"\\",
-    )
+    _sent = "\x00"  # never occurs in NT source (control chars are escaped)
+    lex = F.regexp_replace(lex_raw, r"\\\\", _sent)
+    lex = F.regexp_replace(lex, r"\\n", "\n")
+    lex = F.regexp_replace(lex, r"\\r", "\r")
+    lex = F.regexp_replace(lex, r"\\t", "\t")
+    lex = F.regexp_replace(lex, r'\\"', '"')
+    lex = F.regexp_replace(lex, _sent, r"\\")
     lang = F.regexp_extract(body, r'^"(?:[^"\\]|\\.)*"@([A-Za-z0-9-]+)$', 1)
     dt = F.regexp_extract(body, r'^"(?:[^"\\]|\\.)*"\^\^<([^>]*)>$', 1)
     parsed = (

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..data_model import ENTITY_COLUMNS, KIND_LITERAL, XSD_STRING
+from ..data_model import (
+    ENTITY_COLUMNS,
+    KIND_LITERAL,
+    XSD_STRING,
+    df_is_small,
+    maybe_broadcast,
+)
 from .labels import labels_table
 
 
@@ -44,11 +50,17 @@ def make_entities(
     if add_labels:
         data_labels = labels_table(data_triples, language)
         shape_labels = labels_table(shapes_triples, language)
+        # full-graph label tables are never force-broadcast (round-2
+        # ADVICE): restrict each to the report's distinct nodes first and
+        # hint only the restricted table, gated once on the report size
+        small = df_is_small(results)
 
         def lab(col: str, labels: DataFrame, out: str) -> None:
             nonlocal df
             l = labels.withColumnRenamed("s", col).withColumnRenamed("label", f"_{out}")
-            df = df.join(F.broadcast(l), on=col, how="left")
+            nodes = results.select(col).distinct()
+            l = l.join(maybe_broadcast(nodes, small), on=col, how="left_semi")
+            df = df.join(maybe_broadcast(l, small), on=col, how="left")
 
         lab("focusNode", data_labels, "focus_label")
         lab("sourceShape", shape_labels, "shape_label")

@@ -30,6 +30,8 @@ from ..data_model import (
     XSD_BOOLEAN,
     XSD_DATETIME,
     XSD_STRING,
+    df_is_small,
+    maybe_broadcast,
     nt_term,
     to_ntriples,
 )
@@ -148,10 +150,15 @@ def add_report_labels(
     if include_graphs_labels and data_triples is not None:
         from .labels import labels_table
 
+        # label copying broadcasts the small DISTINCT-NODE side into the
+        # (potentially full-graph-sized) label table, not the reverse
+        # (round-2 ADVICE); gate measured once on the report rows
+        _small_report = df_is_small(results)
+
         def _copied(nodes: DataFrame, col: str, labels: DataFrame) -> DataFrame:
             lab = labels.withColumnRenamed("s", col)
             return (
-                nodes.join(F.broadcast(lab), on=col)
+                lab.join(maybe_broadcast(nodes, _small_report), on=col)
                 .select(
                     F.col(col).alias("s"),
                     F.lit(RDFS_LABEL).alias("p"),

@@ -14,8 +14,10 @@ Reference semantics re-expressed relationally:
     order so output is stable across partitions and re-runs.
 
 Scale: the label dimension is filtered from the triples table by a 3-IRI
-isin (pushed to the scan), windowed per subject, then BROADCAST to every
-join site — the big table never shuffles for labeling.
+isin (pushed to the scan) and windowed per subject; join sites first
+semi-restrict it to the nodes actually being labeled and broadcast only the
+restricted (size-gated) table — the full-graph label dimension itself is
+never force-broadcast.
 """
 
 from __future__ import annotations
@@ -30,6 +32,8 @@ from ..data_model import (
     SKOS_PREFLABEL,
     SKOSXL_LITERALFORM,
     SKOSXL_PREFLABEL,
+    df_is_small,
+    maybe_broadcast,
 )
 
 LABEL_PRIO = {RDFS_LABEL: 0, SKOSXL_PREFLABEL: 1, SKOS_PREFLABEL: 2}
@@ -78,10 +82,18 @@ def with_labels(
     df: DataFrame, triples: DataFrame, node_col: str, out_col: str = "label",
     language: str | None = None,
 ) -> DataFrame:
-    """Broadcast-left-join preferred labels onto any node column (the join
-    pattern behind reference add_labels_val :405-424 and check_object
-    :470-478)."""
+    """Left-join preferred labels onto any node column (the join pattern
+    behind reference add_labels_val :405-424 and check_object :470-478).
+
+    Scale posture (round-2 ADVICE): the FULL-graph label table is never
+    force-broadcast — it grows with the graph. Instead the label dimension
+    is first semi-restricted to df's distinct nodes (broadcasting the small
+    node side when the gate allows), and only the restricted table — bounded
+    by |distinct df nodes| — carries the hint."""
     lab = labels_table(triples, language).withColumnRenamed("s", node_col).withColumnRenamed(
         "label", out_col
     )
-    return df.join(F.broadcast(lab), on=node_col, how="left")
+    small = df_is_small(df)
+    nodes = df.select(node_col).distinct()
+    lab = lab.join(maybe_broadcast(nodes, small), on=node_col, how="left_semi")
+    return df.join(maybe_broadcast(lab, small), on=node_col, how="left")

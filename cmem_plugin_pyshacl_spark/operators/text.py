@@ -149,20 +149,56 @@ def cap_per_domain(
     url_col: str = "url",
     max_docs: int = 1000,
     order_col: str = "doc_id",
+    n_salt: int = 32,
 ) -> DataFrame:
     """Keep at most `max_docs` documents per domain (deterministic: lowest
     `order_col` first) — bounds any single host's share of the corpus.
-    One window shuffle keyed on domain; skewed mega-domains are exactly the
-    rows being dropped, so the skew self-limits."""
+
+    Skew-safe (round-2 VERDICT finding 2): a plain row_number() over
+    partitionBy(domain) ships a mega-domain's ENTIRE row set to one task
+    before filtering. Instead:
+      1. per-domain counts (one partial+final agg — small shuffle of keys),
+      2. domains at/under the cap — the vast majority — PASS THROUGH with
+         no window at all (anti join against the oversized-domain list,
+         broadcast when measured small),
+      3. only oversized domains are windowed, and in two salted stages:
+         stage 1 keeps the per-(domain, salt) lowest `max_docs` rows, so
+         stage 2's per-domain input is bounded by n_salt * max_docs rows
+         regardless of how large the mega-domain is.
+    Output is identical to the single-window formulation whenever
+    `order_col` is unique per domain (doc_id is)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("_domain").orderBy(F.col(order_col))
-    return (
-        documents.withColumn("_domain", url_domain(F.col(url_col)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_docs)
-        .drop("_domain", "_rn")
+    from ..data_model import df_is_small, maybe_broadcast
+
+    with_dom = documents.withColumn("_domain", url_domain(F.col(url_col)))
+    over = (
+        with_dom.groupBy("_domain")
+        .agg(F.count(F.lit(1)).alias("_dn"))
+        .filter(F.col("_dn") > max_docs)
+        .select("_domain")
     )
+    # |over| <= |corpus| / max_docs by construction — usually tiny
+    over_hinted = maybe_broadcast(over, df_is_small(over))
+    under = with_dom.join(over_hinted, on="_domain", how="left_anti")
+    overflow = with_dom.join(over_hinted, on="_domain", how="left_semi")
+
+    salted = overflow.withColumn(
+        "_salt", F.pmod(F.hash(F.col(order_col)), F.lit(n_salt))
+    )
+    w1 = Window.partitionBy("_domain", "_salt").orderBy(F.col(order_col))
+    stage1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= max_docs)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy("_domain").orderBy(F.col(order_col))
+    capped = (
+        stage1.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= max_docs)
+        .drop("_rn")
+    )
+    return under.unionByName(capped).drop("_domain")
 
 
 def repetition_ratio(

@@ -40,6 +40,7 @@ OWL_EQ_CLASS = OWL + "equivalentClass"
 OWL_EQ_PROP = OWL + "equivalentProperty"
 OWL_INVERSE_OF = OWL + "inverseOf"
 OWL_SYMMETRIC = OWL + "SymmetricProperty"
+OWL_TRANSITIVE = OWL + "TransitiveProperty"
 _SCHEMA_PREDS = [RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RDFS_DOMAIN, RDFS_RANGE]
 _OWL_SCHEMA_PREDS = [OWL_EQ_CLASS, OWL_EQ_PROP, OWL_INVERSE_OF]
 
@@ -72,6 +73,44 @@ def _mk_broadcast_map(
     )
 
 
+def _transitive_instance_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Transitive closure of an instance-level edge relation
+    DataFrame[s, o] by PATH DOUBLING: each round joins the closure with
+    itself, so round k covers chains of length 2^k — 20 rounds close any
+    realistic hierarchy. Per-round localCheckpoint keeps the plan bounded;
+    the join shuffles on the edge keys only (never the full triple table)."""
+    acc = edges.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # explicit renames sidestep self-join attribute ambiguity on the
+        # checkpointed relation
+        hop = acc.select(F.col("s").alias("_hs"), F.col("o").alias("_ho"))
+        stepped = (
+            acc.join(hop, F.col("o") == F.col("_hs"))
+            .select("s", F.col("_ho").alias("o"))
+            .distinct()
+        )
+        prev = acc.select(F.col("s").alias("_ps"), F.col("o").alias("_po"))
+        new = (
+            stepped.join(
+                prev,
+                (F.col("s") == F.col("_ps")) & (F.col("o") == F.col("_po")),
+                how="left_anti",
+            )
+        ).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        acc = acc.unionByName(new).localCheckpoint(eager=True)
+    else:  # pragma: no cover - 2^20-hop chains
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "TransitiveProperty closure still growing after %d doubling "
+            "rounds — result may be incomplete",
+            max_rounds,
+        )
+    return acc
+
+
 def apply_inference(
     data: DataFrame, ontology: DataFrame | None = None, profile: str = "rdfs"
 ) -> DataFrame:
@@ -86,7 +125,8 @@ def apply_inference(
 
         logging.getLogger(__name__).warning(
             "inference=%s: applying the RDFS + OWL equivalence/inverseOf/"
-            "symmetric subset, NOT the full OWL-RL closure of owlrl 7.1.4",
+            "symmetric/transitive subset, NOT the full OWL-RL closure of "
+            "owlrl 7.1.4 (no sameAs, no property chains)",
             profile,
         )
         return rdfs_inference(data, ontology, owl=True)
@@ -108,16 +148,20 @@ def rdfs_inference(
       owl:equivalentProperty p≡q => p subPropertyOf q AND q subPropertyOf p
       owl:inverseOf        (x p y), (p inverseOf q) => (y q x), both ways
       owl:SymmetricProperty (x p y) => (y p x)
+      owl:TransitiveProperty (x p y), (y p z) => (x p z) — instance-level
+        path-doubling fixpoint (prp-trp)
     """
     spark = data.sparkSession
     schema_src = data if ontology is None else data.unionByName(ontology)
     schema_preds = _SCHEMA_PREDS + (_OWL_SCHEMA_PREDS if owl else [])
     schema_filter = F.col("p").isin(schema_preds)
     if owl:
-        # symmetric-property declarations are the ONLY rdf:type rows the
-        # schema needs — never collect the data graph's instance types
+        # symmetric/transitive-property declarations are the ONLY rdf:type
+        # rows the schema needs — never collect the data graph's instance
+        # types
         schema_filter = schema_filter | (
-            (F.col("p") == RDF_TYPE) & (F.col("o_value") == OWL_SYMMETRIC)
+            (F.col("p") == RDF_TYPE)
+            & (F.col("o_value").isin([OWL_SYMMETRIC, OWL_TRANSITIVE]))
         )
     schema_rows = (
         schema_src.filter(schema_filter)
@@ -132,6 +176,7 @@ def rdfs_inference(
 
     inverse_pairs: set[tuple[str, str]] = set()
     symmetric_props: set[str] = set()
+    transitive_props: set[str] = set()
     if owl:
         for r in schema_rows:
             if r.p == OWL_EQ_CLASS:
@@ -145,6 +190,8 @@ def rdfs_inference(
                 inverse_pairs.add((r.o_value, r.s))
             elif r.p == RDF_TYPE and r.o_value == OWL_SYMMETRIC:
                 symmetric_props.add(r.s)
+            elif r.p == RDF_TYPE and r.o_value == OWL_TRANSITIVE:
+                transitive_props.add(r.s)
 
     sub_class = _transitive_close(sub_class)
     sub_prop = _transitive_close(sub_prop)
@@ -196,6 +243,38 @@ def rdfs_inference(
         )
     base = out if not extras else dedupe_triples(out.unionByName(extras[0]))
     extras = []
+
+    # owl:TransitiveProperty — the one INSTANCE-level fixpoint (reference
+    # parity driver: owlrl 7.1.4 prp-trp, plugin_pyshacl.py:238-249). Runs
+    # AFTER rdfs7 (so super-property edges feed it) and BEFORE domain/
+    # range/rdfs9 (so entailed edges feed the type rules). Path-doubling
+    # join with per-round localCheckpoint (same lineage posture as
+    # plans/connected_components.py): 20 rounds covers chains to 2^20.
+    for p_t in sorted(transitive_props):
+        edges = (
+            base.filter((F.col("p") == p_t) & (F.col("o_kind") == KIND_IRI))
+            .select("s", F.col("o_value").alias("o"))
+            .distinct()
+        )
+        closed = _transitive_instance_closure(edges)
+        # lineage: entailed (s, o) pairs report into the min partition /
+        # graph of s's direct edges (deterministic; s always has >=1 edge)
+        src_meta = (
+            base.filter(F.col("p") == p_t)
+            .groupBy("s")
+            .agg(F.min("graph").alias("graph"), F.min("part_id").alias("part_id"))
+        )
+        entailed_t = closed.join(src_meta, on="s").select(
+            "s",
+            F.lit(p_t).alias("p"),
+            F.lit(KIND_IRI).alias("o_kind"),
+            F.col("o").alias("o_value"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+            "graph",
+            "part_id",
+        )
+        base = dedupe_triples(base.unionByName(entailed_t))
 
     if domain:
         m = _mk_map(domain, "p", "cls")

@@ -181,3 +181,50 @@ def test_rdfs_profile_ignores_owl(spark):
     )
     types = _types(apply_inference(data, profile="rdfs"))
     assert ("urn:x", EX + "B") not in types
+
+
+def test_owl_transitive_property(spark):
+    """prp-trp: a 6-hop ancestor chain fully closes (all pairs i<j), and
+    non-declared predicates are untouched (round-2 VERDICT task 4)."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_TRANSITIVE,
+        apply_inference,
+    )
+
+    rows = [(EX + "ancestorOf", RDF_TYPE, iri(OWL_TRANSITIVE))]
+    for i in range(6):
+        rows.append((f"urn:g{i}", EX + "ancestorOf", iri(f"urn:g{i + 1}")))
+    rows.append(("urn:g0", EX + "likes", iri("urn:g1")))
+    rows.append(("urn:g1", EX + "likes", iri("urn:g2")))
+    data = triples_from_rows(spark, rows)
+    out = apply_inference(data, profile="owlrl")
+    got = {(r.s, r.o_value) for r in out.collect() if r.p == EX + "ancestorOf"}
+    want = {(f"urn:g{i}", f"urn:g{j}") for i in range(7) for j in range(7) if i < j}
+    assert got == want
+    likes = {(r.s, r.o_value) for r in out.collect() if r.p == EX + "likes"}
+    assert likes == {("urn:g0", "urn:g1"), ("urn:g1", "urn:g2")}  # NOT closed
+
+
+def test_owl_transitive_feeds_type_rules(spark):
+    """Entailed transitive edges must feed rdfs2 domain typing (rule order:
+    transitive runs before domain/range)."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_TRANSITIVE,
+        RDFS_DOMAIN,
+        apply_inference,
+    )
+
+    data = triples_from_rows(
+        spark,
+        [
+            (EX + "partOf", RDF_TYPE, iri(OWL_TRANSITIVE)),
+            (EX + "partOf", RDFS_DOMAIN, iri(EX + "Component")),
+            ("urn:a", EX + "partOf", iri("urn:b")),
+            ("urn:b", EX + "partOf", iri("urn:c")),
+        ],
+    )
+    out = apply_inference(data, profile="owlrl")
+    types = {(r.s, r.o_value) for r in out.collect() if r.p == RDF_TYPE}
+    assert ("urn:a", EX + "Component") in types
+    got = {(r.s, r.o_value) for r in out.collect() if r.p == EX + "partOf"}
+    assert ("urn:a", "urn:c") in got

@@ -130,6 +130,35 @@ def test_url_domain_and_cap(spark):
     assert got == [0, 1, 2, 3, 100, 101, 102]  # lowest ids kept per domain
 
 
+def test_cap_per_domain_mega_domain_matches_window_version(spark):
+    """Skew-safe path (pre-count + salted two-stage top-k) must produce
+    EXACTLY the single-window result on a synthetic mega-domain plus many
+    small domains (round-2 VERDICT finding 2)."""
+    from pyspark.sql.window import Window
+
+    from cmem_plugin_pyshacl_spark.operators.text import cap_per_domain, url_domain
+
+    rows = [(i, f"https://mega.example.com/page/{i}") for i in range(5000)]
+    for d in range(40):
+        for i in range(d % 7 + 1):  # domains under and at the cap
+            rows.append((100000 + d * 100 + i, f"http://site{d}.org/{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    got = sorted(
+        r.doc_id for r in cap_per_domain(df, max_docs=5, n_salt=8).collect()
+    )
+    w = Window.partitionBy("_domain").orderBy(F.col("doc_id"))
+    naive = (
+        df.withColumn("_domain", url_domain(F.col("url")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_domain", "_rn")
+    )
+    want = sorted(r.doc_id for r in naive.collect())
+    assert got == want
+    assert got[:5] == [0, 1, 2, 3, 4]  # mega-domain capped to lowest ids
+
+
 def test_repetition_ratio(spark):
     from cmem_plugin_pyshacl_spark.operators.text import repetition_ratio
 
