@@ -83,12 +83,16 @@ from cmem_plugin_pyshacl_spark.operators.multimodal import (
 from cmem_plugin_pyshacl_spark.operators.similarity import (
     _hyperplanes,
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from cmem_plugin_pyshacl_spark.operators.text import (
+    cap_per_domain,
     fingerprint,
     lang_id,
     quality_score,
+    redact_pii,
+    repetition_ratio,
     token_counts,
 )
 from cmem_plugin_pyshacl_spark.plans.connected_components import (
@@ -645,26 +649,41 @@ def q_shacl_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p3, SH + "path", (EX + "email", KIND_IRI, None, None)),
         (p3, SH + "minCount", ("5", "literal", None, None)),
     ]
+    # round-3 rotation: the former shacl_self_pattern fixture (node-level
+    # sh:pattern on the focus IRI itself; customers with >=4-digit keys
+    # violate) merged in to free an oracle slot — see COVERAGE.md
+    s4 = EX + "IdShape"
+    rows += [
+        (s4, RDFT, (SH + "NodeShape", KIND_IRI, None, None)),
+        (s4, SH + "targetClass", (EX + "Customer", KIND_IRI, None, None)),
+        (s4, SH + "pattern", ("^urn:cust:[0-9]{1,3}$", "literal", None, None)),
+    ]
     shapes = triples_from_rows(spark, rows, graph="urn:graph:shapes")
     res = validate(spark, data, shapes)
     return res.select(
-        "focusNode", "resultPath", "sourceShape", "sourceConstraintComponent",
+        "focusNode", "resultPath", "value", "sourceShape",
+        "sourceConstraintComponent",
         F.col("part_id").cast("long").alias("part_id"),
     )
 
 
 ORACLE_SHACL_TARGETS = f"""
 SELECT {_CUST} AS focusNode, 'http://example.org/phone' AS resultPath,
+  NULL::VARCHAR AS value,
   '{EX}EmailSubjectsShape-phone' AS sourceShape,
   '{SH_MIN}' AS sourceConstraintComponent, {_PART16} AS part_id
 FROM customer WHERE c_custkey % 3 != 0
 UNION ALL
-SELECT 'urn:nation:' || c_nationkey, '{RDFT}',
+SELECT 'urn:nation:' || c_nationkey, '{RDFT}', NULL::VARCHAR,
   '{EX}NationObjectsShape-type', '{SH_MIN}', min(c_custkey % 16)::BIGINT
 FROM customer WHERE c_nationkey >= 22 GROUP BY c_nationkey
 UNION ALL
-SELECT 'urn:cust:1', 'http://example.org/email',
+SELECT 'urn:cust:1', 'http://example.org/email', NULL::VARCHAR,
   '{EX}SingleNodeShape-email5', '{SH_MIN}', 1::BIGINT
+UNION ALL
+SELECT {_CUST}, NULL::VARCHAR, {_CUST}, '{EX}IdShape',
+  '{SH_PAT}', {_PART16}
+FROM customer WHERE c_custkey >= 1000
 """
 
 
@@ -761,31 +780,6 @@ SELECT 'urn:nation:' || n_nationkey AS focusNode,
 FROM nation
 WHERE n_nationkey < 22
   AND (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) < 60
-"""
-
-
-def q_shacl_self_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Node-level constraint: the focus node IRI itself must match a
-    pattern (customers with >=4-digit keys violate)."""
-    data = derive_customer_graph(spark, sf_dir)
-    rows = [
-        (EX + "IdShape", RDFT, (SH + "NodeShape", KIND_IRI, None, None)),
-        (EX + "IdShape", SH + "targetClass", (EX + "Customer", KIND_IRI, None, None)),
-        (EX + "IdShape", SH + "pattern", ("^urn:cust:[0-9]{1,3}$", "literal", None, None)),
-    ]
-    shapes = triples_from_rows(spark, rows, graph="urn:graph:shapes")
-    res = validate(spark, data, shapes)
-    return res.select(
-        "focusNode", "resultPath", "value", "sourceConstraintComponent",
-        F.col("part_id").cast("long").alias("part_id"),
-    )
-
-
-ORACLE_SHACL_SELF_PATTERN = f"""
-SELECT {_CUST} AS focusNode, NULL::VARCHAR AS resultPath,
-  {_CUST} AS value,
-  '{SH_PAT}' AS sourceConstraintComponent, {_PART16} AS part_id
-FROM customer WHERE c_custkey >= 1000
 """
 
 
@@ -1408,8 +1402,22 @@ FROM r WHERE rank <= 5
 """
 
 
-def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(load(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 rotation: lang_id + quality_score merged into ONE scan (both
+    are pure column expressions over the same documents table), freeing an
+    oracle slot — see COVERAGE.md."""
+    out = lang_id(quality_score(load(spark, sf_dir, "documents")))
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        F.col("q_n_chars").cast("long").alias("q_n_chars"),
+        F.col("q_n_tokens").cast("long").alias("q_n_tokens"),
+        F.round("q_mean_word_len", 6).alias("q_mean_word_len"),
+        F.round("q_punct_ratio", 6).alias("q_punct_ratio"),
+        F.round("q_stopword_ratio", 6).alias("q_stopword_ratio"),
+        F.round("q_alpha_ratio", 6).alias("q_alpha_ratio"),
+        F.round("q_score", 6).alias("q_score"),
+    )
 
 
 def _lang_score_sql(markers: list[str]) -> str:
@@ -1440,18 +1448,14 @@ SELECT doc_id, {case} AS lang_pred FROM s
 """
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = quality_score(load(spark, sf_dir, "documents"))
-    return out.select(
-        "doc_id",
-        F.col("q_n_chars").cast("long").alias("q_n_chars"),
-        F.col("q_n_tokens").cast("long").alias("q_n_tokens"),
-        F.round("q_mean_word_len", 6).alias("q_mean_word_len"),
-        F.round("q_punct_ratio", 6).alias("q_punct_ratio"),
-        F.round("q_stopword_ratio", 6).alias("q_stopword_ratio"),
-        F.round("q_alpha_ratio", 6).alias("q_alpha_ratio"),
-        F.round("q_score", 6).alias("q_score"),
-    )
+def _oracle_lang_quality() -> str:
+    lang = _oracle_lang_id().strip()
+    quality = _oracle_quality().strip()
+    return f"""
+SELECT q.doc_id, l.lang_pred, q.q_n_chars, q.q_n_tokens, q.q_mean_word_len,
+  q.q_punct_ratio, q.q_stopword_ratio, q.q_alpha_ratio, q.q_score
+FROM ({lang}) l JOIN ({quality}) q USING (doc_id)
+"""
 
 
 def _oracle_quality() -> str:
@@ -1487,32 +1491,25 @@ FROM m
 """
 
 
-def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = token_counts(load(spark, sf_dir, "documents"))
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 rotation: token_counts + fingerprint merged (joined on
+    doc_id), freeing an oracle slot — see COVERAGE.md."""
+    docs = load(spark, sf_dir, "documents")
+    out = token_counts(docs).join(fingerprint(docs), on="doc_id")
     return out.select(
         "doc_id",
         F.col("ws_tokens").cast("long").alias("ws_tokens"),
         F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        "winnow_min",
+        "content_hash",
     )
 
 
-ORACLE_TOKEN_COUNTS = r"""
+ORACLE_TEXT_STATS = rf"""
 SELECT doc_id,
   len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS ws_tokens,
   len(regexp_extract_all(text,
-      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT AS bpe_tokens
-FROM documents
-"""
-
-
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprint(load(spark, sf_dir, "documents")).select(
-        "doc_id", "winnow_min", "content_hash"
-    )
-
-
-ORACLE_FINGERPRINT = f"""
-SELECT doc_id,
+      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT AS bpe_tokens,
   list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
     i -> {md5_int60_sql('substr(text, i::INT, 8)')})) AS winnow_min,
   {md5_int60_sql('text')} AS content_hash
@@ -1521,6 +1518,9 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram features for every payload PLUS real decoded
+    dimensions (round-3: image rows are genuine PPM P6 payloads; the
+    oracle re-parses width/height from the payload header bytes)."""
     media = synthetic_media(spark, 240)
     feats = decode_features(media, dim=8)
     f = F.col("feature")
@@ -1530,24 +1530,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(f, 1).cast("double"), 6).alias("f0"),
         F.round(F.element_at(f, 2).cast("double"), 6).alias("f1"),
         F.round(F.element_at(f, 3).cast("double"), 6).alias("f2"),
+        F.col("img_width").cast("long").alias("img_width"),
+        F.col("img_height").cast("long").alias("img_height"),
     )
 
 
-ORACLE_MULTIMODAL = """
-WITH m AS (
-  SELECT range AS media_id,
-    (['image', 'audio', 'video'])[(range % 3) + 1] AS kind,
-    'payload-' || md5(range::VARCHAR) AS payload
-  FROM range(240)),
+ORACLE_MULTIMODAL = r"""
+WITH ids AS (SELECT range AS media_id FROM range(240)),
+m AS (
+  SELECT media_id,
+    (['image', 'audio', 'video'])[(media_id % 3) + 1] AS kind,
+    CASE WHEN media_id % 3 = 0 THEN
+      'P6' || chr(10) || ((media_id % 4) + 2) || ' ' || ((media_id % 5) + 2)
+        || chr(10) || '255' || chr(10)
+        || list_aggregate(
+             list_transform(
+               range(((media_id % 4) + 2) * ((media_id % 5) + 2) * 3),
+               j -> chr((((media_id * 7 + j * 13) % 127) + 1)::INT)),
+             'string_agg', '')
+    ELSE 'payload-' || md5(media_id::VARCHAR) END AS payload
+  FROM ids),
 c AS (
-  SELECT media_id, kind, length(payload) AS n_bytes,
+  SELECT media_id, kind, payload, length(payload) AS n_bytes,
     list_transform(range(1, length(payload) + 1),
                    i -> ascii(substr(payload, i::INT, 1)) % 8) AS codes
   FROM m)
 SELECT media_id, kind, n_bytes::BIGINT AS n_bytes,
   round(len(list_filter(codes, x -> x = 0))::DOUBLE / n_bytes, 6) AS f0,
   round(len(list_filter(codes, x -> x = 1))::DOUBLE / n_bytes, 6) AS f1,
-  round(len(list_filter(codes, x -> x = 2))::DOUBLE / n_bytes, 6) AS f2
+  round(len(list_filter(codes, x -> x = 2))::DOUBLE / n_bytes, 6) AS f2,
+  CASE WHEN kind = 'image'
+       THEN regexp_extract(payload, '^P6\n(\d+) (\d+)', 1)::BIGINT END
+    AS img_width,
+  CASE WHEN kind = 'image'
+       THEN regexp_extract(payload, '^P6\n(\d+) (\d+)', 2)::BIGINT END
+    AS img_height
 FROM c
 """
 
@@ -1886,6 +1903,170 @@ def entry(spark: SparkSession) -> DataFrame:
     return result.reports
 
 
+# =====================================================================
+# Round-3 rotation: oracle slots freed by the shacl_range/self_pattern and
+# text merges go to the previously pytest-only round-2 operators
+# =====================================================================
+
+
+def q_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 source twin: serialize the label graph to N-Triples lines and
+    parse them back with the codegen NT reader (from_ntriples). graph and
+    part_id lineage are not carried by the text format (NULL / 0)."""
+    from cmem_plugin_pyshacl_spark.data_model import from_ntriples, to_ntriples
+
+    back = from_ntriples(to_ntriples(derive_label_graph(spark, sf_dir)))
+    return back.select(
+        "s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "graph",
+        F.col("part_id").cast("long").alias("part_id"),
+    )
+
+
+_SKOS_PL = "http://www.w3.org/2004/02/skos/core#prefLabel"
+_SKOSXL_PL = "http://www.w3.org/2008/05/skos-xl#prefLabel"
+_SKOSXL_LF = "http://www.w3.org/2008/05/skos-xl#literalForm"
+
+ORACLE_NT_ROUNDTRIP = f"""
+SELECT 'urn:part:' || p_partkey AS s, '{_SKOS_PL}' AS p,
+  'literal' AS o_kind, 'skos ' || p_name AS o_value,
+  '{XSD_STRING}' AS o_datatype, NULL::VARCHAR AS o_lang,
+  NULL::VARCHAR AS graph, 0::BIGINT AS part_id
+FROM part
+UNION ALL
+SELECT 'urn:part:' || p_partkey, '{RDFS_LABEL}', 'literal',
+  'rdfs ' || p_name, '{XSD_STRING}', NULL, NULL, 0
+FROM part WHERE p_partkey % 2 = 0
+UNION ALL
+SELECT 'urn:part:' || p_partkey, '{_SKOSXL_PL}', 'iri',
+  'urn:xl:' || p_partkey, NULL, NULL, NULL, 0
+FROM part WHERE p_partkey % 3 = 0
+UNION ALL
+SELECT 'urn:xl:' || p_partkey, '{_SKOSXL_LF}', 'literal',
+  'xl ' || p_name, '{XSD_STRING}', NULL, NULL, 0
+FROM part WHERE p_partkey % 3 = 0
+"""
+
+
+def _hygiene_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents augmented with deterministic synthetic PII (email/IP/
+    phone per doc_id), a duplicated-line tail (even ids repeat it), and a
+    per-source URL — the corpus the hygiene pipeline scrubs."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/d/"), did
+    )
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 call +1 555 000 "), did,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\nrepeat\nrepeat")).otherwise(
+            F.lit("\nrepeat")
+        ),
+    )
+    return d.select("doc_id", "source", url.alias("url"), pii_text.alias("text"))
+
+
+def q_hygiene_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-hygiene pass: redact_pii -> repetition_ratio ->
+    cap_per_domain (10 docs per domain, lowest doc_id first)."""
+    docs = _hygiene_docs(spark, sf_dir)
+    out = cap_per_domain(
+        repetition_ratio(redact_pii(docs)), url_col="url", max_docs=10
+    )
+    return out.select(
+        "doc_id",
+        F.col("text").alias("text_redacted"),
+        F.round("repetition_ratio", 6).alias("repetition_ratio"),
+    )
+
+
+ORACLE_HYGIENE = (
+    r"""
+WITH d AS (
+  SELECT doc_id, source,
+    text || ' contact user' || doc_id || '@example.com ip 10.0.' ||
+      (doc_id % 256) || '.1 call +1 555 000 ' || doc_id ||
+      CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'repeat' || chr(10) || 'repeat'
+           ELSE chr(10) || 'repeat' END AS text
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      '\+?\d[\d\s().-]{6,}\d', '<PHONE>', 'g') AS text_redacted
+  FROM d),
+l AS (
+  SELECT doc_id, source, text_redacted,
+    list_filter(string_split(text_redacted, chr(10)),
+                x -> trim(x) != '') AS lines
+  FROM r),
+m AS (
+  SELECT doc_id, text_redacted,
+    CASE WHEN len(lines) > 0
+         THEN round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+         ELSE 0.0 END AS repetition_ratio,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM l)
+SELECT doc_id, text_redacted, repetition_ratio FROM m WHERE rn <= 10
+"""
+)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (KMeans coarse quantizer + cell probing + exact
+    re-rank). No SQL oracle: the quantizer is an iterative ML fit DuckDB
+    cannot replicate — the driver records the weaker rows-only check;
+    recall vs the exact baseline is pinned by tests/test_similarity.py."""
+    emb = _emb_double(spark, sf_dir)
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, n_probe=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of the streaming windowed-count plan (same operator serves
+    readStream inputs — tests/test_streaming.py pins stream == batch).
+    Window bounds exported as epoch microseconds via timestampdiff on the
+    NTZ values — session-timezone-independent."""
+    from cmem_plugin_pyshacl_spark.streaming.stateful import (
+        windowed_event_counts,
+    )
+
+    out = windowed_event_counts(load(spark, sf_dir, "events"), window="1 hour")
+    zero = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    return out.select(
+        F.expr(f"timestampdiff(MICROSECOND, {zero}, window_start)").alias(
+            "win_start_us"
+        ),
+        F.expr(f"timestampdiff(MICROSECOND, {zero}, window_end)").alias(
+            "win_end_us"
+        ),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+ORACLE_WINDOWED_COUNTS = """
+SELECT
+  date_diff('microsecond', TIMESTAMP '1970-01-01',
+            time_bucket(INTERVAL '1 hour', ts))::BIGINT AS win_start_us,
+  (date_diff('microsecond', TIMESTAMP '1970-01-01',
+             time_bucket(INTERVAL '1 hour', ts)) + 3600000000)::BIGINT
+    AS win_end_us,
+  event_type, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """50 registered queries — sized to the driver's per-round correctness
     budget (round 1 recorded rows for exactly the FIRST 50 of 55
@@ -1924,21 +2105,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "homepage": {"path": EX + "homepage", "nodeKind": SH + "IRI"},
             "segment": {"path": EX + "segment", "pattern": "^[A-Z]{1,9}$"},
         }),
+        # round-3 rotation: shacl_range merged in (same fixture family) to
+        # free an oracle slot for the round-2 operators — see COVERAGE.md
         "shacl_length": _shacl_q({
             "emailmin": {"path": EX + "email", "minLength": 16},
             "emailmax": {"path": EX + "email", "maxLength": 17},
+            "age": {"path": EX + "age", "minInclusive": 18},
         }),
         "shacl_in_hasvalue": _shacl_q({
             "segin": {"path": EX + "segment",
                       "in": ["BUILDING", "MACHINERY", "AUTOMOBILE"]},
             "seghv": {"path": EX + "segment", "hasValue": "BUILDING"},
         }),
-        "shacl_range": _shacl_q({"age": {"path": EX + "age", "minInclusive": 18}}),
         "shacl_full_report": q_shacl_full,
         "shacl_node_ref": q_shacl_node_ref,
         "shacl_or": q_shacl_or,
         "shacl_inverse_path": q_shacl_inverse_path,
-        "shacl_self_pattern": q_shacl_self_pattern,
+        # round-3 rotation: shacl_self_pattern merged into shacl_targets
         "shacl_targets": q_shacl_targets,
         "shacl_partition_reports": q_shacl_partition_reports,
         # graph operators
@@ -1958,15 +2141,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_topk": q_similarity_lsh,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_token_counts": q_text_token_counts,
-        "text_fingerprint": q_text_fingerprint,
+        # round-3 rotation: lang_id+quality and token_counts+fingerprint
+        # merged pairwise; freed slots go to the round-2 operators below
+        "text_lang_quality": q_text_lang_quality,
+        "text_stats": q_text_stats,
         "multimodal_features": q_multimodal_features,
         "connected_components": q_connected_components,
         "salted_agg": q_salted_agg,
         # stage-wise C2 variant (fused equivalent registered above)
         "kg_relations": q_kg_relations,
+        # round-3 additions (previously pytest-only)
+        "nt_roundtrip": q_nt_roundtrip,
+        "hygiene_pipeline": q_hygiene_pipeline,
+        "ivf_topk": q_ivf_topk,
+        "windowed_event_counts": q_windowed_event_counts,
     }
 
 
@@ -1997,16 +2185,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "shacl_length": (
             f"{ORACLE_SHACL_MINLENGTH} UNION ALL {ORACLE_SHACL_MAXLENGTH}"
+            f" UNION ALL {ORACLE_SHACL_RANGE}"
         ),
         "shacl_in_hasvalue": (
             f"{ORACLE_SHACL_IN} UNION ALL {ORACLE_SHACL_HASVALUE}"
         ),
-        "shacl_range": ORACLE_SHACL_RANGE,
         "shacl_full_report": ORACLE_SHACL_FULL,
         "shacl_node_ref": ORACLE_SHACL_NODE_REF,
         "shacl_or": ORACLE_SHACL_OR,
         "shacl_inverse_path": ORACLE_SHACL_INVERSE,
-        "shacl_self_pattern": ORACLE_SHACL_SELF_PATTERN,
         "shacl_targets": ORACLE_SHACL_TARGETS,
         "shacl_partition_reports": ORACLE_SHACL_REPORTS,
         "remove_graph_type": ORACLE_REMOVE_GRAPH_TYPE,
@@ -2024,12 +2211,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _oracle_emb_near_dup(),
         "similarity_topk": ORACLE_SIM_TOPK,
         "similarity_lsh_topk": _oracle_sim_lsh(),
-        "text_lang_id": _oracle_lang_id(),
-        "text_quality": _oracle_quality(),
-        "text_token_counts": ORACLE_TOKEN_COUNTS,
-        "text_fingerprint": ORACLE_FINGERPRINT,
+        "text_lang_quality": _oracle_lang_quality(),
+        "text_stats": ORACLE_TEXT_STATS,
         "multimodal_features": ORACLE_MULTIMODAL,
         "connected_components": ORACLE_CC,
         "salted_agg": ORACLE_SALTED_AGG,
         "kg_relations": ORACLE_KG_RELATIONS,
+        "nt_roundtrip": ORACLE_NT_ROUNDTRIP,
+        "hygiene_pipeline": ORACLE_HYGIENE,
+        # ivf_topk: deliberately no oracle (iterative KMeans quantizer is
+        # not SQL-expressible) — driver records the rows-only check
+        "windowed_event_counts": ORACLE_WINDOWED_COUNTS,
     }

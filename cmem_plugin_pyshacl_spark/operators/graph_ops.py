@@ -342,11 +342,22 @@ def post_graph(
     path: str,
     replace: bool = True,
     ntriples_path: str | None = None,
+    single_file: bool = True,
 ) -> None:
     """R12 — sink. The reference POSTs a serialized N-Triples file with
     replace=clear_validation_graph (:444-456); ours writes parquet with
-    overwrite-vs-append semantics plus an optional N-Triples text export."""
+    overwrite-vs-append semantics plus an optional N-Triples text export.
+
+    single_file=True keeps the reference's one-file POST semantics
+    (coalesce(1) — a deliberate single-task write, only for graphs meant to
+    be POSTed whole); single_file=False writes per-partition text files —
+    the 100-TB export shape (N-Triples is line-oriented, so a directory of
+    part files is still one valid graph and round-trips through
+    from_ntriples, which reads a whole directory)."""
     writer = triples.write.mode("overwrite" if replace else "append")
     writer.partitionBy("part_id").parquet(path)
     if ntriples_path:
-        to_ntriples(triples).coalesce(1).write.mode("overwrite").text(ntriples_path)
+        lines = to_ntriples(triples)
+        if single_file:
+            lines = lines.coalesce(1)
+        lines.write.mode("overwrite").text(ntriples_path)

@@ -1,12 +1,12 @@
 """Multimodal-column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via mapInPandas.
 
-The image/audio codec libraries are not available in this container, so the
-DECODE step is stubbed (deterministic fake derived from the bytes, clearly
-marked). Everything Spark-side is real and tested: schemas, Arrow batch
-iteration, partition-preserving mapInPandas plumbing, and the metadata
-model — swapping the stub for Pillow/torchaudio later changes only the
-body of `_decode_stub`.
+The general codec libraries (Pillow/torchaudio/ffmpeg) are not available in
+this container, so decode is REAL only for the uncompressed containers a
+pure numpy parser can handle — PPM (P6) and BMP (24-bit uncompressed) — and
+stays an honest NotImplementedError for everything else. Everything
+Spark-side is real and tested either way: schemas, Arrow batch iteration,
+partition-preserving mapInPandas plumbing, and the metadata model.
 
 Scale: mapInPandas streams Arrow batches; per-batch memory is bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch (set it to keep
@@ -16,8 +16,10 @@ for 10 MB images).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,16 +43,83 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # real decoded dimensions (PPM/BMP parse); NULL when the payload is
+        # not a container the pure-python decoder understands
+        T.StructField("img_width", T.IntegerType(), True),
+        T.StructField("img_height", T.IntegerType(), True),
     ]
 )
 
 
-def _decode_stub(payload: bytes | None, dim: int = 8) -> list[float]:
-    """STUB decode/feature-extract: deterministic fake feature vector from
-    the payload bytes (byte-histogram folded to `dim` buckets). A real
-    deployment replaces this body with an actual decoder; the function
-    signature, batching, and schema stay identical.
+# ------------------------------------------------------------ real decode
+def decode_image_bytes(payload: bytes | None) -> tuple[int, int, np.ndarray] | None:
+    """Pure-numpy decode of the two uncompressed containers we support:
+
+      * PPM P6 (``P6\\n<w> <h>\\n<maxval>\\n`` + RGB bytes, maxval <= 255)
+      * BMP, BITMAPINFOHEADER, 24 bpp, uncompressed (BI_RGB), bottom-up
+        rows padded to 4 bytes (the standard header layout is public
+        format documentation)
+
+    Returns (width, height, HxWx3 uint8 array) or None when the payload is
+    not one of these containers (caller decides whether that is an error).
     """
+    if not payload:
+        return None
+    if payload[:2] == b"P6":
+        try:
+            # header: magic, whitespace-separated width/height/maxval, one
+            # whitespace byte, then raw RGB
+            parts: list[bytes] = []
+            i = 2
+            while len(parts) < 3 and i < len(payload):
+                while i < len(payload) and payload[i : i + 1].isspace():
+                    i += 1
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                parts.append(payload[i:j])
+                i = j
+            i += 1  # single whitespace after maxval
+            w, h, maxval = (int(p) for p in parts)
+            if maxval > 255:
+                return None
+            pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+            return w, h, pix.reshape(h, w, 3)
+        except Exception:
+            return None
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        try:
+            data_off = struct.unpack_from("<I", payload, 10)[0]
+            w = struct.unpack_from("<i", payload, 18)[0]
+            h = struct.unpack_from("<i", payload, 22)[0]
+            bpp = struct.unpack_from("<H", payload, 28)[0]
+            compression = struct.unpack_from("<I", payload, 30)[0]
+            if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+                return None
+            bottom_up = h > 0
+            h_abs = abs(h)
+            stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h_abs, offset=data_off
+            ).reshape(h_abs, stride)[:, : w * 3].reshape(h_abs, w, 3)
+            if bottom_up:
+                rows = rows[::-1]
+            # BMP stores BGR; normalize to RGB
+            return w, h_abs, rows[:, :, ::-1]
+        except Exception:
+            return None
+    return None
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Serialize an HxWx3 uint8 array as a PPM P6 payload."""
+    h, w = pixels.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def _histogram_feature(payload: bytes | None, dim: int = 8) -> list[float]:
+    """Byte-histogram folded to `dim` buckets — the format-agnostic feature
+    used for every payload (decodable or not); deterministic and cheap."""
     if payload is None:
         return [0.0] * dim
     buckets = [0] * dim
@@ -62,10 +131,13 @@ def _decode_stub(payload: bytes | None, dim: int = 8) -> list[float]:
 
 def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction over binary payloads; partition- and
-    order-agnostic, Arrow-batched."""
+    order-agnostic, Arrow-batched. Emits the byte-histogram feature for
+    every row plus REAL decoded dimensions for PPM/BMP payloads (NULL for
+    formats the pure-python decoder does not cover)."""
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            dims = pdf["payload"].map(decode_image_bytes)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -73,7 +145,11 @@ def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda p: 0 if p is None else len(p)
                     ),
-                    "feature": pdf["payload"].map(lambda p: _decode_stub(p, dim)),
+                    "feature": pdf["payload"].map(
+                        lambda p: _histogram_feature(p, dim)
+                    ),
+                    "img_width": dims.map(lambda d: None if d is None else d[0]),
+                    "img_height": dims.map(lambda d: None if d is None else d[1]),
                 }
             )
 
@@ -81,16 +157,44 @@ def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing — decode step stubbed (no codec libs in this
-    container): raises NotImplementedError per media row kind='image' if
-    actually executed with decode=True semantics; shape/partitioning are
-    real."""
+    """Nearest-neighbor image resize: REAL for PPM/BMP payloads (numpy
+    decode -> index-sample -> PPM re-encode); payloads in any other
+    container still raise NotImplementedError (no codec libs in this
+    environment) — the failure is per-batch and explicit, never a silent
+    pass-through."""
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raise NotImplementedError(
-                "image decode requires a codec library not present in this "
-                "container; plumbing (schema/batching) is complete"
+            out_payload = []
+            out_w, out_h = [], []
+            for p, kind in zip(pdf["payload"], pdf["kind"]):
+                if kind != "image":
+                    out_payload.append(p)
+                    out_w.append(None)
+                    out_h.append(None)
+                    continue
+                decoded = decode_image_bytes(p)
+                if decoded is None:
+                    raise NotImplementedError(
+                        "image decode beyond PPM/BMP requires a codec "
+                        "library not present in this container"
+                    )
+                w0, h0, pix = decoded
+                ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                out_payload.append(encode_ppm(pix[ys][:, xs]))
+                out_w.append(width)
+                out_h.append(height)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "mime": pdf["mime"],
+                    "meta_width": out_w,
+                    "meta_height": out_h,
+                    "meta_duration_ms": pdf["meta_duration_ms"],
+                }
             )
 
     return media.mapInPandas(_fn, schema=MEDIA_SCHEMA)
@@ -98,7 +202,8 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: emits (media_id, frame_ts_ms) rows
-    from the metadata duration — the real decode hook is the stub above."""
+    from the metadata duration — the real per-frame decode hook would plug
+    into decode_features."""
     return (
         media.filter(F.col("kind") == "video")
         .select(
@@ -115,21 +220,44 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 100) -> DataFrame:
-    """Deterministic media fixture (binary payload derived from the id)."""
-    df = spark.range(n)
-    return df.select(
-        F.col("id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        F.encode(
-            F.concat(F.lit("payload-"), F.md5(F.col("id").cast("string"))), "utf-8"
-        ).cast("binary").alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.when(F.col("id") % 3 == 0, ((F.col("id") % 8 + 1) * 64).cast("int")).alias("meta_width"),
-        F.when(F.col("id") % 3 == 0, ((F.col("id") % 6 + 1) * 64).cast("int")).alias("meta_height"),
-        F.when(F.col("id") % 3 == 2, ((F.col("id") % 10 + 1) * 1000).cast("int")).alias(
-            "meta_duration_ms"
-        ),
-    )
+    """Deterministic media fixture. Image rows (media_id % 3 == 0) carry a
+    REAL tiny PPM P6 payload whose pixel bytes are the ASCII-safe sequence
+    ((id*7 + j*13) % 127) + 1 — decodable by decode_image_bytes AND
+    re-parsable by the DuckDB oracle (payload casts to VARCHAR because
+    every byte is 1..127). Audio/video rows keep an opaque text payload."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                kind = ["image", "audio", "video"][mid % 3]
+                mw = mh = dur = None
+                if kind == "image":
+                    w = mid % 4 + 2
+                    h = mid % 5 + 2
+                    pix = bytes(
+                        ((mid * 7 + j * 13) % 127) + 1 for j in range(w * h * 3)
+                    )
+                    payload = f"P6\n{w} {h}\n255\n".encode() + pix
+                    mime = "image/x-portable-pixmap"
+                    mw, mh = w, h
+                else:
+                    payload = (
+                        "payload-" + hashlib.md5(str(mid).encode()).hexdigest()
+                    ).encode()
+                    mime = "application/octet-stream"
+                    if kind == "video":
+                        dur = (mid % 10 + 1) * 1000
+                rows.append((mid, kind, payload, mime, mw, mh, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "mime",
+                    "meta_width", "meta_height", "meta_duration_ms",
+                ],
+            )
+
+    return spark.range(n).mapInPandas(_gen, schema=MEDIA_SCHEMA)

@@ -59,8 +59,18 @@ def windowed_event_counts(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """Tumbling-window per-event-type counts with late-data watermark.
-    Works on both a streaming and a batch events DataFrame (same plan)."""
-    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    Works on both a streaming and a batch events DataFrame (same plan).
+
+    BATCH TIMESTAMP_NTZ inputs stay NTZ (F.window supports it) so window
+    bounds are session-timezone-independent — casting NTZ through
+    TIMESTAMP would shift walls with the session zone (same reasoning as
+    the batch sessionization's timestampdiff-on-NTZ). STREAMING inputs
+    must cast: withWatermark requires TIMESTAMP event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise)."""
+    ts_type = dict(events.dtypes).get("ts", "")
+    e = events
+    if events.isStreaming or not ts_type.startswith("timestamp"):
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     if e.isStreaming:
         e = e.withWatermark("ts", watermark)
     return (

@@ -168,6 +168,33 @@ def test_ntriples_round_trip(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_post_graph_partitioned_nt_export_roundtrips(spark, tmp_path):
+    """single_file=False writes a DIRECTORY of per-partition N-Triples part
+    files (no coalesce(1) single-task write) that from_ntriples reads back
+    as one graph (round-2 VERDICT nit)."""
+    import glob
+
+    from cmem_plugin_pyshacl_spark.data_model import from_ntriples
+    from cmem_plugin_pyshacl_spark.operators.graph_ops import post_graph
+
+    rows = [
+        (f"urn:s{i}", EX + "p", (f"val {i}", "literal", None, None))
+        for i in range(40)
+    ]
+    t = triples_from_rows(spark, rows).repartition(4)
+    nt_dir = str(tmp_path / "nt_multi")
+    post_graph(t, str(tmp_path / "pq"), ntriples_path=nt_dir, single_file=False)
+    part_files = glob.glob(nt_dir + "/part-*")
+    assert len(part_files) > 1  # genuinely partitioned output
+    back = from_ntriples(spark.read.text(nt_dir), line_col="value")
+    got = {(r.s, r.o_value) for r in back.collect()}
+    assert got == {(f"urn:s{i}", f"val {i}") for i in range(40)}
+
+    nt_one = str(tmp_path / "nt_single")
+    post_graph(t, str(tmp_path / "pq2"), ntriples_path=nt_one, single_file=True)
+    assert len(glob.glob(nt_one + "/part-*")) == 1  # reference POST semantics
+
+
 def test_include_graphs_labels_copies_value_and_shape_labels(spark):
     """R10 include_graphs_labels: focusNode + IRI-value labels come from
     the DATA graph, sourceShape labels from the SHAPES graph; literal

@@ -1,0 +1,125 @@
+"""SHACL-AF first slice: sh:sparql constraints (single BGP + FILTER subset)
+compiled to DataFrame plans — W3C SHACL-AF §5-style fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from cmem_plugin_pyshacl_spark.data_model import (
+    EX,
+    RDF_TYPE,
+    SH,
+    XSD_INTEGER,
+    iri,
+    lit_typed,
+    triples_from_rows,
+)
+from cmem_plugin_pyshacl_spark.plans.shacl import validate
+from cmem_plugin_pyshacl_spark.plans.sparql_af import (
+    SH_SPARQL_COMPONENT,
+    parse_select,
+)
+
+
+def _af_shapes(spark, select, message="sparql violation"):
+    rows = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "Person")),
+        (EX + "S", SH + "sparql", iri("urn:af:c1")),
+        ("urn:af:c1", SH + "select", lit_typed(select)),
+        ("urn:af:c1", SH + "message", lit_typed(message)),
+    ]
+    return triples_from_rows(spark, rows)
+
+
+def _people(spark):
+    return triples_from_rows(
+        spark,
+        [
+            ("urn:alice", RDF_TYPE, iri(EX + "Person")),
+            ("urn:alice", EX + "age", lit_typed("17", XSD_INTEGER)),
+            ("urn:alice", EX + "knows", iri("urn:bob")),
+            ("urn:bob", RDF_TYPE, iri(EX + "Person")),
+            ("urn:bob", EX + "age", lit_typed("42", XSD_INTEGER)),
+            ("urn:carol", RDF_TYPE, iri(EX + "Person")),
+            ("urn:carol", EX + "knows", iri("urn:carol")),
+        ],
+    )
+
+
+def test_sparql_constraint_bgp_filter(spark):
+    """W3C SHACL-AF §5.1-style: report persons whose age is under 18 —
+    every SELECT solution is one sh:SPARQLConstraintComponent result."""
+    select = (
+        "SELECT $this ?age WHERE { "
+        f"$this <{EX}age> ?age . FILTER (?age < 18) }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:alice", "17")}
+    assert res[0].sourceConstraintComponent == SH_SPARQL_COMPONENT
+    assert res[0].sourceShape == "urn:af:c1"
+    assert res[0].resultMessage == "sparql violation"
+
+
+def test_sparql_constraint_this_in_object_position(spark):
+    """Self-reference probe: $this may appear in the object position
+    (persons who know themselves)."""
+    select = f"SELECT $this WHERE {{ $this <{EX}knows> $this }}"
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:carol"}
+    assert res[0].value is None
+
+
+def test_sparql_constraint_two_pattern_join_and_regex(spark):
+    """Chained BGP: $this knows ?o, ?o has an age — regex filter on the
+    joined variable's value."""
+    select = (
+        "SELECT $this ?o WHERE { "
+        f"$this <{EX}knows> ?o . ?o <{EX}age> ?a . "
+        'FILTER (regex(?a, "^4")) }'
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:alice", "urn:bob")}
+
+
+def test_sparql_unsupported_select_raises(spark):
+    for bad in (
+        "ASK { $this a ?c }",
+        "SELECT $this WHERE { $this <urn:p> ?v . OPTIONAL { ?v <urn:q> ?w } }",
+        "SELECT $this WHERE { }",
+    ):
+        with pytest.raises(ValueError):
+            validate(
+                spark, _people(spark), _af_shapes(spark, bad), advanced=True
+            )
+
+
+def test_sparql_ignored_without_advanced_flag(spark):
+    """Without advanced=True the sh:sparql node is inert (core-only pass),
+    matching the reference's flag-gated delegation."""
+    select = (
+        "SELECT $this ?age WHERE { "
+        f"$this <{EX}age> ?age . FILTER (?age < 18) }}"
+    )
+    res = validate(spark, _people(spark), _af_shapes(spark, select))
+    assert res.count() == 0
+
+
+def test_parse_select_shapes():
+    proj, pats, filts = parse_select(
+        'SELECT $this ?v WHERE { $this a ?v . FILTER (?v != "x") }'
+    )
+    assert proj == ["v"]
+    assert pats[0].pred.endswith("#type")
+    assert len(filts) == 1
+
+
+def test_js_still_raises(spark):
+    with pytest.raises(ValueError):
+        validate(spark, _people(spark), _people(spark), js=True)

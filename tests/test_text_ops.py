@@ -77,9 +77,75 @@ def test_multimodal_features(spark):
     feats = decode_features(media, dim=8).collect()
     assert len(feats) == 30
     for r in feats:
-        assert r.n_bytes == 40  # 'payload-' + 32 hex chars
+        if r.kind == "image":
+            # real PPM payload: decoded dims come from the header bytes
+            w, h = r.media_id % 4 + 2, r.media_id % 5 + 2
+            assert (r.img_width, r.img_height) == (w, h)
+            assert r.n_bytes == len(f"P6\n{w} {h}\n255\n") + w * h * 3
+        else:
+            assert r.n_bytes == 40  # 'payload-' + 32 hex chars
+            assert r.img_width is None and r.img_height is None
         assert len(r.feature) == 8
         assert abs(sum(r.feature) - 1.0) < 1e-3  # normalized histogram
+
+
+def test_decode_image_bytes_ppm_and_bmp():
+    import numpy as np
+
+    from cmem_plugin_pyshacl_spark.operators.multimodal import (
+        decode_image_bytes,
+        encode_ppm,
+    )
+
+    pix = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    w, h, back = decode_image_bytes(encode_ppm(pix))
+    assert (w, h) == (3, 2)
+    assert np.array_equal(back, pix)
+
+    # hand-built 24bpp bottom-up BMP, 3x2, rows padded to 4 bytes
+    import struct
+
+    stride = (3 * 3 + 3) & ~3  # 12
+    rows_bottom_up = pix[::-1][:, :, ::-1]  # BMP stores BGR bottom-up
+    body = b"".join(
+        rows_bottom_up[r].tobytes() + b"\x00" * (stride - 9) for r in range(2)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    w, h, back = decode_image_bytes(header + body)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(back, pix)
+
+    assert decode_image_bytes(b"payload-deadbeef") is None
+    assert decode_image_bytes(None) is None
+
+
+def test_resize_image_real_for_ppm(spark):
+    import numpy as np
+
+    from cmem_plugin_pyshacl_spark.operators.multimodal import (
+        decode_image_bytes,
+        resize_image,
+    )
+
+    media = synthetic_media(spark, 12)
+    out = resize_image(media, width=2, height=2)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        if r.kind != "image":
+            continue
+        assert (r.meta_width, r.meta_height) == (2, 2)
+        w, h, pix = decode_image_bytes(bytes(r.payload))
+        assert (w, h) == (2, 2)
+        # nearest-neighbor: pixels must come from the original image
+        orig = {row.media_id: bytes(row.payload) for row in media.collect()}[mid]
+        _, _, opix = decode_image_bytes(orig)
+        flat = {tuple(px) for row in opix for px in row}
+        assert all(tuple(px) in flat for row in pix for px in row)
 
 
 def test_frame_sample(spark):
