@@ -119,9 +119,23 @@ def _warn_closure_truncated(where: str, max_iters: int) -> None:
 # `s`-bucketed storage.
 _BROADCAST_FOCUS_LIMIT = 1_000_000
 
+# Catalyst's optimized-plan sizeInBytes is a free (no job) upper-bound
+# estimate; when the WHOLE evaluation relation is estimated under this many
+# bytes, every focus subset is trivially broadcastable and the measured
+# count is skipped — the estimate propagates from parquet file sizes, so a
+# 100-TB scan reads as huge and falls through to the measured gate.
+_BROADCAST_GATE_BYTES = 256 << 20
+
 _ASSUME_SMALL_FOCUS: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "shacl_assume_small_focus", default=False
 )
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - connect mode / stats failure
+        return None
 
 
 def _is_small(df: DataFrame) -> bool:
@@ -2616,19 +2630,25 @@ def validate(
         eval_data.persist()
         slice_df = eval_data
 
-    # Broadcast gate (round-2 VERDICT finding 1): count the evaluation
-    # relation ONCE — this also warms the persisted slice. When the whole
-    # relation is under the row gate, every focus subset trivially is, so
-    # per-shape probes are skipped. The flag is scoped to plan construction
-    # (hints are applied at build time) and reset on exit so it cannot leak
-    # into later calls on this thread.
-    try:
-        data_under_gate = (
-            eval_data.limit(_BROADCAST_FOCUS_LIMIT + 1).count()
-            <= _BROADCAST_FOCUS_LIMIT
-        )
-    except Exception:  # pragma: no cover
-        data_under_gate = False
+    # Broadcast gate (round-2 VERDICT finding 1). Primary check is the
+    # free Catalyst size estimate — no job, no extra pass over the derive
+    # pipeline (a dedicated gate-count job measured +2.1 s on the sf0.1
+    # customer graph). Only when the estimate reads large does the bounded
+    # count run; at that scale its cost is negligible against the
+    # evaluation itself, and it doubles as the persist warm-up. The flag is
+    # scoped to plan construction (hints are applied at build time) and
+    # reset on exit so it cannot leak into later calls on this thread.
+    est = _plan_size_bytes(eval_data)
+    if est is not None and est <= _BROADCAST_GATE_BYTES:
+        data_under_gate = True
+    else:
+        try:
+            data_under_gate = (
+                eval_data.limit(_BROADCAST_FOCUS_LIMIT + 1).count()
+                <= _BROADCAST_FOCUS_LIMIT
+            )
+        except Exception:  # pragma: no cover
+            data_under_gate = False
     _assume_token = _ASSUME_SMALL_FOCUS.set(data_under_gate)
     try:
         result_dfs: list[DataFrame] = []

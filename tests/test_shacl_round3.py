@@ -256,6 +256,7 @@ def test_large_focus_plan_is_unhinted_and_correct(spark, monkeypatch):
     assert len(expected) == 20  # every odd focus lacks p
 
     monkeypatch.setattr(shacl_mod, "_BROADCAST_FOCUS_LIMIT", 3)
+    monkeypatch.setattr(shacl_mod, "_BROADCAST_GATE_BYTES", 0)
     gated = validate(spark, data, shapes)
     plan = gated._jdf.queryExecution().analyzed().toString()
     assert "broadcast" not in plan.lower(), plan
