@@ -234,14 +234,21 @@ def _gate_fixture(spark, n_focus=40):
 
 
 def test_is_small_respects_threshold(spark, monkeypatch):
+    """_is_small is purely stats-based (no job): the verdict follows the
+    Catalyst size estimate against _BROADCAST_GATE_BYTES."""
     big = spark.range(50).select(F.concat(F.lit("urn:x"), F.col("id")).alias("focus"))
-    monkeypatch.setattr(shacl_mod, "_BROADCAST_FOCUS_LIMIT", 10)
+    monkeypatch.setattr(shacl_mod, "_BROADCAST_GATE_BYTES", 0)
     assert shacl_mod._is_small(big) is False
+    monkeypatch.setattr(shacl_mod, "_BROADCAST_GATE_BYTES", 256 << 20)
     small = spark.range(5).select(F.concat(F.lit("urn:y"), F.col("id")).alias("focus"))
     assert shacl_mod._is_small(small) is True
     # memoized verdict survives a threshold change (probe ran once)
-    monkeypatch.setattr(shacl_mod, "_BROADCAST_FOCUS_LIMIT", 1000)
+    monkeypatch.setattr(shacl_mod, "_BROADCAST_GATE_BYTES", 1 << 60)
     assert shacl_mod._is_small(big) is False
+    # an estimate failure is conservative: never broadcast
+    unknown = spark.range(5).select(F.col("id").alias("focus"))
+    monkeypatch.setattr(shacl_mod, "_plan_size_bytes", lambda df: None)
+    assert shacl_mod._is_small(unknown) is False
 
 
 def test_large_focus_plan_is_unhinted_and_correct(spark, monkeypatch):
@@ -255,7 +262,6 @@ def test_large_focus_plan_is_unhinted_and_correct(spark, monkeypatch):
     }
     assert len(expected) == 20  # every odd focus lacks p
 
-    monkeypatch.setattr(shacl_mod, "_BROADCAST_FOCUS_LIMIT", 3)
     monkeypatch.setattr(shacl_mod, "_BROADCAST_GATE_BYTES", 0)
     gated = validate(spark, data, shapes)
     plan = gated._jdf.queryExecution().analyzed().toString()
@@ -265,11 +271,25 @@ def test_large_focus_plan_is_unhinted_and_correct(spark, monkeypatch):
     } == expected
 
 
-def test_small_focus_plan_keeps_broadcast_hint(spark):
-    data, shapes = _gate_fixture(spark)
+def test_small_focus_plan_keeps_broadcast_hint(spark, tmp_path):
+    """A provably-small relation (parquet-backed: Catalyst reads its file
+    size, the realistic shape of production inputs) keeps the broadcast
+    hint. A python-local createDataFrame frame is RDD-backed with UNKNOWN
+    stats, so the gate conservatively leaves it unhinted — assert both."""
+    data_local, shapes = _gate_fixture(spark)
+    pq = str(tmp_path / "gate_data.parquet")
+    data_local.write.mode("overwrite").parquet(pq)
+    data = spark.read.parquet(pq)
     res = validate(spark, data, shapes)
     plan = res._jdf.queryExecution().analyzed().toString()
     assert "broadcast" in plan.lower()
+
+    unhinted = validate(spark, data_local, shapes)
+    plan2 = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in plan2.lower()
+    assert {(r.focusNode, r.sourceConstraintComponent) for r in res.collect()} == {
+        (r.focusNode, r.sourceConstraintComponent) for r in unhinted.collect()
+    }
 
 
 # -------------------------------------------------- eval-slice lifecycle
