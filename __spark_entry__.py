@@ -1827,12 +1827,22 @@ WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.start = t.k AND r.node = 9)
 
 
 def q_inference_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RDFS subset + OWL equivalence/inverseOf forward rules in one pass
-    (inference='owlrl' profile)."""
+    """RDFS subset + OWL equivalence/inverseOf/sameAs/propertyChainAxiom
+    forward rules in one pass (inference='owlrl' profile). The sameAs
+    cluster {NationA1, urn:nation:1, NationB1} exercises eq-rep
+    replication feeding rdfs9/range typing, and citizenSegment =
+    propertyChainAxiom(hasCitizen, segment) exercises prp-spo2 with a
+    literal-valued final hop — whose entailments then replicate through
+    the cluster (rule-order: flips → rdfs7 → chains → sameAs → types)."""
     from cmem_plugin_pyshacl_spark.plans.inference import (
         OWL_EQ_CLASS,
         OWL_EQ_PROP,
         OWL_INVERSE_OF,
+        OWL_PROP_CHAIN,
+        OWL_SAMEAS,
+        RDF_FIRST,
+        RDF_NIL,
+        RDF_REST,
         apply_inference,
     )
 
@@ -1846,17 +1856,31 @@ def q_inference_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             (EX + "Country", OWL_EQ_CLASS, (EX + "Land", KIND_IRI, None, None)),
             (EX + "nation", OWL_INVERSE_OF, (EX + "hasCitizen", KIND_IRI, None, None)),
             (EX + "segment", OWL_EQ_PROP, (EX + "marketSegment", KIND_IRI, None, None)),
+            (EX + "NationA1", OWL_SAMEAS, ("urn:nation:1", KIND_IRI, None, None)),
+            (EX + "NationA1", OWL_SAMEAS, (EX + "NationB1", KIND_IRI, None, None)),
+            (EX + "citizenSegment", OWL_PROP_CHAIN, ("urn:chain1", KIND_IRI, None, None)),
+            ("urn:chain1", RDF_FIRST, (EX + "hasCitizen", KIND_IRI, None, None)),
+            ("urn:chain1", RDF_REST, ("urn:chain2", KIND_IRI, None, None)),
+            ("urn:chain2", RDF_FIRST, (EX + "segment", KIND_IRI, None, None)),
+            ("urn:chain2", RDF_REST, (RDF_NIL, KIND_IRI, None, None)),
         ],
         graph=GRAPH,
     )
     inf = apply_inference(data.unionByName(extra), profile="owlrl")
     return inf.filter(
         F.col("p").isin(
-            [RDFT, EX + "contact", EX + "hasCitizen", EX + "marketSegment"]
+            [
+                RDFT,
+                EX + "contact",
+                EX + "hasCitizen",
+                EX + "marketSegment",
+                EX + "citizenSegment",
+            ]
         )
     ).select("s", "p", "o_value")
 
 
+_ALIASES = f"(VALUES ('{EX}NationA1'), ('{EX}NationB1')) a(alias)"
 ORACLE_INFERENCE_RULES = f"""
 {ORACLE_RDFS_INFERENCE.strip()}
 UNION
@@ -1865,6 +1889,19 @@ UNION
 SELECT 'urn:nation:' || c_nationkey, '{EX}hasCitizen', {_CUST} FROM customer
 UNION
 SELECT {_CUST}, '{EX}marketSegment', c_mktsegment FROM customer
+UNION
+SELECT DISTINCT 'urn:nation:' || c_nationkey, '{EX}citizenSegment', c_mktsegment
+FROM customer
+UNION
+SELECT a.alias, '{RDFT}', t.cls
+FROM {_ALIASES},
+     (VALUES ('{EX}Nation'), ('{EX}GeoEntity'), ('{EX}Country'), ('{EX}Land')) t(cls)
+UNION
+SELECT a.alias, '{EX}hasCitizen', {_CUST}
+FROM customer, {_ALIASES} WHERE c_nationkey = 1
+UNION
+SELECT DISTINCT a.alias, '{EX}citizenSegment', c_mktsegment
+FROM customer, {_ALIASES} WHERE c_nationkey = 1
 """
 
 

@@ -41,8 +41,13 @@ OWL_EQ_PROP = OWL + "equivalentProperty"
 OWL_INVERSE_OF = OWL + "inverseOf"
 OWL_SYMMETRIC = OWL + "SymmetricProperty"
 OWL_TRANSITIVE = OWL + "TransitiveProperty"
+OWL_SAMEAS = OWL + "sameAs"
+OWL_PROP_CHAIN = OWL + "propertyChainAxiom"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 _SCHEMA_PREDS = [RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RDFS_DOMAIN, RDFS_RANGE]
-_OWL_SCHEMA_PREDS = [OWL_EQ_CLASS, OWL_EQ_PROP, OWL_INVERSE_OF]
+_OWL_SCHEMA_PREDS = [OWL_EQ_CLASS, OWL_EQ_PROP, OWL_INVERSE_OF, OWL_PROP_CHAIN]
 
 
 def _transitive_close(edges: set[tuple[str, str]]) -> set[tuple[str, str]]:
@@ -111,6 +116,270 @@ def _transitive_instance_closure(edges: DataFrame, max_rounds: int = 20) -> Data
     return acc
 
 
+def _walk_chain_lists(
+    schema_src: DataFrame, heads: dict[str, str]
+) -> dict[str, list[str]]:
+    """Parse `p owl:propertyChainAxiom (p1 p2 ... pn)` RDF lists
+    driver-side. heads maps super-property -> list head node. Only the
+    rdf:first/rdf:rest rows are collected, and only when at least one
+    chain axiom exists — chain lists are schema-sided and tiny, so this
+    never touches the instance table's bulk. Malformed lists (missing
+    first/rest, cycles) are skipped with a warning."""
+    rows = (
+        schema_src.filter(F.col("p").isin([RDF_FIRST, RDF_REST]))
+        .select("s", "p", "o_value")
+        .collect()
+    )
+    first = {r.s: r.o_value for r in rows if r.p == RDF_FIRST}
+    rest = {r.s: r.o_value for r in rows if r.p == RDF_REST}
+    chains: dict[str, list[str]] = {}
+    for super_p, head in heads.items():
+        node, preds, seen = head, [], set()
+        ok = True
+        while node != RDF_NIL:
+            if node in seen or node not in first:
+                ok = False
+                break
+            seen.add(node)
+            preds.append(first[node])
+            node = rest.get(node, RDF_NIL)
+        if ok and len(preds) >= 2:
+            chains[super_p] = preds
+        else:  # pragma: no cover - malformed schema
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "owl:propertyChainAxiom for %s skipped (malformed or "
+                "single-element rdf list at %s)",
+                super_p,
+                head,
+            )
+    return chains
+
+
+def _apply_property_chains(
+    base: DataFrame, chains: dict[str, list[str]]
+) -> DataFrame:
+    """prp-spo2: (x p1 y1), (y1 p2 y2), ..., (y_{n-1} pn z) => (x p z).
+
+    Each chain is n-1 equi-joins over per-predicate slices of the triple
+    table — Catalyst sees plain key joins (shuffle-or-broadcast by AQE),
+    nothing iterative. Intermediate hops must be resources (IRI/bnode);
+    the FINAL object keeps its own kind/datatype/lang, so chains ending
+    in a literal-valued predicate entail literal objects, matching owlrl
+    prp-spo2. Lineage (graph, part_id) follows the first hop."""
+    out = base
+    for super_p in sorted(chains):
+        preds = chains[super_p]
+        cur = (
+            base.filter(
+                (F.col("p") == preds[0]) & (F.col("o_kind") != "literal")
+            )
+            .select(
+                "s", F.col("o_value").alias("_mid"), "graph", "part_id"
+            )
+        )
+        for i, p_i in enumerate(preds[1:], start=2):
+            last = i == len(preds)
+            kind_ok = (
+                F.lit(True) if last else (F.col("o_kind") != "literal")
+            )
+            step = base.filter((F.col("p") == p_i) & kind_ok).select(
+                F.col("s").alias("_hs"),
+                F.col("o_kind").alias("_hk"),
+                F.col("o_value").alias("_hv"),
+                F.col("o_datatype").alias("_hd"),
+                F.col("o_lang").alias("_hl"),
+            )
+            joined = cur.join(step, F.col("_mid") == F.col("_hs"))
+            if last:
+                cur = joined.select(
+                    "s",
+                    F.lit(super_p).alias("p"),
+                    F.col("_hk").alias("o_kind"),
+                    F.col("_hv").alias("o_value"),
+                    F.col("_hd").alias("o_datatype"),
+                    F.col("_hl").alias("o_lang"),
+                    "graph",
+                    "part_id",
+                )
+            else:
+                cur = joined.select(
+                    "s", F.col("_hv").alias("_mid"), "graph", "part_id"
+                )
+        out = dedupe_triples(out.unionByName(cur.distinct()))
+    return out
+
+
+def _same_as_members(base: DataFrame) -> DataFrame | None:
+    """DataFrame[node, component] over the owl:sameAs edge relation, or
+    None when the graph has no sameAs edges. Uses the engine's connected-
+    components plan (star-contraction at scale, union-find under 100k
+    edges) — identity clusters are equivalence classes, exactly CC."""
+    sa = (
+        base.filter(
+            (F.col("p") == OWL_SAMEAS) & (F.col("o_kind") != "literal")
+        )
+        .select(F.col("s").alias("src"), F.col("o_value").alias("dst"))
+        .distinct()
+    )
+    if sa.isEmpty():
+        return None
+    from .connected_components import connected_components
+
+    return connected_components(sa)
+
+
+def _apply_same_as(base: DataFrame, members: DataFrame) -> DataFrame:
+    """OWL-RL eq-sym/eq-trans/eq-rep-s/eq-rep-o materialization: every
+    member of an identity cluster carries every triple of every other
+    member, and all non-reflexive pairwise sameAs triples are entailed.
+
+    Replication is QUADRATIC in cluster size by OWL-RL semantics — the
+    per-cluster sizes are checked with one small agg over the membership
+    table and a warning names the largest cluster when it exceeds 10k
+    nodes (at that point `same_as_canonicalize` is the scale path). The
+    membership/pair frames derive from the CC output (bounded by the
+    sameAs edge count, tiny next to the triple table) and are broadcast
+    only when measured small."""
+    import logging
+
+    from ..data_model import df_is_small, maybe_broadcast
+
+    biggest = (
+        members.groupBy("component").count().agg(F.max("count")).collect()[0][0]
+    )
+    if biggest and biggest > 10_000:  # pragma: no cover - scale guard
+        logging.getLogger(__name__).warning(
+            "owl:sameAs materialization over a %d-node identity cluster is "
+            "quadratic; prefer same_as_canonicalize() at this scale",
+            biggest,
+        )
+    m1 = members.select(
+        F.col("node").alias("_n1"), F.col("component").alias("_c")
+    )
+    m2 = members.select(
+        F.col("node").alias("_n2"), F.col("component").alias("_c")
+    )
+    pairs = (
+        m1.join(m2, on="_c")
+        .filter(F.col("_n1") != F.col("_n2"))
+        .select("_c", "_n1", "_n2")
+    )
+    small = df_is_small(pairs)
+    pairs_b = maybe_broadcast(pairs, small)
+
+    # eq-rep-s: replicate every triple of _n1 onto _n2
+    subj_rep = base.join(pairs_b, base.s == pairs_b._n1).select(
+        F.col("_n2").alias("s"),
+        "p",
+        "o_kind",
+        "o_value",
+        "o_datatype",
+        "o_lang",
+        "graph",
+        "part_id",
+    )
+    # eq-rep-o: same for resource objects
+    obj_rep = (
+        base.filter(F.col("o_kind") != "literal")
+        .join(pairs_b, base.o_value == pairs_b._n1)
+        .select(
+            "s",
+            "p",
+            "o_kind",
+            F.col("_n2").alias("o_value"),
+            "o_datatype",
+            "o_lang",
+            "graph",
+            "part_id",
+        )
+    )
+    # eq-sym + eq-trans: all non-reflexive pairwise sameAs triples, with
+    # lineage from the cluster's own direct sameAs edges
+    comp_meta = (
+        base.filter(F.col("p") == OWL_SAMEAS)
+        .join(
+            maybe_broadcast(
+                members.select(F.col("node").alias("s"), "component"),
+                small,
+            ),
+            on="s",
+        )
+        .groupBy("component")
+        .agg(F.min("graph").alias("graph"), F.min("part_id").alias("part_id"))
+        .withColumnRenamed("component", "_c")
+    )
+    sa_triples = pairs.join(maybe_broadcast(comp_meta, small), on="_c").select(
+        F.col("_n1").alias("s"),
+        F.lit(OWL_SAMEAS).alias("p"),
+        F.lit(KIND_IRI).alias("o_kind"),
+        F.col("_n2").alias("o_value"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        "graph",
+        "part_id",
+    )
+    # eq-ref (reflexive x sameAs x for every term) is deliberately NOT
+    # entailed — owlrl's Table-4 eq-ref triples are pure noise for SHACL
+    # outcomes — so replication-created reflexive sameAs rows are dropped
+    # (user-asserted reflexive rows in `base` pass through untouched)
+    not_reflexive_sameas = ~(
+        (F.col("p") == OWL_SAMEAS) & (F.col("s") == F.col("o_value"))
+    )
+    return dedupe_triples(
+        base.unionByName(subj_rep.filter(not_reflexive_sameas))
+        .unionByName(obj_rep.filter(not_reflexive_sameas))
+        .unionByName(sa_triples)
+    )
+
+
+def same_as_canonicalize(data: DataFrame) -> DataFrame:
+    """The 100-TB alternative to OWL-RL sameAs materialization: rewrite
+    every subject/resource-object to its identity cluster's canonical
+    representative (min IRI, the CC component id) and drop the sameAs
+    edges themselves. Output size is <= input size instead of quadratic
+    in cluster sizes, and SHACL validation over the canonical graph is
+    equivalent for value-local constraints. Two left joins against the
+    (small, size-gated) membership table — the triple table shuffles on
+    its own keys only when the membership side is too big to broadcast."""
+    from ..data_model import df_is_small, maybe_broadcast
+
+    members = _same_as_members(data)
+    if members is None:
+        return data
+    small = df_is_small(members)
+    ms = maybe_broadcast(
+        members.select(F.col("node").alias("_sn"), F.col("component").alias("_sc")),
+        small,
+    )
+    mo = maybe_broadcast(
+        members.select(F.col("node").alias("_on"), F.col("component").alias("_oc")),
+        small,
+    )
+    out = (
+        data.filter(F.col("p") != OWL_SAMEAS)
+        .join(ms, F.col("s") == F.col("_sn"), "left")
+        .join(
+            mo,
+            (F.col("o_value") == F.col("_on"))
+            & (F.col("o_kind") != "literal"),
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("_sc"), F.col("s")).alias("s"),
+            "p",
+            "o_kind",
+            F.coalesce(F.col("_oc"), F.col("o_value")).alias("o_value"),
+            "o_datatype",
+            "o_lang",
+            "graph",
+            "part_id",
+        )
+    )
+    return dedupe_triples(out)
+
+
 def apply_inference(
     data: DataFrame, ontology: DataFrame | None = None, profile: str = "rdfs"
 ) -> DataFrame:
@@ -125,8 +394,11 @@ def apply_inference(
 
         logging.getLogger(__name__).warning(
             "inference=%s: applying the RDFS + OWL equivalence/inverseOf/"
-            "symmetric/transitive subset, NOT the full OWL-RL closure of "
-            "owlrl 7.1.4 (no sameAs, no property chains)",
+            "symmetric/transitive/sameAs/propertyChainAxiom subset in ONE "
+            "ordered pass, NOT the full mutually-recursive OWL-RL fixpoint "
+            "of owlrl 7.1.4 (no restriction semantics — hasValue/"
+            "someValuesFrom/allValuesFrom — no hasKey, and rule families "
+            "do not re-feed each other across the pass)",
             profile,
         )
         return rdfs_inference(data, ontology, owl=True)
@@ -177,9 +449,12 @@ def rdfs_inference(
     inverse_pairs: set[tuple[str, str]] = set()
     symmetric_props: set[str] = set()
     transitive_props: set[str] = set()
+    chain_heads: dict[str, str] = {}
     if owl:
         for r in schema_rows:
-            if r.p == OWL_EQ_CLASS:
+            if r.p == OWL_PROP_CHAIN:
+                chain_heads[r.s] = r.o_value
+            elif r.p == OWL_EQ_CLASS:
                 sub_class.add((r.s, r.o_value))
                 sub_class.add((r.o_value, r.s))
             elif r.p == OWL_EQ_PROP:
@@ -244,6 +519,14 @@ def rdfs_inference(
     base = out if not extras else dedupe_triples(out.unionByName(extras[0]))
     extras = []
 
+    # owl:propertyChainAxiom (prp-spo2) — after rdfs7 so super-property
+    # edges feed the chains, before TransitiveProperty so chain-entailed
+    # edges of a transitive property close properly
+    if chain_heads:
+        chains = _walk_chain_lists(schema_src, chain_heads)
+        if chains:
+            base = _apply_property_chains(base, chains)
+
     # owl:TransitiveProperty — the one INSTANCE-level fixpoint (reference
     # parity driver: owlrl 7.1.4 prp-trp, plugin_pyshacl.py:238-249). Runs
     # AFTER rdfs7 (so super-property edges feed it) and BEFORE domain/
@@ -275,6 +558,14 @@ def rdfs_inference(
             "part_id",
         )
         base = dedupe_triples(base.unionByName(entailed_t))
+
+    # owl:sameAs (eq-sym/eq-trans/eq-rep-s/eq-rep-o) — after the edge
+    # rules so entailed edges replicate too, before domain/range/rdfs9 so
+    # replicated triples feed the type rules
+    if owl:
+        members = _same_as_members(base)
+        if members is not None:
+            base = _apply_same_as(base, members)
 
     if domain:
         m = _mk_map(domain, "p", "cls")

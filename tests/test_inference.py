@@ -228,3 +228,108 @@ def test_owl_transitive_feeds_type_rules(spark):
     assert ("urn:a", EX + "Component") in types
     got = {(r.s, r.o_value) for r in out.collect() if r.p == EX + "partOf"}
     assert ("urn:a", "urn:c") in got
+
+
+def test_owl_property_chain(spark):
+    """prp-spo2: hasParent o hasParent => hasGrandparent, including a
+    chain whose FINAL hop lands on a literal-valued predicate."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_PROP_CHAIN,
+        RDF_FIRST,
+        RDF_NIL,
+        RDF_REST,
+        apply_inference,
+    )
+
+    data = triples_from_rows(
+        spark,
+        [
+            (EX + "hasGrandparent", OWL_PROP_CHAIN, iri("urn:l1")),
+            ("urn:l1", RDF_FIRST, iri(EX + "hasParent")),
+            ("urn:l1", RDF_REST, iri("urn:l2")),
+            ("urn:l2", RDF_FIRST, iri(EX + "hasParent")),
+            ("urn:l2", RDF_REST, iri(RDF_NIL)),
+            # 3-element chain ending in a literal-valued predicate
+            (EX + "grandparentName", OWL_PROP_CHAIN, iri("urn:m1")),
+            ("urn:m1", RDF_FIRST, iri(EX + "hasParent")),
+            ("urn:m1", RDF_REST, iri("urn:m2")),
+            ("urn:m2", RDF_FIRST, iri(EX + "hasParent")),
+            ("urn:m2", RDF_REST, iri("urn:m3")),
+            ("urn:m3", RDF_FIRST, iri(EX + "name")),
+            ("urn:m3", RDF_REST, iri(RDF_NIL)),
+            ("urn:kid", EX + "hasParent", iri("urn:dad")),
+            ("urn:dad", EX + "hasParent", iri("urn:gramps")),
+            ("urn:gramps", EX + "name", lit_typed("Abe", None)),
+        ],
+    )
+    out = apply_inference(data, profile="owlrl")
+    gp = {(r.s, r.o_value) for r in out.collect() if r.p == EX + "hasGrandparent"}
+    assert gp == {("urn:kid", "urn:gramps")}
+    names = [
+        r for r in out.collect() if r.p == EX + "grandparentName"
+    ]
+    assert len(names) == 1
+    assert (names[0].s, names[0].o_value, names[0].o_kind) == (
+        "urn:kid",
+        "Abe",
+        "literal",
+    )
+
+
+def test_owl_same_as_materialization(spark):
+    """eq-sym/eq-trans/eq-rep: a 3-node identity chain replicates every
+    member's triples onto every other member, entails all pairwise
+    sameAs, and feeds rdfs9 typing through the replicated rdf:type."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_SAMEAS,
+        apply_inference,
+    )
+
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", OWL_SAMEAS, iri("urn:b")),
+            ("urn:b", OWL_SAMEAS, iri("urn:c")),
+            ("urn:a", EX + "age", lit_typed("42", None)),
+            ("urn:c", RDF_TYPE, iri(EX + "Person")),
+            (EX + "Person", RDFS_SUBCLASSOF, iri(EX + "Agent")),
+            ("urn:z", EX + "knows", iri("urn:b")),
+        ],
+    )
+    out = apply_inference(data, profile="owlrl").collect()
+    sames = {(r.s, r.o_value) for r in out if r.p == OWL_SAMEAS}
+    nodes = ["urn:a", "urn:b", "urn:c"]
+    assert sames == {(x, y) for x in nodes for y in nodes if x != y}
+    ages = {r.s for r in out if r.p == EX + "age"}
+    assert ages == set(nodes)  # eq-rep-s
+    knows = {(r.s, r.o_value) for r in out if r.p == EX + "knows"}
+    assert knows == {("urn:z", n) for n in nodes}  # eq-rep-o
+    types = {(r.s, r.o_value) for r in out if r.p == RDF_TYPE}
+    for n in nodes:  # replicated type feeds rdfs9
+        assert (n, EX + "Person") in types
+        assert (n, EX + "Agent") in types
+
+
+def test_same_as_canonicalize(spark):
+    """The scale path: rewrite to the min-IRI representative, drop sameAs
+    edges, never grow the triple set."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_SAMEAS,
+        same_as_canonicalize,
+    )
+
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:b", OWL_SAMEAS, iri("urn:a")),
+            ("urn:b", EX + "age", lit_typed("42", None)),
+            ("urn:z", EX + "knows", iri("urn:b")),
+            ("urn:z", EX + "knows", iri("urn:a")),  # merges with the rewrite
+        ],
+    )
+    out = same_as_canonicalize(data).collect()
+    assert all(r.p != OWL_SAMEAS for r in out)
+    assert {(r.s, r.p, r.o_value) for r in out} == {
+        ("urn:a", EX + "age", "42"),
+        ("urn:z", EX + "knows", "urn:a"),
+    }
