@@ -2507,6 +2507,7 @@ def validate(
     max_validation_depth: int = 15,
     single_scan: bool = True,
     closure_max_iters: int | None = None,
+    iterate_rules: bool = False,
 ) -> DataFrame:
     """The engine's equivalent of the reference's pyshacl.validate call-site
     (plugin_pyshacl.py:631-641). Returns the validation-results DataFrame
@@ -2521,11 +2522,16 @@ def validate(
       * meta_shacl: check SHACL-SHACL structural invariants of the shapes
         graph (sh:path presence, integer lexical forms, known sh:nodeKind,
         compilable sh:pattern) AND validate it against itself.
-      * advanced: SHACL-AF first slice — sh:sparql constraints over the
+      * advanced: SHACL-AF slice — sh:sparql constraints over the
         restricted SELECT subset compiled by plans/sparql_af.py (single
-        BGP + FILTERs); anything outside that subset raises ValueError at
-        parse time. js: SHACL-JS stays out of scope -> ValueError (the
-        reference delegates both to pySHACL, plugin_pyshacl.py:250-265).
+        BGP + FILTERs, sh:prefixes/PREFIX expansion), plus sh:rule
+        expansion (sh:TripleRule / sh:SPARQLRule via plans/rules.py)
+        applied to the data graph BEFORE validation, mirroring pySHACL's
+        advanced-mode order; iterate_rules mirrors pySHACL's flag (False:
+        one ordered pass; True: bounded fixpoint). Anything outside the
+        subsets raises ValueError at parse time. js: SHACL-JS stays out
+        of scope -> ValueError (the reference delegates both to pySHACL,
+        plugin_pyshacl.py:250-265).
       * max_validation_depth: recursion bound for shape-to-shape refs
         (1..999, reference range-checks at :589-590).
       * single_scan: pre-slice the data relation to the predicates the
@@ -2550,7 +2556,7 @@ def validate(
             return validate(
                 spark, data_triples, shapes_triples, ont_triples, inference,
                 meta_shacl, advanced, js, max_validation_depth, single_scan,
-                closure_max_iters=None,
+                closure_max_iters=None, iterate_rules=iterate_rules,
             )
 
         return ctx.run(_with_bound)
@@ -2559,6 +2565,16 @@ def validate(
         from .inference import apply_inference
 
         data_triples = apply_inference(data_triples, ont_triples, profile=inference)
+
+    if advanced:
+        # SHACL-AF rule expansion runs BEFORE constraint validation
+        # (pySHACL advanced-mode order); no-op when the shapes graph
+        # declares no sh:rule
+        from .rules import apply_rules
+
+        data_triples = apply_rules(
+            spark, data_triples, shapes_triples, iterate=iterate_rules
+        )
 
     if meta_shacl:
         _check_shapes_rows(shapes_triples)

@@ -256,4 +256,7 @@ def test_owlrl_downgrade_is_logged(spark, caplog):
     data = triples_from_rows(spark, [("urn:a", RDF_TYPE, iri(EX + "T"))])
     with caplog.at_level(logging.WARNING):
         apply_inference(data, profile="owlrl").count()
-    assert any("NOT the full OWL-RL closure" in r.message for r in caplog.records)
+    assert any(
+        "NOT the full mutually-recursive OWL-RL fixpoint" in r.message
+        for r in caplog.records
+    )
