@@ -280,7 +280,9 @@ def run_pipeline(
         mapping = canonicalize_stage(relations).persist()
         triples = triples_stage(relations, mapping)
         if triples_path:
-            triples.write.mode("overwrite").partitionBy("part_id").parquet(triples_path)
+            from ..sources.sinks import write_triples
+
+            write_triples(triples, triples_path, mode="overwrite")
             triples = spark.read.parquet(triples_path)
             # safe to drop only once triples are materialized on disk
             relations.unpersist()

@@ -1,0 +1,83 @@
+"""Partitioned sink: Iceberg-style overwritePartitions semantics on the
+parquet fallback path (sources/sinks.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cmem_plugin_pyshacl_spark.sources.sinks import (
+    iceberg_available,
+    refresh_partitions,
+    write_triples,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int, part_id int")
+
+
+def _part_files(path, part):
+    d = os.path.join(path, f"part_id={part}")
+    return {
+        f: os.path.getmtime(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+
+
+def test_overwrite_partitions_replaces_only_present(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_triples(
+        _df(spark, [("a", 1, 0), ("b", 2, 1), ("c", 3, 2)]), path,
+        mode="overwrite",
+    )
+    before_p2 = _part_files(path, 2)
+
+    # refresh ONLY partition 1 with new content
+    write_triples(
+        _df(spark, [("b2", 20, 1)]), path, mode="overwrite_partitions"
+    )
+
+    got = {
+        (r.k, r.v, r.part_id)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("a", 1, 0), ("b2", 20, 1), ("c", 3, 2)}
+    # untouched partitions keep their exact files (no rewrite)
+    assert _part_files(path, 2) == before_p2
+
+
+def test_full_overwrite_drops_stale_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_triples(_df(spark, [("a", 1, 0), ("b", 2, 1)]), path, mode="overwrite")
+    write_triples(_df(spark, [("z", 9, 5)]), path, mode="overwrite")
+    got = {(r.k, r.part_id) for r in spark.read.parquet(path).collect()}
+    assert got == {("z", 5)}
+
+
+def test_append_mode(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_triples(_df(spark, [("a", 1, 0)]), path, mode="append")
+    write_triples(_df(spark, [("a", 1, 0)]), path, mode="append")
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_refresh_partitions_wrapper(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_triples(_df(spark, [("a", 1, 0), ("b", 2, 1)]), path, mode="overwrite")
+    refresh_partitions(_df(spark, [("a2", 10, 0)]), path)
+    got = {(r.k, r.part_id) for r in spark.read.parquet(path).collect()}
+    assert got == {("a2", 0), ("b", 1)}
+
+
+def test_unknown_mode_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="sink mode"):
+        write_triples(_df(spark, [("a", 1, 0)]), str(tmp_path / "t"), mode="upsert")
+
+
+def test_iceberg_gate_is_honest(spark):
+    """This container ships no Iceberg runtime — the autodetect must say
+    so (and write_triples must therefore take the parquet path)."""
+    assert iceberg_available(spark) is False
