@@ -117,6 +117,183 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
 
 
+def decode_wav_bytes(
+    payload: bytes | None,
+) -> tuple[int, int, np.ndarray] | None:
+    """Pure-numpy decode of the uncompressed audio container: RIFF/WAVE
+    with an integer-PCM ``fmt `` chunk (audio_format 1) at 8 or 16 bits
+    and a ``data`` chunk (standard RIFF layout is public format
+    documentation; chunks are word-aligned).
+
+    Returns (sample_rate, n_channels, float32 array shaped (frames,
+    channels) normalized to [-1, 1]) or None when the payload is not a
+    PCM WAV this parser understands.
+    """
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        fmt = None
+        data = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            size = struct.unpack_from("<I", payload, i + 4)[0]
+            body = payload[i + 8 : i + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                audio_format, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+                bits = struct.unpack_from("<H", body, 14)[0]
+                fmt = (audio_format, n_ch, rate, bits)
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)
+        if fmt is None or data is None:
+            return None
+        audio_format, n_ch, rate, bits = fmt
+        if audio_format != 1 or n_ch < 1 or rate < 1 or bits not in (8, 16):
+            return None
+        if bits == 8:
+            samples = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0
+            ) / 128.0
+        else:
+            samples = (
+                np.frombuffer(
+                    data[: len(data) - (len(data) % 2)], dtype="<i2"
+                ).astype(np.float32)
+                / 32768.0
+            )
+        frames = len(samples) // n_ch
+        if frames == 0:
+            return None
+        return rate, n_ch, samples[: frames * n_ch].reshape(frames, n_ch)
+    except Exception:
+        return None
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Serialize a float array (frames,) or (frames, channels) in [-1, 1]
+    as a 16-bit PCM WAV payload — the encode twin of decode_wav_bytes."""
+    arr = np.clip(np.asarray(samples, dtype=np.float32), -1.0, 1.0)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    pcm = (arr * 32767.0).astype("<i2").tobytes()
+    n_ch = arr.shape[1]
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        # NULL when the payload is not a PCM WAV the pure decoder handles
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("rms", T.FloatType(), True),
+        T.StructField("peak", T.FloatType(), True),
+        T.StructField("zero_cross_rate", T.FloatType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over kind == 'audio' payloads via
+    mapInPandas: real sample-domain stats (RMS, peak, zero-crossing rate,
+    exact duration) for PCM WAV payloads; NULL feature columns for
+    containers the pure decoder does not cover (same honest-NULL contract
+    as decode_features' img_width/img_height).
+
+    Scale posture identical to decode_features: Arrow-batched, partition-
+    preserving, no shuffle; bound per-batch memory with
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n_bytes = 0 if p is None else len(p)
+                decoded = decode_wav_bytes(p)
+                if decoded is None:
+                    rows.append((int(mid), n_bytes, None, None, None, None, None, None))
+                    continue
+                rate, n_ch, samples = decoded
+                mono = samples.mean(axis=1)
+                zc = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if len(mono) > 1
+                    else 0.0
+                )
+                rows.append(
+                    (
+                        int(mid),
+                        n_bytes,
+                        int(rate),
+                        int(n_ch),
+                        int(round(len(samples) * 1000.0 / rate)),
+                        float(np.sqrt(np.mean(mono**2))),
+                        float(np.max(np.abs(mono))),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        _fn, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """Nearest-neighbor audio resample (index sampling — the audio analog
+    of resize_image): REAL for PCM WAV payloads, re-encoded as 16-bit PCM
+    at target_rate; any other audio container raises NotImplementedError
+    explicitly (no codec libs in this environment)."""
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            out_dur = []
+            for p, kind in zip(pdf["payload"], pdf["kind"]):
+                if kind != "audio":
+                    out_payload.append(p)
+                    out_dur.append(None)
+                    continue
+                decoded = decode_wav_bytes(p)
+                if decoded is None:
+                    raise NotImplementedError(
+                        "audio decode beyond PCM WAV requires a codec "
+                        "library not present in this container"
+                    )
+                rate, n_ch, samples = decoded
+                n_out = max(1, int(round(len(samples) * target_rate / rate)))
+                idx = (np.arange(n_out) * rate // target_rate).clip(
+                    0, len(samples) - 1
+                )
+                out_payload.append(encode_wav(samples[idx], target_rate))
+                out_dur.append(int(round(n_out * 1000.0 / target_rate)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "mime": pdf["mime"],
+                    "meta_width": pdf["meta_width"],
+                    "meta_height": pdf["meta_height"],
+                    "meta_duration_ms": out_dur,
+                }
+            )
+
+    return media.mapInPandas(_fn, schema=MEDIA_SCHEMA)
+
+
 def _histogram_feature(payload: bytes | None, dim: int = 8) -> list[float]:
     """Byte-histogram folded to `dim` buckets — the format-agnostic feature
     used for every payload (decodable or not); deterministic and cheap."""
@@ -219,12 +396,16 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synthetic_media(spark, n: int = 100) -> DataFrame:
+def synthetic_media(spark, n: int = 100, real_audio: bool = False) -> DataFrame:
     """Deterministic media fixture. Image rows (media_id % 3 == 0) carry a
     REAL tiny PPM P6 payload whose pixel bytes are the ASCII-safe sequence
     ((id*7 + j*13) % 127) + 1 — decodable by decode_image_bytes AND
     re-parsable by the DuckDB oracle (payload casts to VARCHAR because
-    every byte is 1..127). Audio/video rows keep an opaque text payload."""
+    every byte is 1..127). Audio/video rows keep an opaque text payload —
+    unless real_audio is set (pytest-only path; WAV headers are binary so
+    the DuckDB-oracle VARCHAR trick does not apply), in which case audio
+    rows carry a REAL mono 16-bit PCM WAV: a (110 * (mid % 8 + 1)) Hz
+    square wave at 8 kHz, amplitude 0.5, (mid % 4 + 1) * 200 ms long."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -244,6 +425,16 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
                     payload = f"P6\n{w} {h}\n255\n".encode() + pix
                     mime = "image/x-portable-pixmap"
                     mw, mh = w, h
+                elif kind == "audio" and real_audio:
+                    rate = 8000
+                    dur = (mid % 4 + 1) * 200
+                    freq = 110 * (mid % 8 + 1)
+                    t = np.arange(int(rate * dur / 1000))
+                    wave = 0.5 * np.sign(
+                        np.sin(2 * np.pi * freq * t / rate) + 1e-12
+                    )
+                    payload = encode_wav(wave, rate)
+                    mime = "audio/wav"
                 else:
                     payload = (
                         "payload-" + hashlib.md5(str(mid).encode()).hexdigest()

@@ -238,3 +238,75 @@ def test_repetition_ratio(spark):
     )
     got = {r.doc_id: r.repetition_ratio for r in repetition_ratio(df).collect()}
     assert got[1] == 0.0 and abs(got[2] - 0.75) < 1e-9 and got[3] == 0.0
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    import numpy as np
+
+    from cmem_plugin_pyshacl_spark.operators.multimodal import (
+        audio_features,
+        decode_wav_bytes,
+        encode_wav,
+        synthetic_media,
+    )
+
+    # encode -> decode round-trip, mono and stereo, exact rate/shape
+    mono = 0.5 * np.sin(2 * np.pi * 440 * np.arange(1600) / 8000)
+    rate, ch, back = decode_wav_bytes(encode_wav(mono, 8000))
+    assert (rate, ch, back.shape) == (8000, 1, (1600, 1))
+    assert np.allclose(back[:, 0], mono, atol=2 / 32768)
+    stereo = np.stack([mono, -mono], axis=1)
+    rate, ch, back = decode_wav_bytes(encode_wav(stereo, 44100))
+    assert (rate, ch, back.shape) == (44100, 2, (1600, 2))
+
+    # non-WAV payloads decode to None, truncated header too
+    assert decode_wav_bytes(b"payload-abc") is None
+    assert decode_wav_bytes(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+    # distributed features over the real-audio fixture: a 0.5-amplitude
+    # square wave has RMS 0.5 and peak 0.5 exactly
+    media = synthetic_media(spark, 30, real_audio=True)
+    rows = {r.media_id: r for r in audio_features(media).collect()}
+    assert rows, "audio rows present"
+    for mid, r in rows.items():
+        assert r.sample_rate == 8000 and r.n_channels == 1
+        assert r.duration_ms == (mid % 4 + 1) * 200
+        assert abs(r.rms - 0.5) < 1e-3 and abs(r.peak - 0.5) < 1e-4
+        # square wave at f Hz crosses zero 2f times/sec -> rate-normalized
+        expected_zcr = 2 * (110 * (mid % 8 + 1)) / 8000
+        assert abs(r.zero_cross_rate - expected_zcr) < 0.02
+
+    # opaque (non-real) audio payloads yield honest NULLs
+    opaque = synthetic_media(spark, 9, real_audio=False)
+    null_rows = audio_features(opaque).collect()
+    assert null_rows and all(r.sample_rate is None and r.rms is None for r in null_rows)
+
+
+def test_resample_audio_real_for_wav(spark):
+    import numpy as np
+
+    from cmem_plugin_pyshacl_spark.operators.multimodal import (
+        decode_wav_bytes,
+        resample_audio,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30, real_audio=True)
+    out = resample_audio(media, 4000)
+    audio = [r for r in out.collect() if r.kind == "audio"]
+    assert audio
+    for r in audio:
+        rate, ch, samples = decode_wav_bytes(bytes(r.payload))
+        assert rate == 4000 and ch == 1
+        # nearest-neighbor downsample halves the frame count (+-1)
+        assert abs(len(samples) - 4000 * r.meta_duration_ms / 1000) <= 1
+    # non-audio rows pass through untouched
+    img = [r for r in out.collect() if r.kind == "image"]
+    assert img and all(bytes(r.payload)[:2] == b"P6" for r in img)
+
+    # an undecodable audio payload fails loudly, not silently
+    import pytest as _pytest
+
+    opaque = synthetic_media(spark, 9, real_audio=False)
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        resample_audio(opaque, 4000).collect()
