@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..data_model import (
     KIND_IRI,
+    KIND_LITERAL,
     RDF_TYPE,
     RDFS,
     RDFS_SUBCLASSOF,
@@ -43,6 +44,8 @@ OWL_SYMMETRIC = OWL + "SymmetricProperty"
 OWL_TRANSITIVE = OWL + "TransitiveProperty"
 OWL_SAMEAS = OWL + "sameAs"
 OWL_PROP_CHAIN = OWL + "propertyChainAxiom"
+OWL_FUNCTIONAL = OWL + "FunctionalProperty"
+OWL_INV_FUNCTIONAL = OWL + "InverseFunctionalProperty"
 RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
 RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
 RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
@@ -394,11 +397,12 @@ def apply_inference(
 
         logging.getLogger(__name__).warning(
             "inference=%s: applying the RDFS + OWL equivalence/inverseOf/"
-            "symmetric/transitive/sameAs/propertyChainAxiom subset in ONE "
-            "ordered pass, NOT the full mutually-recursive OWL-RL fixpoint "
-            "of owlrl 7.1.4 (no restriction semantics — hasValue/"
-            "someValuesFrom/allValuesFrom — no hasKey, and rule families "
-            "do not re-feed each other across the pass)",
+            "symmetric/transitive/functional/inverse-functional/sameAs/"
+            "propertyChainAxiom subset in ONE ordered pass, NOT the full "
+            "mutually-recursive OWL-RL fixpoint of owlrl 7.1.4 (no "
+            "restriction semantics — hasValue/someValuesFrom/"
+            "allValuesFrom — no hasKey, and rule families do not re-feed "
+            "each other across the pass)",
             profile,
         )
         return rdfs_inference(data, ontology, owl=True)
@@ -422,6 +426,10 @@ def rdfs_inference(
       owl:SymmetricProperty (x p y) => (y p x)
       owl:TransitiveProperty (x p y), (y p z) => (x p z) — instance-level
         path-doubling fixpoint (prp-trp)
+      owl:FunctionalProperty (x p y1), (x p y2) => y1 sameAs y2 (prp-fp,
+        resource objects) and owl:InverseFunctionalProperty (x1 p y),
+        (x2 p y) => x1 sameAs x2 (prp-ifp, full-term object key) — both
+        feed the sameAs cluster step that follows
     """
     spark = data.sparkSession
     schema_src = data if ontology is None else data.unionByName(ontology)
@@ -433,7 +441,16 @@ def rdfs_inference(
         # types
         schema_filter = schema_filter | (
             (F.col("p") == RDF_TYPE)
-            & (F.col("o_value").isin([OWL_SYMMETRIC, OWL_TRANSITIVE]))
+            & (
+                F.col("o_value").isin(
+                    [
+                        OWL_SYMMETRIC,
+                        OWL_TRANSITIVE,
+                        OWL_FUNCTIONAL,
+                        OWL_INV_FUNCTIONAL,
+                    ]
+                )
+            )
         )
     schema_rows = (
         schema_src.filter(schema_filter)
@@ -449,6 +466,8 @@ def rdfs_inference(
     inverse_pairs: set[tuple[str, str]] = set()
     symmetric_props: set[str] = set()
     transitive_props: set[str] = set()
+    functional_props: set[str] = set()
+    inv_functional_props: set[str] = set()
     chain_heads: dict[str, str] = {}
     if owl:
         for r in schema_rows:
@@ -467,6 +486,10 @@ def rdfs_inference(
                 symmetric_props.add(r.s)
             elif r.p == RDF_TYPE and r.o_value == OWL_TRANSITIVE:
                 transitive_props.add(r.s)
+            elif r.p == RDF_TYPE and r.o_value == OWL_FUNCTIONAL:
+                functional_props.add(r.s)
+            elif r.p == RDF_TYPE and r.o_value == OWL_INV_FUNCTIONAL:
+                inv_functional_props.add(r.s)
 
     sub_class = _transitive_close(sub_class)
     sub_prop = _transitive_close(sub_prop)
@@ -558,6 +581,74 @@ def rdfs_inference(
             "part_id",
         )
         base = dedupe_triples(base.unionByName(entailed_t))
+
+    # owl:FunctionalProperty (prp-fp) / owl:InverseFunctionalProperty
+    # (prp-ifp) — entail owl:sameAs edges, placed immediately BEFORE the
+    # sameAs step so the derived identities feed the cluster closure.
+    # Scale shape: one partial+final agg on the group key + one join back
+    # (each non-canonical member links to the group MIN — linear in group
+    # size; the CC closure downstream restores the full pairwise
+    # equivalence, so the quadratic owlrl pair set is never materialized).
+    # prp-fp is applied to RESOURCE objects only (the engine's sameAs
+    # machinery is resource-sided; literal-valued functional clashes are a
+    # consistency violation owlrl reports separately, out of scope here).
+    # prp-ifp keys on the FULL object term (kind/value/datatype/lang) so
+    # "5"^^xsd:integer and "5"^^xsd:string never conflate.
+    fp_edges: list[DataFrame] = []
+    if functional_props:
+        slice_fp = base.filter(
+            F.col("p").isin(sorted(functional_props))
+            & (F.col("o_kind") != KIND_LITERAL)
+        )
+        canon = slice_fp.groupBy("p", "s").agg(
+            F.min("o_value").alias("_canon")
+        )
+        fp_edges.append(
+            slice_fp.join(canon, on=["p", "s"])
+            .filter(F.col("o_value") != F.col("_canon"))
+            .select(
+                F.col("o_value").alias("s"),
+                F.lit(OWL_SAMEAS).alias("p"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.col("_canon").alias("o_value"),
+                F.lit(None).cast("string").alias("o_datatype"),
+                F.lit(None).cast("string").alias("o_lang"),
+                "graph",
+                "part_id",
+            )
+        )
+    if inv_functional_props:
+        # composite term key (null-safe: NULL datatype/lang coalesce into
+        # the concat) — a plain multi-column equi-join would silently drop
+        # rows whose o_lang/o_datatype is NULL
+        tk = F.concat_ws(
+            "\x1f",
+            F.col("p"),
+            F.col("o_kind"),
+            F.col("o_value"),
+            F.coalesce(F.col("o_datatype"), F.lit("")),
+            F.coalesce(F.col("o_lang"), F.lit("")),
+        )
+        slice_ifp = base.filter(
+            F.col("p").isin(sorted(inv_functional_props))
+        ).withColumn("_tk", tk)
+        canon = slice_ifp.groupBy("_tk").agg(F.min("s").alias("_canon"))
+        fp_edges.append(
+            slice_ifp.join(canon, on="_tk")
+            .filter(F.col("s") != F.col("_canon"))
+            .select(
+                "s",
+                F.lit(OWL_SAMEAS).alias("p"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.col("_canon").alias("o_value"),
+                F.lit(None).cast("string").alias("o_datatype"),
+                F.lit(None).cast("string").alias("o_lang"),
+                "graph",
+                "part_id",
+            )
+        )
+    for e in fp_edges:
+        base = dedupe_triples(base.unionByName(e.distinct()))
 
     # owl:sameAs (eq-sym/eq-trans/eq-rep-s/eq-rep-o) — after the edge
     # rules so entailed edges replicate too, before domain/range/rdfs9 so

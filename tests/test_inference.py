@@ -6,6 +6,7 @@ from cmem_plugin_pyshacl_spark.data_model import (
     EX,
     RDF_TYPE,
     RDFS_SUBCLASSOF,
+    XSD_INTEGER,
     iri,
     lit_typed,
     triples_from_rows,
@@ -333,3 +334,67 @@ def test_same_as_canonicalize(spark):
         ("urn:a", EX + "age", "42"),
         ("urn:z", EX + "knows", "urn:a"),
     }
+
+
+def test_owl_functional_property_entails_same_as(spark):
+    """prp-fp: two resource objects of a functional property become
+    sameAs-identified, and the sameAs step that follows replicates their
+    triples (one ordered pass: fp feeds sameAs)."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_FUNCTIONAL,
+        OWL_SAMEAS,
+        apply_inference,
+    )
+
+    data = triples_from_rows(
+        spark,
+        [
+            (EX + "hasMother", RDF_TYPE, iri(OWL_FUNCTIONAL)),
+            ("urn:kid", EX + "hasMother", iri("urn:m1")),
+            ("urn:kid", EX + "hasMother", iri("urn:m2")),
+            ("urn:m2", EX + "city", iri("urn:berlin")),
+            # literal-valued functional clash: out of scope, must NOT
+            # produce sameAs rows
+            (EX + "age", RDF_TYPE, iri(OWL_FUNCTIONAL)),
+            ("urn:kid", EX + "age", lit_typed("5", XSD_INTEGER)),
+            ("urn:kid", EX + "age", lit_typed("6", XSD_INTEGER)),
+        ],
+    )
+    out = apply_inference(data, profile="owlrl").collect()
+    same = {(r.s, r.o_value) for r in out if r.p == OWL_SAMEAS}
+    assert ("urn:m2", "urn:m1") in same or ("urn:m1", "urn:m2") in same
+    assert not any("urn:kid" in pair for pair in same)
+    # eq-rep: m1 inherits m2's city through the sameAs cluster step
+    cities = {(r.s, r.o_value) for r in out if r.p == EX + "city"}
+    assert ("urn:m1", "urn:berlin") in cities
+
+
+def test_owl_inverse_functional_property(spark):
+    """prp-ifp keys on the FULL object term: a shared literal email
+    identifies subjects; equal lexical forms under different datatypes do
+    NOT conflate."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_INV_FUNCTIONAL,
+        OWL_SAMEAS,
+        apply_inference,
+    )
+    from cmem_plugin_pyshacl_spark.data_model import XSD_STRING
+
+    data = triples_from_rows(
+        spark,
+        [
+            (EX + "email", RDF_TYPE, iri(OWL_INV_FUNCTIONAL)),
+            ("urn:a", EX + "email", lit_typed("x@y.z", XSD_STRING)),
+            ("urn:b", EX + "email", lit_typed("x@y.z", XSD_STRING)),
+            ("urn:c", EX + "email", lit_typed("other@y.z", XSD_STRING)),
+            # same lexical form, different datatype -> distinct term
+            (EX + "code", RDF_TYPE, iri(OWL_INV_FUNCTIONAL)),
+            ("urn:d", EX + "code", lit_typed("5", XSD_INTEGER)),
+            ("urn:e", EX + "code", lit_typed("5", XSD_STRING)),
+        ],
+    )
+    out = apply_inference(data, profile="owlrl").collect()
+    same = {frozenset((r.s, r.o_value)) for r in out if r.p == OWL_SAMEAS}
+    assert frozenset(("urn:a", "urn:b")) in same
+    assert not any("urn:c" in p for p in same)
+    assert not any("urn:d" in p or "urn:e" in p for p in same)
