@@ -309,8 +309,8 @@ def _sparql_rule_dfs(
 ) -> list[DataFrame]:
     """Evaluate the CONSTRUCT body once, instantiate every template
     pattern from the binding set (SHACL-AF §8.2)."""
-    template, patterns, filters = parse_construct(rule.construct)
-    bound, bound_vars = eval_bgp(data, focus, patterns, filters)
+    template, block = parse_construct(rule.construct)
+    bound, bound_vars = eval_bgp(data, focus, block)
 
     def term_cols(term) -> tuple:
         if term.kind == "this":
@@ -340,6 +340,12 @@ def _sparql_rule_dfs(
         # error) — gate the kind filter to avoid a constant-folded
         # trivially-true predicate
         src = bound.filter(sk != F.lit(KIND_LITERAL)) if t.subj.kind == "var" else bound
+        # OPTIONAL-bound template variables can be NULL for unmatched
+        # solutions; CONSTRUCT skips those (no triple is instantiated)
+        if t.subj.kind == "var":
+            src = src.filter(sv.isNotNull())
+        if t.obj.kind == "var":
+            src = src.filter(ov.isNotNull())
         rows = src.select(
             sv.alias("s"),
             F.lit(t.pred).alias("p"),

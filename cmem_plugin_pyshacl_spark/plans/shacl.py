@@ -2605,8 +2605,8 @@ def validate(
         sparql_map = compile_sparql_constraints(af_rows)
         for scs in sparql_map.values():
             for sc in scs:
-                _, pats, _f = parse_select(sc.select)
-                sparql_preds.update(p.pred for p in pats)
+                _, blk = parse_select(sc.select)
+                sparql_preds.update(p.pred for p in blk.all_patterns())
 
     closure_src = ont_triples if ont_triples is not None else data_triples
     all_classes: set[str] = set()

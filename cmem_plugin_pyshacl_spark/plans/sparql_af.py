@@ -23,7 +23,11 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     the keyword ``a`` (rdf:type). Patterns join left-to-right.
   * FILTER clauses: comparisons (=, !=, <, <=, >, >=) between vars /
     literals / numbers (numeric when both sides cast to double, else
-    string), and regex(?var, "pattern").
+    string), regex(?var, "pattern"), and [!]bound(?var).
+  * OPTIONAL { ... } groups (left-outer join over the distinct shared
+    keys; combined with !bound() this covers the common negation idiom)
+    and FILTER [NOT] EXISTS { ... } probes (semi/anti join) — nested
+    groups recurse. MINUS and UNION stay outside the subset and raise.
   * PREFIX: inline ``PREFIX pfx: <ns>`` declarations before the query
     form, plus shapes-graph ``sh:prefixes``/``sh:declare`` ontologies
     (SHACL-AF §5.2) — prefixed names expand to full IRIs at compile time.
@@ -80,6 +84,106 @@ class _Pattern:
 @dataclass(frozen=True)
 class _Filter:
     raw: str
+
+
+@dataclass(frozen=True)
+class _Block:
+    """One group graph pattern: its own triple patterns and filters plus
+    nested OPTIONAL groups and FILTER [NOT] EXISTS probes."""
+
+    patterns: tuple  # tuple[_Pattern, ...]
+    filters: tuple  # tuple[_Filter, ...]
+    optionals: tuple  # tuple[_Block, ...]
+    exists: tuple  # tuple[(negated: bool, _Block), ...]
+
+    def all_patterns(self):
+        yield from self.patterns
+        for b in self.optionals:
+            yield from b.all_patterns()
+        for _neg, b in self.exists:
+            yield from b.all_patterns()
+
+
+_GROUP_KW_RE = re.compile(
+    r"(FILTER\s+NOT\s+EXISTS|FILTER\s+EXISTS|OPTIONAL|MINUS|UNION)\b", re.I
+)
+
+
+def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
+    """Split out top-level ``OPTIONAL { … }`` / ``FILTER [NOT] EXISTS
+    { … }`` segments (string- and IRI-aware brace matching); returns the
+    remaining body and the (keyword, inner-body) segments. MINUS/UNION
+    raise explicitly — outside the supported subset."""
+    out: list[tuple[str, str]] = []
+    kept: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == '"':
+            j = i + 1
+            while j < n and (body[j] != '"' or body[j - 1] == "\\"):
+                j += 1
+            kept.append(body[i : j + 1])
+            i = j + 1
+            continue
+        if c == "<":
+            j = body.find(">", i)
+            j = n - 1 if j < 0 else j
+            kept.append(body[i : j + 1])
+            i = j + 1
+            continue
+        m = _GROUP_KW_RE.match(body, i)
+        # keyword must start at a token boundary (not inside ?var / pname)
+        if m and (i == 0 or not re.match(r"[\w?$]", body[i - 1])):
+            kw = re.sub(r"\s+", " ", m.group(1).upper())
+            if kw in ("MINUS", "UNION"):
+                raise ValueError(f"unsupported sh:sparql syntax {kw}")
+            j = m.end()
+            while j < n and body[j].isspace():
+                j += 1
+            if j >= n or body[j] != "{":
+                raise ValueError(f"expected '{{' after {kw}")
+            depth, k = 0, j
+            while k < n:
+                ch = body[k]
+                if ch == '"':
+                    k += 1
+                    while k < n and (body[k] != '"' or body[k - 1] == "\\"):
+                        k += 1
+                elif ch == "<":
+                    nxt = body.find(">", k)
+                    k = n if nxt < 0 else nxt
+                elif ch == "{":
+                    depth += 1
+                elif ch == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if depth != 0:
+                raise ValueError(f"unbalanced braces in {kw} group")
+            out.append((kw, body[j + 1 : k]))
+            i = k + 1
+            continue
+        kept.append(c)
+        i += 1
+    return "".join(kept), out
+
+
+def _parse_group(body: str) -> _Block:
+    """Parse a group graph pattern into a _Block (recursive over nested
+    OPTIONAL / FILTER [NOT] EXISTS groups)."""
+    rest, groups = _extract_groups(body)
+    patterns, filters = _parse_patterns(rest)
+    optionals: list[_Block] = []
+    exists: list[tuple[bool, _Block]] = []
+    for kw, inner in groups:
+        sub = _parse_group(inner)
+        if kw == "OPTIONAL":
+            optionals.append(sub)
+        else:
+            exists.append((kw == "FILTER NOT EXISTS", sub))
+    return _Block(tuple(patterns), tuple(filters), tuple(optionals), tuple(exists))
 
 
 _PREFIX_DECL_RE = re.compile(
@@ -254,7 +358,7 @@ def _parse_patterns(body: str, allow_filters: bool = True) -> tuple[list[_Patter
     return patterns, filters
 
 
-def parse_select(select: str) -> tuple[list[str], list[_Pattern], list[_Filter]]:
+def parse_select(select: str) -> tuple[list[str], _Block]:
     """Parse the supported SELECT subset; ValueError on anything outside."""
     m = re.match(
         r"\s*SELECT\s+(?P<proj>.+?)\s+WHERE\s*\{(?P<body>.*)\}\s*$",
@@ -273,16 +377,16 @@ def parse_select(select: str) -> tuple[list[str], list[_Pattern], list[_Filter]]
         if not t.startswith("?"):
             raise ValueError(f"unsupported projection term {t!r}")
         proj.append(t[1:])
-    patterns, filters = _parse_patterns(m.group("body"))
-    if not patterns:
+    block = _parse_group(m.group("body"))
+    if not block.patterns and not block.optionals and not block.exists:
         raise ValueError("sh:sparql select has no graph pattern")
-    return proj, patterns, filters
+    return proj, block
 
 
-def parse_construct(construct: str) -> tuple[list[_Pattern], list[_Pattern], list[_Filter]]:
+def parse_construct(construct: str) -> tuple[list[_Pattern], _Block]:
     """Parse the sh:SPARQLRule CONSTRUCT subset: a template block of triple
     patterns plus the same WHERE body grammar as parse_select. Returns
-    (template, where_patterns, filters)."""
+    (template, where_block)."""
     m = re.match(
         r"\s*CONSTRUCT\s*\{(?P<tpl>.*?)\}\s*WHERE\s*\{(?P<body>.*)\}\s*$",
         construct,
@@ -295,8 +399,7 @@ def parse_construct(construct: str) -> tuple[list[_Pattern], list[_Pattern], lis
     template, _ = _parse_patterns(m.group("tpl"), allow_filters=False)
     if not template:
         raise ValueError("sh:construct template has no triple pattern")
-    patterns, filters = _parse_patterns(m.group("body"))
-    return template, patterns, filters
+    return template, _parse_group(m.group("body"))
 
 
 _CMP_RE = re.compile(
@@ -325,7 +428,19 @@ def _term_col(tok: str, cols: dict[str, Column]) -> Column:
     return F.lit(tok)
 
 
+_BOUND_RE = re.compile(
+    r"^\s*(?P<neg>!)?\s*bound\s*\(\s*\?(?P<var>[A-Za-z_]\w*)\s*\)\s*$", re.I
+)
+
+
 def _filter_condition(f: _Filter, cols: dict[str, Column]) -> Column:
+    bm = _BOUND_RE.match(f.raw)
+    if bm:
+        name = bm.group("var")
+        if name not in cols:
+            raise ValueError(f"FILTER bound() references unknown variable ?{name}")
+        cond = cols[name].isNotNull()
+        return ~cond if bm.group("neg") else cond
     rm = _REGEX_RE.match(f.raw)
     if rm:
         cond = _term_col("?" + rm.group("var"), cols).rlike(rm.group("pat"))
@@ -345,57 +460,51 @@ def _filter_condition(f: _Filter, cols: dict[str, Column]) -> Column:
     return F.when(num_ok, num).otherwise(s)
 
 
-def eval_bgp(
+def _join_patterns(
     data: DataFrame,
-    focus: DataFrame,
-    patterns: list[_Pattern],
-    filters: list[_Filter],
-) -> tuple[DataFrame, set[str]]:
-    """Progressive BGP join from the focus set. Returns the binding set —
-    columns ``this``, ``part_id``, and ``<var>__value/kind/datatype/lang``
-    per bound variable — plus the set of bound variable names.
-
-    Scale posture: each triple pattern is a ``p == <iri>`` slice of the
-    (persisted, predicate-sliced) relation joined progressively into the
-    binding set — same join shape as S5; no collects, no UDFs."""
-    bound = focus.select(
-        F.col("focus").alias("this"), F.col("part_id").alias("part_id")
-    )
-    bound_vars: set[str] = set()
-
+    bound: DataFrame,
+    bound_vars: set[str],
+    patterns: tuple,
+    ns: str,
+) -> DataFrame:
+    """Progressively join triple patterns into the binding set (mutates
+    bound_vars). ns namespaces the temp columns so nested blocks never
+    collide with the enclosing evaluation."""
     for i, pat in enumerate(patterns):
+        sfx = f"{ns}{i}"
         rel = data.filter(F.col("p") == pat.pred).select(
-            F.col("s").alias(f"_s{i}"),
-            F.col("o_kind").alias(f"_ok{i}"),
-            F.col("o_value").alias(f"_ov{i}"),
-            F.col("o_datatype").alias(f"_od{i}"),
-            F.col("o_lang").alias(f"_ol{i}"),
+            F.col("s").alias(f"_s{sfx}"),
+            F.col("o_kind").alias(f"_ok{sfx}"),
+            F.col("o_value").alias(f"_ov{sfx}"),
+            F.col("o_datatype").alias(f"_od{sfx}"),
+            F.col("o_lang").alias(f"_ol{sfx}"),
         )
         conds: list[Column] = []
         if pat.subj.kind == "this":
-            conds.append(F.col(f"_s{i}") == F.col("this"))
+            conds.append(F.col(f"_s{sfx}") == F.col("this"))
         elif pat.subj.kind == "var":
             if pat.subj.value in bound_vars:
-                conds.append(F.col(f"_s{i}") == F.col(f"{pat.subj.value}__value"))
+                conds.append(F.col(f"_s{sfx}") == F.col(f"{pat.subj.value}__value"))
         else:  # iri
-            rel = rel.filter(F.col(f"_s{i}") == pat.subj.value)
+            rel = rel.filter(F.col(f"_s{sfx}") == pat.subj.value)
 
         if pat.obj.kind == "this":
             conds.append(
-                (F.col(f"_ov{i}") == F.col("this"))
-                & (F.col(f"_ok{i}") == KIND_IRI)
+                (F.col(f"_ov{sfx}") == F.col("this"))
+                & (F.col(f"_ok{sfx}") == KIND_IRI)
             )
         elif pat.obj.kind == "var":
             if pat.obj.value in bound_vars:
-                conds.append(F.col(f"_ov{i}") == F.col(f"{pat.obj.value}__value"))
+                conds.append(F.col(f"_ov{sfx}") == F.col(f"{pat.obj.value}__value"))
         elif pat.obj.kind == "iri":
             rel = rel.filter(
-                (F.col(f"_ov{i}") == pat.obj.value) & (F.col(f"_ok{i}") == KIND_IRI)
+                (F.col(f"_ov{sfx}") == pat.obj.value)
+                & (F.col(f"_ok{sfx}") == KIND_IRI)
             )
         else:  # literal
             rel = rel.filter(
-                (F.col(f"_ov{i}") == pat.obj.value)
-                & (F.col(f"_ok{i}") == KIND_LITERAL)
+                (F.col(f"_ov{sfx}") == pat.obj.value)
+                & (F.col(f"_ok{sfx}") == KIND_LITERAL)
             )
 
         if conds:
@@ -412,7 +521,7 @@ def eval_bgp(
         if pat.subj.kind == "var" and pat.subj.value not in bound_vars:
             v = pat.subj.value
             bound = (
-                bound.withColumn(f"{v}__value", F.col(f"_s{i}"))
+                bound.withColumn(f"{v}__value", F.col(f"_s{sfx}"))
                 .withColumn(f"{v}__kind", F.lit(KIND_IRI))
                 .withColumn(f"{v}__datatype", F.lit(None).cast("string"))
                 .withColumn(f"{v}__lang", F.lit(None).cast("string"))
@@ -421,19 +530,126 @@ def eval_bgp(
         if pat.obj.kind == "var" and pat.obj.value not in bound_vars:
             v = pat.obj.value
             bound = (
-                bound.withColumn(f"{v}__value", F.col(f"_ov{i}"))
-                .withColumn(f"{v}__kind", F.col(f"_ok{i}"))
-                .withColumn(f"{v}__datatype", F.col(f"_od{i}"))
-                .withColumn(f"{v}__lang", F.col(f"_ol{i}"))
+                bound.withColumn(f"{v}__value", F.col(f"_ov{sfx}"))
+                .withColumn(f"{v}__kind", F.col(f"_ok{sfx}"))
+                .withColumn(f"{v}__datatype", F.col(f"_od{sfx}"))
+                .withColumn(f"{v}__lang", F.col(f"_ol{sfx}"))
             )
             bound_vars.add(v)
-        bound = bound.drop(f"_s{i}", f"_ok{i}", f"_ov{i}", f"_od{i}", f"_ol{i}")
+        bound = bound.drop(
+            f"_s{sfx}", f"_ok{sfx}", f"_ov{sfx}", f"_od{sfx}", f"_ol{sfx}"
+        )
+    return bound
 
+
+def _sub_block_keys(bound_vars: set[str], sub: _Block) -> list[str]:
+    """Join-key columns linking an outer binding set to a nested group:
+    always ``this`` (every outer solution carries it, and it keeps a
+    disconnected group from silently becoming a cross join of the whole
+    outer set) plus every outer variable the group mentions."""
+    sub_vars = {
+        t.value
+        for p in sub.all_patterns()
+        for t in (p.subj, p.obj)
+        if t.kind == "var"
+    }
+    return ["this"] + sorted(f"{v}__value" for v in sub_vars & bound_vars)
+
+
+def _optional_join(
+    data: DataFrame,
+    bound: DataFrame,
+    bound_vars: set[str],
+    sub: _Block,
+    ns: str,
+) -> DataFrame:
+    """OPTIONAL { … }: evaluate the group over the DISTINCT shared keys of
+    the outer binding set, then left-outer join it back — unmatched outer
+    solutions keep NULLs in the group's variables (SPARQL OPTIONAL
+    semantics; bound()/!bound() filters read exactly those NULLs)."""
+    key_cols = _sub_block_keys(bound_vars, sub)
+    keys = bound.select(*key_cols).distinct()
+    inner_vars = {c[: -len("__value")] for c in key_cols if c.endswith("__value")}
+    shared = set(inner_vars)
+    matched = _apply_block(data, keys, inner_vars, sub, ns)
+    new_vars = inner_vars - shared
+    proj = key_cols + [
+        f"{v}__{part}"
+        for v in sorted(new_vars)
+        for part in ("value", "kind", "datatype", "lang")
+    ]
+    bound = bound.join(matched.select(*proj), on=key_cols, how="left")
+    bound_vars |= new_vars
+    return bound
+
+
+def _exists_join(
+    data: DataFrame,
+    bound: DataFrame,
+    bound_vars: set[str],
+    sub: _Block,
+    negated: bool,
+    ns: str,
+) -> DataFrame:
+    """FILTER [NOT] EXISTS { … }: evaluate the group over the distinct
+    shared keys and semi/anti-join the outer binding set against it —
+    the standard relational compilation of the SPARQL existence probe."""
+    key_cols = _sub_block_keys(bound_vars, sub)
+    keys = bound.select(*key_cols).distinct()
+    inner_vars = {c[: -len("__value")] for c in key_cols if c.endswith("__value")}
+    matched = (
+        _apply_block(data, keys, inner_vars, sub, ns)
+        .select(*key_cols)
+        .distinct()
+    )
+    return bound.join(
+        matched, on=key_cols, how="left_anti" if negated else "left_semi"
+    )
+
+
+def _apply_block(
+    data: DataFrame,
+    bound: DataFrame,
+    bound_vars: set[str],
+    block: _Block,
+    ns: str,
+) -> DataFrame:
+    """Evaluate one group graph pattern against the binding set: own
+    patterns first, then OPTIONAL groups, then existence probes, then the
+    group's FILTERs (so filters see optional-bound variables — the
+    OPTIONAL + !bound() negation idiom)."""
+    bound = _join_patterns(data, bound, bound_vars, block.patterns, ns)
+    for k, opt in enumerate(block.optionals):
+        bound = _optional_join(data, bound, bound_vars, opt, f"{ns}o{k}_")
+    for k, (neg, sub) in enumerate(block.exists):
+        bound = _exists_join(data, bound, bound_vars, sub, neg, f"{ns}e{k}_")
     cols: dict[str, Column] = {"this": F.col("this")}
     for v in bound_vars:
         cols[v] = F.col(f"{v}__value")
-    for f in filters:
+    for f in block.filters:
         bound = bound.filter(_filter_condition(f, cols))
+    return bound
+
+
+def eval_bgp(
+    data: DataFrame,
+    focus: DataFrame,
+    block: _Block,
+) -> tuple[DataFrame, set[str]]:
+    """Evaluate the WHERE block from the focus set. Returns the binding
+    set — columns ``this``, ``part_id``, and ``<var>__value/kind/
+    datatype/lang`` per bound variable — plus the bound variable names.
+
+    Scale posture: each triple pattern is a ``p == <iri>`` slice of the
+    (persisted, predicate-sliced) relation joined progressively into the
+    binding set — same join shape as S5; OPTIONAL is a left-outer join
+    and [NOT] EXISTS a semi/anti join over the DISTINCT shared keys (the
+    probe never multiplies the outer cardinality); no collects, no UDFs."""
+    bound = focus.select(
+        F.col("focus").alias("this"), F.col("part_id").alias("part_id")
+    )
+    bound_vars: set[str] = set()
+    bound = _apply_block(data, bound, bound_vars, block, "m")
     return bound, bound_vars
 
 
@@ -445,8 +661,8 @@ def evaluate_sparql_constraint(
 ) -> DataFrame:
     """Compile the constraint's SELECT into a progressive BGP join from the
     focus set and emit one RESULT_SCHEMA row per solution."""
-    proj, patterns, filters = parse_select(sc.select)
-    bound, bound_vars = eval_bgp(data, focus, patterns, filters)
+    proj, block = parse_select(sc.select)
+    bound, bound_vars = eval_bgp(data, focus, block)
 
     for v in proj:
         if v not in bound_vars:

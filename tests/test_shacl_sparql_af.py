@@ -91,7 +91,8 @@ def test_sparql_constraint_two_pattern_join_and_regex(spark):
 def test_sparql_unsupported_select_raises(spark):
     for bad in (
         "ASK { $this a ?c }",
-        "SELECT $this WHERE { $this <urn:p> ?v . OPTIONAL { ?v <urn:q> ?w } }",
+        "SELECT $this WHERE { { $this <urn:p> ?v } UNION { $this <urn:q> ?v } }",
+        "SELECT $this WHERE { $this <urn:p> ?v . MINUS { ?v <urn:q> ?w } }",
         "SELECT $this WHERE { }",
     ):
         with pytest.raises(ValueError):
@@ -112,14 +113,100 @@ def test_sparql_ignored_without_advanced_flag(spark):
 
 
 def test_parse_select_shapes():
-    proj, pats, filts = parse_select(
+    proj, block = parse_select(
         'SELECT $this ?v WHERE { $this a ?v . FILTER (?v != "x") }'
     )
     assert proj == ["v"]
-    assert pats[0].pred.endswith("#type")
-    assert len(filts) == 1
+    assert block.patterns[0].pred.endswith("#type")
+    assert len(block.filters) == 1
 
 
 def test_js_still_raises(spark):
     with pytest.raises(ValueError):
         validate(spark, _people(spark), _people(spark), js=True)
+
+
+def test_sparql_filter_not_exists(spark):
+    """The most common negation shape: persons with no age at all."""
+    select = (
+        "SELECT $this WHERE { "
+        f"FILTER NOT EXISTS {{ $this <{EX}age> ?age }} }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:carol"}
+
+
+def test_sparql_filter_exists(spark):
+    """Positive probe: persons who know someone AND have an age."""
+    select = (
+        "SELECT $this ?w WHERE { "
+        f"$this <{EX}knows> ?w . "
+        f"FILTER EXISTS {{ $this <{EX}age> ?age }} }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:alice", "urn:bob")}
+
+
+def test_sparql_optional_with_not_bound(spark):
+    """The OPTIONAL + !bound() negation idiom gives the same answer as
+    FILTER NOT EXISTS."""
+    select = (
+        "SELECT $this WHERE { "
+        f"OPTIONAL {{ $this <{EX}age> ?age }} "
+        "FILTER (!bound(?age)) }"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:carol"}
+
+
+def test_sparql_optional_preserves_and_extends_bindings(spark):
+    """OPTIONAL keeps every outer solution and adds NULLs for unmatched
+    groups; matched groups project the optional variable as sh:value."""
+    select = (
+        "SELECT $this ?age WHERE { "
+        f"$this a <{EX}Person> . "
+        f"OPTIONAL {{ $this <{EX}age> ?age }} }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    got = {(r.focusNode, r.value) for r in res}
+    assert got == {("urn:alice", "17"), ("urn:bob", "42"), ("urn:carol", None)}
+
+
+def test_sparql_not_exists_with_shared_variable(spark):
+    """The probe joins on shared variables, not just $this: known persons
+    who themselves know nobody."""
+    select = (
+        "SELECT $this ?w WHERE { "
+        f"$this <{EX}knows> ?w . "
+        f"FILTER NOT EXISTS {{ ?w <{EX}knows> ?z }} }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    # alice knows bob (bob knows nobody) -> solution; carol knows carol
+    # (carol knows carol) -> probe matches -> removed
+    assert {(r.focusNode, r.value) for r in res} == {("urn:alice", "urn:bob")}
+
+
+def test_sparql_nested_not_exists_inside_optional(spark):
+    """Groups recurse: optional group with its own existence probe."""
+    select = (
+        "SELECT $this ?w WHERE { "
+        f"OPTIONAL {{ $this <{EX}knows> ?w . "
+        f"FILTER NOT EXISTS {{ ?w <{EX}age> ?za }} }} "
+        "FILTER (bound(?w)) }"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    # alice knows bob but bob HAS an age -> optional unmatched -> !bound
+    # carol knows carol, carol has no age -> bound
+    assert {(r.focusNode, r.value) for r in res} == {("urn:carol", "urn:carol")}
