@@ -461,6 +461,7 @@ def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
                 SH + "targetNode",
                 SH + "targetSubjectsOf",
                 SH + "targetObjectsOf",
+                SH + "target",  # SHACL-AF custom targets (sh:SPARQLTarget)
             )
         ) and SH + "path" not in props:
             node_shape_ids.add(s)
@@ -2589,23 +2590,45 @@ def validate(
     # SHACL-AF slice: compile sh:sparql constraints up front (parse errors
     # for unsupported selects surface here, before any Spark job)
     sparql_map: dict[str, list] = {}
+    starget_map: dict[str, list[str]] = {}
     sparql_preds: set[str] = set()
     if advanced:
-        from .sparql_af import compile_sparql_constraints, parse_select
+        from .sparql_af import (
+            compile_sparql_constraints,
+            compile_sparql_targets,
+            parse_select,
+        )
 
         af_rows = (
             shapes_triples.filter(
                 F.col("p").isin(
-                    [SH + "sparql", SH + "select", SH + "message", SH + "severity"]
+                    [
+                        SH + "sparql",
+                        SH + "select",
+                        SH + "message",
+                        SH + "severity",
+                        SH + "target",
+                        # sh:prefixes ontologies (SHACL-AF §5.2)
+                        SH + "prefixes",
+                        SH + "declare",
+                        SH + "prefix",
+                        SH + "namespace",
+                    ]
                 )
+                | (F.col("p") == RDF_TYPE)
             )
             .select("s", "p", "o_value")
             .collect()
         )
         sparql_map = compile_sparql_constraints(af_rows)
-        for scs in sparql_map.values():
-            for sc in scs:
-                _, blk = parse_select(sc.select)
+        starget_map = compile_sparql_targets(af_rows)
+        for sel_list in ([sc.select for sc in scs] for scs in sparql_map.values()):
+            for sel in sel_list:
+                _, blk = parse_select(sel)
+                sparql_preds.update(p.pred for p in blk.all_patterns())
+        for sels in starget_map.values():
+            for sel in sels:
+                _, blk = parse_select(sel)
                 sparql_preds.update(p.pred for p in blk.all_patterns())
 
     closure_src = ont_triples if ont_triples is not None else data_triples
@@ -2658,6 +2681,34 @@ def validate(
             if shape.deactivated:
                 continue
             focus = _focus_nodes(spark, eval_data, shape, closure)
+            t_sels = starget_map.get(shape.shape_id, [])
+            if t_sels:
+                from .sparql_af import evaluate_target_select
+
+                tfocus = evaluate_target_select(spark, eval_data, t_sels[0])
+                for sel in t_sels[1:]:
+                    tfocus = tfocus.unionByName(
+                        evaluate_target_select(spark, eval_data, sel)
+                    )
+                # lineage: a target-selected focus node reports into the
+                # min partition of its own subject triples (NULL when it
+                # never appears as a subject — same as sh:targetNode)
+                tfocus = (
+                    tfocus.join(
+                        eval_data.select(F.col("s").alias("focus"), "part_id"),
+                        on="focus",
+                        how="left",
+                    )
+                    .groupBy("focus")
+                    .agg(F.min("part_id").alias("part_id"))
+                )
+                focus = (
+                    tfocus
+                    if focus is None
+                    else focus.unionByName(tfocus)
+                    .groupBy("focus")
+                    .agg(F.min("part_id").alias("part_id"))
+                )
             if focus is None:
                 continue
             result_dfs.extend(

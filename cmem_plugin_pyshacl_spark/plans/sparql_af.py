@@ -287,6 +287,62 @@ def compile_sparql_constraints(shapes_rows: list) -> dict[str, list[SparqlConstr
     return out
 
 
+SH_SPARQL_TARGET = SH + "SPARQLTarget"
+
+
+def compile_sparql_targets(shapes_rows: list) -> dict[str, list[str]]:
+    """SHACL-AF §3 custom targets: gather ``shape sh:target t`` where
+    ``t a sh:SPARQLTarget ; sh:select "SELECT ?this WHERE { … }"``,
+    grouped by owning shape, selects prefix-expanded. Any other
+    sh:target node type raises — outside the supported subset."""
+    by_subject = index_rows(shapes_rows)
+    out: dict[str, list[str]] = {}
+    for subj, preds in by_subject.items():
+        for ref in preds.get(SH + "target", []):
+            node = ref.o_value
+            props = by_subject.get(node, {})
+            types = [r.o_value for r in props.get(RDF_TYPE, [])]
+            if SH_SPARQL_TARGET not in types:
+                raise ValueError(
+                    f"unsupported sh:target node {node} "
+                    "(only sh:SPARQLTarget is supported)"
+                )
+            selects = props.get(SH + "select", [])
+            if not selects:
+                raise ValueError(f"sh:SPARQLTarget {node} has no sh:select")
+            out.setdefault(subj, []).append(
+                expand_prefixes(
+                    selects[0].o_value, declared_prefixes(by_subject, node)
+                )
+            )
+    return out
+
+
+def evaluate_target_select(
+    spark: SparkSession, data: DataFrame, select: str
+) -> DataFrame:
+    """Evaluate a sh:SPARQLTarget select; returns DataFrame[focus]
+    (distinct). Inside a target select ``?this`` is an ordinary variable
+    BOUND BY the pattern (there is no outer focus set), so ``$this`` is
+    rejected — SHACL-AF target queries project ``?this``."""
+    proj, block = parse_select(select)
+    if any(
+        t.kind == "this"
+        for p in block.all_patterns()
+        for t in (p.subj, p.obj)
+    ):
+        raise ValueError(
+            "$this is not bound in a sh:SPARQLTarget select — project and "
+            "bind ?this instead"
+        )
+    seed = spark.range(1).select(F.lit(0).alias("_seed"))
+    bound_vars: set[str] = set()
+    bound = _apply_block(data, seed, bound_vars, block, "t", has_this=False)
+    if "this" not in bound_vars:
+        raise ValueError("sh:SPARQLTarget select must bind ?this")
+    return bound.select(F.col("this__value").alias("focus")).distinct()
+
+
 _TERM_RE = re.compile(
     r"""\$this|\?[A-Za-z_][A-Za-z0-9_]*|<[^>]*>|"(?:[^"\\]|\\.)*"|\ba\b
         |[0-9]+(?:\.[0-9]+)?""",
@@ -542,18 +598,30 @@ def _join_patterns(
     return bound
 
 
-def _sub_block_keys(bound_vars: set[str], sub: _Block) -> list[str]:
+def _sub_block_keys(
+    bound_vars: set[str], sub: _Block, has_this: bool = True
+) -> list[str]:
     """Join-key columns linking an outer binding set to a nested group:
-    always ``this`` (every outer solution carries it, and it keeps a
-    disconnected group from silently becoming a cross join of the whole
-    outer set) plus every outer variable the group mentions."""
+    ``this`` when the outer frame carries it (every constraint solution
+    does — it keeps a disconnected group from silently becoming a cross
+    join of the whole outer set) plus every outer variable the group
+    mentions. In a target select (no outer focus) the group must share a
+    variable explicitly."""
     sub_vars = {
         t.value
         for p in sub.all_patterns()
         for t in (p.subj, p.obj)
         if t.kind == "var"
     }
-    return ["this"] + sorted(f"{v}__value" for v in sub_vars & bound_vars)
+    keys = (["this"] if has_this else []) + sorted(
+        f"{v}__value" for v in sub_vars & bound_vars
+    )
+    if not keys:
+        raise ValueError(
+            "OPTIONAL / FILTER EXISTS group in a target select must share "
+            "a variable with the outer pattern"
+        )
+    return keys
 
 
 def _optional_join(
@@ -562,16 +630,17 @@ def _optional_join(
     bound_vars: set[str],
     sub: _Block,
     ns: str,
+    has_this: bool = True,
 ) -> DataFrame:
     """OPTIONAL { … }: evaluate the group over the DISTINCT shared keys of
     the outer binding set, then left-outer join it back — unmatched outer
     solutions keep NULLs in the group's variables (SPARQL OPTIONAL
     semantics; bound()/!bound() filters read exactly those NULLs)."""
-    key_cols = _sub_block_keys(bound_vars, sub)
+    key_cols = _sub_block_keys(bound_vars, sub, has_this)
     keys = bound.select(*key_cols).distinct()
     inner_vars = {c[: -len("__value")] for c in key_cols if c.endswith("__value")}
     shared = set(inner_vars)
-    matched = _apply_block(data, keys, inner_vars, sub, ns)
+    matched = _apply_block(data, keys, inner_vars, sub, ns, has_this)
     new_vars = inner_vars - shared
     proj = key_cols + [
         f"{v}__{part}"
@@ -590,15 +659,16 @@ def _exists_join(
     sub: _Block,
     negated: bool,
     ns: str,
+    has_this: bool = True,
 ) -> DataFrame:
     """FILTER [NOT] EXISTS { … }: evaluate the group over the distinct
     shared keys and semi/anti-join the outer binding set against it —
     the standard relational compilation of the SPARQL existence probe."""
-    key_cols = _sub_block_keys(bound_vars, sub)
+    key_cols = _sub_block_keys(bound_vars, sub, has_this)
     keys = bound.select(*key_cols).distinct()
     inner_vars = {c[: -len("__value")] for c in key_cols if c.endswith("__value")}
     matched = (
-        _apply_block(data, keys, inner_vars, sub, ns)
+        _apply_block(data, keys, inner_vars, sub, ns, has_this)
         .select(*key_cols)
         .distinct()
     )
@@ -613,6 +683,7 @@ def _apply_block(
     bound_vars: set[str],
     block: _Block,
     ns: str,
+    has_this: bool = True,
 ) -> DataFrame:
     """Evaluate one group graph pattern against the binding set: own
     patterns first, then OPTIONAL groups, then existence probes, then the
@@ -620,9 +691,9 @@ def _apply_block(
     OPTIONAL + !bound() negation idiom)."""
     bound = _join_patterns(data, bound, bound_vars, block.patterns, ns)
     for k, opt in enumerate(block.optionals):
-        bound = _optional_join(data, bound, bound_vars, opt, f"{ns}o{k}_")
+        bound = _optional_join(data, bound, bound_vars, opt, f"{ns}o{k}_", has_this)
     for k, (neg, sub) in enumerate(block.exists):
-        bound = _exists_join(data, bound, bound_vars, sub, neg, f"{ns}e{k}_")
+        bound = _exists_join(data, bound, bound_vars, sub, neg, f"{ns}e{k}_", has_this)
     cols: dict[str, Column] = {"this": F.col("this")}
     for v in bound_vars:
         cols[v] = F.col(f"{v}__value")

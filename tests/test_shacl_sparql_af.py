@@ -210,3 +210,85 @@ def test_sparql_nested_not_exists_inside_optional(spark):
     # alice knows bob but bob HAS an age -> optional unmatched -> !bound
     # carol knows carol, carol has no age -> bound
     assert {(r.focusNode, r.value) for r in res} == {("urn:carol", "urn:carol")}
+
+
+def _starget_shapes(spark, select):
+    rows = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "target", iri("urn:af:t1")),
+        ("urn:af:t1", RDF_TYPE, iri(SH + "SPARQLTarget")),
+        ("urn:af:t1", SH + "select", lit_typed(select)),
+        (EX + "S", SH + "property", iri(EX + "S/p")),
+        (EX + "S/p", SH + "path", iri(EX + "age")),
+        (EX + "S/p", SH + "minCount", lit_typed("1", XSD_INTEGER)),
+    ]
+    return triples_from_rows(spark, rows)
+
+
+def test_sparql_target_selects_focus_nodes(spark):
+    """SHACL-AF §3: sh:target/sh:SPARQLTarget binds ?this via its own
+    pattern — here 'everyone somebody knows' — and core constraints then
+    run on that focus set (carol is known by nobody -> not a focus; bob
+    has an age -> conforms; carol-known-by-carol is a focus and has no
+    age -> MinCount violation)."""
+    select = f"SELECT ?this WHERE {{ ?s <{EX}knows> ?this }}"
+    res = validate(
+        spark, _people(spark), _starget_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.sourceConstraintComponent.split("#")[-1]) for r in res} == {
+        ("urn:carol", "MinCountConstraintComponent")
+    }
+
+
+def test_sparql_target_inert_without_advanced(spark):
+    res = validate(spark, _people(spark), _starget_shapes(
+        spark, f"SELECT ?this WHERE {{ ?s <{EX}knows> ?this }}"))
+    assert res.count() == 0
+
+
+def test_sparql_target_requires_this_projection(spark):
+    bad = f"SELECT ?x WHERE {{ ?x <{EX}knows> ?y }}"
+    with pytest.raises(ValueError, match="bind \\?this"):
+        validate(
+            spark, _people(spark), _starget_shapes(spark, bad), advanced=True
+        ).collect()
+
+
+def test_sparql_target_rejects_dollar_this(spark):
+    bad = f"SELECT ?this WHERE {{ $this <{EX}knows> ?this }}"
+    with pytest.raises(ValueError, match="SPARQLTarget"):
+        validate(
+            spark, _people(spark), _starget_shapes(spark, bad), advanced=True
+        ).collect()
+
+
+def test_non_sparql_target_node_raises(spark):
+    rows = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "target", iri("urn:af:t2")),
+        ("urn:af:t2", RDF_TYPE, iri(SH + "JSTarget")),
+        ("urn:af:t2", SH + "select", lit_typed("x")),
+    ]
+    with pytest.raises(ValueError, match="only sh:SPARQLTarget"):
+        validate(
+            spark, _people(spark), triples_from_rows(spark, rows), advanced=True
+        ).collect()
+
+
+def test_sparql_target_combines_with_class_targets(spark):
+    """sh:target unions with ordinary targets and min-part lineage."""
+    select = f"SELECT ?this WHERE {{ ?s <{EX}knows> ?this }}"
+    rows = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetNode", iri("urn:dave")),
+        (EX + "S", SH + "target", iri("urn:af:t1")),
+        ("urn:af:t1", RDF_TYPE, iri(SH + "SPARQLTarget")),
+        ("urn:af:t1", SH + "select", lit_typed(select)),
+        (EX + "S", SH + "property", iri(EX + "S/p")),
+        (EX + "S/p", SH + "path", iri(EX + "age")),
+        (EX + "S/p", SH + "minCount", lit_typed("1", XSD_INTEGER)),
+    ]
+    res = validate(
+        spark, _people(spark), triples_from_rows(spark, rows), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:dave", "urn:carol"}
