@@ -214,3 +214,74 @@ def repetition_ratio(
         "repetition_ratio",
         F.when(n > 0, F.round(1.0 - distinct_n / n, 6)).otherwise(F.lit(0.0)),
     )
+
+
+def _word_ngram_hashes(text_col: str, n: int) -> Column:
+    """xxhash64 over each word n-gram of the normalized text (lowercase,
+    punctuation stripped) — empty array when the document is shorter than
+    n words. One transform() over an index sequence; each gram hashes a
+    slice of the shared token array, so token normalization runs once per
+    document, not once per gram."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")),
+            r"\s+",
+        ),
+        lambda t: t != "",
+    )
+    return F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )).otherwise(F.array().cast("array<bigint>"))
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — the standard LLM-training-data hygiene
+    step: flag every document sharing at least min_hits word n-grams
+    (default 13-grams, the published GPT-3/Llama convention) with a
+    benchmark/eval corpus, so evaluation text can be held out of
+    training. Returns the documents with `contamination_hits` and
+    `contaminated` columns appended.
+
+    Scale posture: the benchmark side (eval suites — thousands of
+    documents, not billions) reduces to DISTINCT gram hashes and is
+    broadcast only when measured small (df_is_small gate, never a blind
+    hint); the corpus side explodes to (doc, gram) pairs, LEFT SEMI joins
+    the benchmark grams, and aggregates hit counts partial+final. The
+    corpus is never collected and never self-joined; normalization and
+    hashing are pure Column expressions (no UDFs)."""
+    from ..data_model import df_is_small, maybe_broadcast
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_ngram_hashes(benchmark_text_col, n)).alias("_gh")
+        ).distinct()
+    )
+    bench_grams = maybe_broadcast(bench_grams, df_is_small(bench_grams))
+    doc_grams = documents.select(
+        F.col(id_col),
+        F.explode(_word_ngram_hashes(text_col, n)).alias("_gh"),
+    )
+    hits = (
+        doc_grams.join(bench_grams, on="_gh", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contamination_hits"))
+    )
+    return (
+        documents.join(hits, on=id_col, how="left")
+        .withColumn(
+            "contamination_hits",
+            F.coalesce(F.col("contamination_hits"), F.lit(0)),
+        )
+        .withColumn(
+            "contaminated", F.col("contamination_hits") >= F.lit(min_hits)
+        )
+    )

@@ -310,3 +310,46 @@ def test_resample_audio_real_for_wav(spark):
     opaque = synthetic_media(spark, 9, real_audio=False)
     with _pytest.raises(Exception, match="NotImplementedError|codec"):
         resample_audio(opaque, 4000).collect()
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from cmem_plugin_pyshacl_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "What is the capital city of France and when was it founded exactly")],
+        "qid long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark's first 13 words verbatim (punctuation
+            # and case must not matter)
+            (1, "Quiz: WHAT is the Capital City of France, and when was it founded exactly? Answer below."),
+            # paraphrase, no 13-gram overlap
+            (2, "France's capital and its founding date are common trivia questions."),
+            # shorter than 13 words -> no grams -> clean
+            (3, "tiny document"),
+            # repeats the benchmark text twice -> multiple hits
+            (4, "what is the capital city of france and when was it founded exactly "
+                "what is the capital city of france and when was it founded exactly"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate(docs, bench, n=13).collect()}
+    assert out[1].contaminated and out[1].contamination_hits >= 1
+    assert not out[2].contaminated and out[2].contamination_hits == 0
+    assert not out[3].contaminated
+    assert out[4].contaminated and out[4].contamination_hits > out[1].contamination_hits
+    # min_hits raises the bar (doc 4 matches the benchmark's single
+    # 13-gram twice; doc 1 only once)
+    strict = {r.doc_id: r.contaminated
+              for r in decontaminate(docs, bench, n=13, min_hits=2).collect()}
+    assert strict[4] and not strict[1]
+
+
+def test_decontaminate_plan_has_no_cartesian(spark):
+    from cmem_plugin_pyshacl_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame([(1, "a b c d e")], "qid long, text string")
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = decontaminate(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
