@@ -506,3 +506,168 @@ __all__ = [
     "from_turtle",
     "read_turtle",
 ]
+
+
+# --------------------------------------------------------------- writer
+# Export twin of the reader. Turtle permits directives between statements
+# and every subject block below is self-contained, so per-partition files
+# that each start with their own @prefix header concatenate into (and
+# individually are) valid Turtle — which is what makes a DISTRIBUTED
+# Turtle sink legal, unlike a single global header would be.
+
+_PN_LOCAL_OK_RE = r"^[A-Za-z_][A-Za-z0-9_.\-]*$"
+
+
+def _compact_iri(col, prefixes: dict[str, str]):
+    """Column expr: `pfx:local` when the IRI starts with a declared
+    namespace and the remainder is a safe PN_LOCAL (conservative ASCII
+    subset, no trailing dot), else `<iri>`. Longest namespace wins."""
+    from pyspark.sql import functions as F
+
+    expr = F.concat(F.lit("<"), col, F.lit(">"))
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
+        local = F.substring(col, len(ns) + 1, 1 << 24)
+        ok = (
+            col.startswith(ns)
+            & local.rlike(_PN_LOCAL_OK_RE)
+            & ~local.endswith(".")
+        )
+        expr = F.when(ok, F.concat(F.lit(pfx + ":"), local)).otherwise(expr)
+    return expr
+
+
+def _escape_lit(col):
+    from pyspark.sql import functions as F
+
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', r'\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    return F.regexp_replace(out, "\t", r"\\t")
+
+
+def _ttl_term(kind, value, dt, lang, prefixes: dict[str, str]):
+    from pyspark.sql import functions as F
+
+    esc = _escape_lit(value)
+    return (
+        F.when(kind == KIND_IRI, _compact_iri(value, prefixes))
+        .when(kind == KIND_BNODE, value)  # `_:label` is already valid Turtle
+        .when(
+            (kind == KIND_LITERAL) & lang.isNotNull(),
+            F.concat(F.lit('"'), esc, F.lit('"@'), lang),
+        )
+        .when(
+            (kind == KIND_LITERAL)
+            & dt.isNotNull()
+            & (dt != XSD_STRING),
+            F.concat(F.lit('"'), esc, F.lit('"^^'), _compact_iri(dt, prefixes)),
+        )
+        .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    )
+
+
+def turtle_header(prefixes: dict[str, str]) -> str:
+    return "".join(
+        f"@prefix {p}: <{ns}> .\n" for p, ns in sorted(prefixes.items())
+    )
+
+
+def to_turtle(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+    """Serialize a triples DataFrame to Turtle subject blocks — one
+    ``subj p1 o1 ;\\n    p2 o2 .`` row per subject, rdf:type as ``a``,
+    IRIs compacted against `prefixes`. Pure Column expressions + one
+    groupBy(s) shuffle; object lists are sorted for determinism.
+
+    The output deliberately round-trips through parse_turtle (tested);
+    prepend ``turtle_header(prefixes)`` when writing to a file, or use
+    write_turtle which does it per partition."""
+    from pyspark.sql import functions as F
+
+    pfx = prefixes or {}
+    subj = F.when(
+        F.col("s").startswith("_:"), F.col("s")
+    ).otherwise(_compact_iri(F.col("s"), pfx))
+    pred = F.when(F.col("p") == RDF_TYPE, F.lit("a")).otherwise(
+        _compact_iri(F.col("p"), pfx)
+    )
+    po = F.concat(
+        pred,
+        F.lit(" "),
+        _ttl_term(
+            F.col("o_kind"),
+            F.col("o_value"),
+            F.col("o_datatype"),
+            F.col("o_lang"),
+            pfx,
+        ),
+    )
+    return (
+        df.withColumn("_po", po)
+        .groupBy("s")
+        .agg(
+            F.concat_ws(" ;\n    ", F.sort_array(F.collect_list("_po"))).alias(
+                "_body"
+            )
+        )
+        .select(
+            F.concat(
+                F.when(F.col("s").startswith("_:"), F.col("s")).otherwise(
+                    _compact_iri(F.col("s"), pfx)
+                ),
+                F.lit(" "),
+                F.col("_body"),
+                F.lit(" ."),
+            ).alias("line")
+        )
+    )
+
+
+def write_turtle(
+    df: DataFrame,
+    path: str,
+    prefixes: dict[str, str] | None = None,
+    single_file: bool = True,
+    num_files: int | None = None,
+) -> None:
+    """Write a triples DataFrame as .ttl text. single_file=True coalesces
+    to one ordered file (header first); single_file=False keeps the
+    partitioning (or repartitions to num_files — AQE otherwise coalesces
+    a small groupBy output to one partition) and prepends the @prefix
+    header to EVERY part file via mapInPandas, so each part is
+    standalone-valid Turtle and the parts concatenate validly — the
+    distributed path for big report graphs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pfx = prefixes or {}
+    body = to_turtle(df, pfx)
+    if num_files and not single_file:
+        body = body.repartition(num_files)
+    header = turtle_header(pfx).rstrip("\n")
+    if single_file:
+        spark = df.sparkSession
+        rows = ([(0, header)] if header else []) + []
+        head_df = spark.createDataFrame(
+            rows or [(0, "")], "k int, line string"
+        ).filter(F.col("line") != "")
+        out = (
+            head_df.unionByName(body.select(F.lit(1).alias("k"), "line"))
+            .coalesce(1)
+            .sortWithinPartitions("k", "line")
+            .select("line")
+        )
+        out.write.mode("overwrite").text(path)
+        return
+
+    def _with_header(batches):
+        emitted = False
+        for pdf in batches:
+            if not emitted and header and len(pdf):
+                yield pd.DataFrame({"line": [header]})
+                emitted = True
+            yield pdf
+
+    body.mapInPandas(_with_header, "line string").write.mode(
+        "overwrite"
+    ).text(path)

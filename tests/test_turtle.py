@@ -240,3 +240,86 @@ def test_read_turtle_file(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].s == EX + "s" and rows[0].graph == "g"
     assert df.schema == triples_from_rows(spark, []).schema
+
+
+# ------------------------------------------------------------ writer tests
+def test_to_turtle_round_trips_and_compacts(spark):
+    from cmem_plugin_pyshacl_spark.sources.turtle import to_turtle, turtle_header
+
+    rows = [
+        (EX + "a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         (EX + "T", KIND_IRI, None, None)),
+        (EX + "a", EX + "p", ("plain \"q\"\nnl", KIND_LITERAL, XSD_STRING, None)),
+        (EX + "a", EX + "p", ("hola", KIND_LITERAL, None, "es")),
+        (EX + "a", EX + "n", ("5", KIND_LITERAL, XSD + "integer", None)),
+        (EX + "b", EX + "q", (EX + "a", KIND_IRI, None, None)),
+        # IRI whose local part is NOT a safe pname (slash) stays <iri>
+        (EX + "b", EX + "q", (EX + "x/y", KIND_IRI, None, None)),
+    ]
+    df = triples_from_rows(spark, rows, graph="g")
+    pfx = {"ex": EX, "xsd": XSD}
+    lines = [r.line for r in to_turtle(df, pfx).collect()]
+    text = turtle_header(pfx) + "\n".join(lines)
+    assert any("ex:a a ex:T" in l for l in lines)  # rdf:type -> a, compacted
+    assert any('"5"^^xsd:integer' in l for l in lines)
+    assert any("<http://example.org/x/y>" in l for l in lines)
+    back = {r[:6] for r in parse_turtle(text)}
+    orig = {tuple(r)[:6] for r in df.collect()}
+    assert back == orig
+
+
+def test_to_turtle_without_prefixes_is_valid(spark):
+    from cmem_plugin_pyshacl_spark.sources.turtle import to_turtle
+
+    df = triples_from_rows(
+        spark, [(EX + "s", EX + "p", ("v", KIND_LITERAL, XSD_STRING, None))]
+    )
+    text = "\n".join(r.line for r in to_turtle(df).collect())
+    assert parse_turtle(text) == [
+        (EX + "s", EX + "p", KIND_LITERAL, "v", XSD_STRING, None, None, 0)
+    ]
+
+
+def test_write_turtle_partitioned_parts_are_standalone(spark, tmp_path):
+    import glob
+
+    from cmem_plugin_pyshacl_spark.sources.turtle import write_turtle
+
+    rows = [
+        (f"{EX}s{i}", EX + "p", (f"v{i}", KIND_LITERAL, XSD_STRING, None))
+        for i in range(40)
+    ]
+    df = triples_from_rows(spark, rows).repartition(4)
+    out = str(tmp_path / "part_ttl")
+    write_turtle(df, out, {"ex": EX}, single_file=False, num_files=4)
+    parts = sorted(glob.glob(out + "/part-*"))
+    assert len(parts) > 1
+    got = set()
+    for p in parts:
+        content = open(p).read()
+        if not content.strip():
+            continue
+        # every non-empty part parses STANDALONE (has its own header)
+        assert content.startswith("@prefix")
+        got |= {r[:6] for r in parse_turtle(content)}
+    assert got == {tuple(r)[:6] for r in df.collect()}
+
+
+def test_write_turtle_single_file(spark, tmp_path):
+    import glob
+
+    from cmem_plugin_pyshacl_spark.sources.turtle import write_turtle
+
+    df = triples_from_rows(
+        spark,
+        [(f"{EX}s{i}", EX + "p", (f"v{i}", KIND_LITERAL, XSD_STRING, None)) for i in range(5)],
+    )
+    out = str(tmp_path / "one_ttl")
+    write_turtle(df, out, {"ex": EX}, single_file=True)
+    parts = [p for p in glob.glob(out + "/part-*") if open(p).read().strip()]
+    assert len(parts) == 1
+    content = open(parts[0]).read()
+    assert content.startswith("@prefix ex:")
+    assert {r[:6] for r in parse_turtle(content)} == {
+        tuple(r)[:6] for r in df.collect()
+    }
