@@ -27,7 +27,12 @@ ValueError, matching validate()'s strictness for the unsupported rest):
   * OPTIONAL { ... } groups (left-outer join over the distinct shared
     keys; combined with !bound() this covers the common negation idiom)
     and FILTER [NOT] EXISTS { ... } probes (semi/anti join) — nested
-    groups recurse. MINUS and UNION stay outside the subset and raise.
+    groups recurse.
+  * { ... } UNION { ... } when the whole group is an alternation of
+    sub-groups: every branch evaluates from the same binding set and the
+    solutions union (branch-local variables are NULL in other branches).
+    UNION mixed with other content, and MINUS anywhere, stay outside the
+    subset and raise.
   * PREFIX: inline ``PREFIX pfx: <ns>`` declarations before the query
     form, plus shapes-graph ``sh:prefixes``/``sh:declare`` ontologies
     (SHACL-AF §5.2) — prefixed names expand to full IRIs at compile time.
@@ -89,12 +94,15 @@ class _Filter:
 @dataclass(frozen=True)
 class _Block:
     """One group graph pattern: its own triple patterns and filters plus
-    nested OPTIONAL groups and FILTER [NOT] EXISTS probes."""
+    nested OPTIONAL groups and FILTER [NOT] EXISTS probes. When
+    `alternatives` is non-empty the block IS a `{…} UNION {…}`
+    alternation and every other field is empty."""
 
     patterns: tuple  # tuple[_Pattern, ...]
     filters: tuple  # tuple[_Filter, ...]
     optionals: tuple  # tuple[_Block, ...]
     exists: tuple  # tuple[(negated: bool, _Block), ...]
+    alternatives: tuple = ()  # tuple[_Block, ...]
 
     def all_patterns(self):
         yield from self.patterns
@@ -102,11 +110,26 @@ class _Block:
             yield from b.all_patterns()
         for _neg, b in self.exists:
             yield from b.all_patterns()
+        for b in self.alternatives:
+            yield from b.all_patterns()
 
 
 _GROUP_KW_RE = re.compile(
     r"(FILTER\s+NOT\s+EXISTS|FILTER\s+EXISTS|OPTIONAL|MINUS|UNION)\b", re.I
 )
+
+
+def _iri_end(body: str, k: int) -> int:
+    """body[k] == '<'. Return the index of the closing '>' when this is an
+    IRI token, else k — a bare '<' is the comparison operator inside a
+    FILTER (e.g. ``?v < 18``) and must not swallow text up to some later
+    '>'. IRIs cannot contain whitespace or braces."""
+    nxt = body.find(">", k)
+    if nxt > 0 and not any(
+        c in " \t\r\n{}" for c in body[k + 1 : nxt]
+    ):
+        return nxt
+    return k
 
 
 def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
@@ -127,8 +150,7 @@ def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
             i = j + 1
             continue
         if c == "<":
-            j = body.find(">", i)
-            j = n - 1 if j < 0 else j
+            j = _iri_end(body, i)
             kept.append(body[i : j + 1])
             i = j + 1
             continue
@@ -151,8 +173,7 @@ def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
                     while k < n and (body[k] != '"' or body[k - 1] == "\\"):
                         k += 1
                 elif ch == "<":
-                    nxt = body.find(">", k)
-                    k = n if nxt < 0 else nxt
+                    k = _iri_end(body, k)
                 elif ch == "{":
                     depth += 1
                 elif ch == "}":
@@ -170,9 +191,59 @@ def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
     return "".join(kept), out
 
 
+def _split_alternation(body: str) -> list[str] | None:
+    """When the body is exactly ``{…} UNION {…} [UNION {…}]*`` (string-
+    and IRI-aware), return the inner group bodies; else None. UNION mixed
+    with other content keeps raising in _extract_groups — SPARQL's
+    group-or-union-of-whole-groups is the supported shape."""
+    parts: list[str] = []
+    i, n = 0, len(body)
+    expect_group = True
+    while i < n:
+        if body[i].isspace():
+            i += 1
+            continue
+        if expect_group:
+            if body[i] != "{":
+                return None
+            depth, k = 0, i
+            while k < n:
+                ch = body[k]
+                if ch == '"':
+                    k += 1
+                    while k < n and (body[k] != '"' or body[k - 1] == "\\"):
+                        k += 1
+                elif ch == "<":
+                    k = _iri_end(body, k)
+                elif ch == "{":
+                    depth += 1
+                elif ch == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if depth != 0:
+                return None
+            parts.append(body[i + 1 : k])
+            i = k + 1
+            expect_group = False
+        else:
+            m = re.match(r"\s*UNION\b", body[i:], re.I)
+            if not m:
+                return None
+            i += m.end()
+            expect_group = True
+    if expect_group or len(parts) < 2:
+        return None
+    return parts
+
+
 def _parse_group(body: str) -> _Block:
     """Parse a group graph pattern into a _Block (recursive over nested
-    OPTIONAL / FILTER [NOT] EXISTS groups)."""
+    OPTIONAL / FILTER [NOT] EXISTS groups and whole-group UNIONs)."""
+    alts = _split_alternation(body)
+    if alts is not None:
+        return _Block((), (), (), (), tuple(_parse_group(a) for a in alts))
     rest, groups = _extract_groups(body)
     patterns, filters = _parse_patterns(rest)
     optionals: list[_Block] = []
@@ -434,7 +505,12 @@ def parse_select(select: str) -> tuple[list[str], _Block]:
             raise ValueError(f"unsupported projection term {t!r}")
         proj.append(t[1:])
     block = _parse_group(m.group("body"))
-    if not block.patterns and not block.optionals and not block.exists:
+    if (
+        not block.patterns
+        and not block.optionals
+        and not block.exists
+        and not block.alternatives
+    ):
         raise ValueError("sh:sparql select has no graph pattern")
     return proj, block
 
@@ -688,7 +764,23 @@ def _apply_block(
     """Evaluate one group graph pattern against the binding set: own
     patterns first, then OPTIONAL groups, then existence probes, then the
     group's FILTERs (so filters see optional-bound variables — the
-    OPTIONAL + !bound() negation idiom)."""
+    OPTIONAL + !bound() negation idiom). An alternation block evaluates
+    every branch from the SAME incoming binding set and unions the
+    solutions; variables bound in only some branches are NULL in the
+    others (SPARQL UNION semantics)."""
+    if block.alternatives:
+        branches = []
+        for idx, alt in enumerate(block.alternatives):
+            bv = set(bound_vars)
+            branches.append(
+                (_apply_block(data, bound, bv, alt, f"{ns}u{idx}_", has_this), bv)
+            )
+        out = branches[0][0]
+        for b, _bv in branches[1:]:
+            out = out.unionByName(b, allowMissingColumns=True)
+        for _b, bv in branches:
+            bound_vars |= bv
+        return out
     bound = _join_patterns(data, bound, bound_vars, block.patterns, ns)
     for k, opt in enumerate(block.optionals):
         bound = _optional_join(data, bound, bound_vars, opt, f"{ns}o{k}_", has_this)

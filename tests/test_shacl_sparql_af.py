@@ -91,7 +91,6 @@ def test_sparql_constraint_two_pattern_join_and_regex(spark):
 def test_sparql_unsupported_select_raises(spark):
     for bad in (
         "ASK { $this a ?c }",
-        "SELECT $this WHERE { { $this <urn:p> ?v } UNION { $this <urn:q> ?v } }",
         "SELECT $this WHERE { $this <urn:p> ?v . MINUS { ?v <urn:q> ?w } }",
         "SELECT $this WHERE { }",
     ):
@@ -292,3 +291,43 @@ def test_sparql_target_combines_with_class_targets(spark):
         spark, _people(spark), triples_from_rows(spark, rows), advanced=True
     ).collect()
     assert {r.focusNode for r in res} == {"urn:dave", "urn:carol"}
+
+
+def test_sparql_union_of_groups(spark):
+    """{A} UNION {B}: persons reported for being underage OR knowing
+    themselves, one solution per branch match."""
+    select = (
+        "SELECT $this ?v WHERE { "
+        f"{{ $this <{EX}age> ?v . FILTER (?v < 18) }} "
+        f"UNION {{ $this <{EX}knows> $this }} }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    got = {(r.focusNode, r.value) for r in res}
+    assert got == {("urn:alice", "17"), ("urn:carol", None)}
+
+
+def test_sparql_union_inside_nested_group(spark):
+    """Alternation nested under FILTER EXISTS."""
+    select = (
+        "SELECT $this WHERE { "
+        f"FILTER EXISTS {{ {{ $this <{EX}age> ?a }} UNION "
+        f"{{ $this <{EX}knows> ?k }} }} }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:alice", "urn:bob", "urn:carol"}
+
+
+def test_sparql_union_mixed_with_patterns_raises(spark):
+    bad = (
+        "SELECT $this WHERE { "
+        f"$this a <{EX}Person> . "
+        f"{{ $this <{EX}age> ?a }} UNION {{ $this <{EX}knows> ?k }} }}"
+    )
+    with pytest.raises(ValueError):
+        validate(
+            spark, _people(spark), _af_shapes(spark, bad), advanced=True
+        ).collect()
