@@ -2509,6 +2509,7 @@ def validate(
     single_scan: bool = True,
     closure_max_iters: int | None = None,
     iterate_rules: bool = False,
+    focus_subset: DataFrame | None = None,
 ) -> DataFrame:
     """The engine's equivalent of the reference's pyshacl.validate call-site
     (plugin_pyshacl.py:631-641). Returns the validation-results DataFrame
@@ -2535,6 +2536,14 @@ def validate(
         plugin_pyshacl.py:250-265).
       * max_validation_depth: recursion bound for shape-to-shape refs
         (1..999, reference range-checks at :589-590).
+      * focus_subset: optional DataFrame with a ``focus`` column — every
+        shape's target selection is intersected (left-semi) with it, so
+        only those focus nodes are (re)checked while value extraction,
+        class closures and existence probes still see the FULL data
+        relation. This is the incremental-revalidation hook
+        (plans/incremental.py): correctness-preserving because SHACL
+        results are per-focus-node; narrowing focus never changes the
+        verdict of the nodes that remain.
       * single_scan: pre-slice the data relation to the predicates the
         shape catalog can touch and persist that slice, so a 50-property
         catalog evaluates against ONE scan of the triples table instead of
@@ -2558,6 +2567,7 @@ def validate(
                 spark, data_triples, shapes_triples, ont_triples, inference,
                 meta_shacl, advanced, js, max_validation_depth, single_scan,
                 closure_max_iters=None, iterate_rules=iterate_rules,
+                focus_subset=focus_subset,
             )
 
         return ctx.run(_with_bound)
@@ -2711,6 +2721,12 @@ def validate(
                 )
             if focus is None:
                 continue
+            if focus_subset is not None:
+                focus = focus.join(
+                    focus_subset.select("focus").distinct(),
+                    on="focus",
+                    how="left_semi",
+                )
             result_dfs.extend(
                 _evaluate_shape(
                     spark, eval_data, focus, shape, closure, shape_map,
