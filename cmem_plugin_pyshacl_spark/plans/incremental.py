@@ -100,6 +100,7 @@ def incremental_revalidate(
     triples: DataFrame,
     shapes_triples: DataFrame,
     prior: IncrementalState | None = None,
+    known_changed: list[int] | None = None,
     **validate_kwargs,
 ) -> tuple[IncrementalState, DataFrame, list[int]]:
     """Returns (new_state, per-partition reports, changed part_ids).
@@ -107,7 +108,61 @@ def incremental_revalidate(
     prior=None runs a full validation (bootstrap). Otherwise only focus
     nodes mentioned by changed/removed partitions are re-checked against
     the FULL graph; every other node's results carry over. Persist
-    new_state.{fingerprints,mentions,results} as parquet between runs."""
+    new_state.{fingerprints,mentions,results} as parquet between runs.
+
+    known_changed: when the caller already knows which partitions it
+    rewrote (run_pipeline's sink overwrites specific part_ids — the usual
+    case), pass them and the fingerprint/mention state maintenance reads
+    ONLY those partitions (partition-pruned on part_id-partitioned
+    parquet); unchanged partitions' state carries over without a scan.
+    Without it, change DETECTION itself costs one full fingerprint scan —
+    still one scan instead of a full re-validation, but the delta-bounded
+    path is the 100-TB posture."""
+    if prior is not None and known_changed is not None:
+        known = sorted(set(known_changed))
+        delta = triples.filter(F.col("part_id").isin(known))
+        fps_delta = partition_fingerprints(delta)
+        mentions_delta = partition_mentions(delta)
+        present = {r.part_id for r in fps_delta.select("part_id").collect()}
+        prior_parts = {
+            r.part_id
+            for r in prior.fingerprints.select("part_id")
+            .filter(F.col("part_id").isin(known))
+            .collect()
+        }
+        changed = sorted(present)
+        removed = sorted(prior_parts - present)
+        keep = ~F.col("part_id").isin(known)
+        fps = prior.fingerprints.filter(keep).unionByName(fps_delta)
+        mentions = prior.mentions.filter(keep).unionByName(mentions_delta)
+        touched = changed + removed
+        if not touched:
+            results = prior.results
+        else:
+            affected = (
+                prior.mentions.filter(F.col("part_id").isin(touched))
+                .select("node")
+                .unionByName(mentions_delta.select("node"))
+                .distinct()
+                .withColumnRenamed("node", "focus")
+            )
+            fresh = validate(
+                spark,
+                triples,
+                shapes_triples,
+                focus_subset=affected,
+                **validate_kwargs,
+            )
+            kept = prior.results.join(
+                affected.withColumnRenamed("focus", "focusNode"),
+                on="focusNode",
+                how="left_anti",
+            )
+            results = kept.unionByName(fresh)
+        state = IncrementalState(fps, mentions, results)
+        reports = partition_reports(results, fps.select("part_id"))
+        return state, reports, touched
+
     fps = partition_fingerprints(triples)
     mentions = partition_mentions(triples)
 

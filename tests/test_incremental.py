@@ -133,3 +133,33 @@ def test_fingerprints_are_order_independent(spark):
     assert {(r.part_id, r.fp, r.n_triples) for r in a} == {
         (r.part_id, r.fp, r.n_triples) for r in b
     }
+
+
+def test_known_changed_fast_path_differential(spark):
+    """known_changed: state maintenance reads only the named partitions;
+    results still match from-scratch validation exactly."""
+    shapes = _shapes(spark)
+    rows = _base_rows()
+    state0, _, _ = incremental_revalidate(spark, _df(spark, rows), shapes)
+    state0 = type(state0)(
+        state0.fingerprints.persist(), state0.mentions.persist(), state0.results.persist()
+    )
+    # rewrite partition 2 (drop e2's email entirely) and delete partition 3
+    rows2 = [
+        r for r in rows
+        if r[7] != 3 and not (r[0] == "urn:e2" and r[1] == EX + "email")
+    ]
+    t2 = _df(spark, rows2)
+    state1, reports1, touched = incremental_revalidate(
+        spark, t2, shapes, prior=state0, known_changed=[2, 3]
+    )
+    assert sorted(touched) == [2, 3]
+    assert _key(state1.results) == _key(validate(spark, t2, shapes))
+    # carried-over fingerprints for untouched partitions match a full recompute
+    full_fps = {(r.part_id, r.fp) for r in partition_fingerprints(t2).collect()}
+    assert {(r.part_id, r.fp) for r in state1.fingerprints.collect()} == full_fps
+    # no-op known_changed short-circuits
+    state2, _, touched2 = incremental_revalidate(
+        spark, t2, shapes, prior=state1, known_changed=[]
+    )
+    assert touched2 == [] and state2.results is state1.results
