@@ -257,10 +257,18 @@ def run_pipeline(
     shapes_triples: DataFrame,
     out_dir: str | None = None,
     resume: bool = False,
+    incremental: bool = False,
 ) -> PipelineResult:
     """Full build-then-validate run. With out_dir set, each stage commits a
     parquet snapshot partitioned by part_id (C8 checkpoint/lineage); with
-    resume=True, committed stages are read back instead of recomputed."""
+    resume=True, committed stages are read back instead of recomputed.
+
+    incremental=True (requires out_dir): validation state — partition
+    fingerprints, mention sets, prior results — is committed under
+    out_dir/incr_* and the NEXT run re-checks only focus nodes of changed
+    partitions (plans/incremental.py), carrying every other node's
+    results over. New state is staged to a temp dir and renamed in so the
+    lazy read of the prior results is never overwritten mid-job."""
     metrics: dict = {}
     t0 = time.time()
 
@@ -289,15 +297,55 @@ def run_pipeline(
     metrics["t_construct"] = e_t(t0)
 
     t1 = time.time()
-    results = validate(spark, triples, shapes_triples)
-    reports = partition_reports(results, triples.select("part_id"))
-    if out_dir:
-        results_path = os.path.join(out_dir, "validation_results")
+    if incremental:
+        if not out_dir:
+            raise ValueError("incremental=True requires out_dir")
+        import shutil
+
+        from .incremental import IncrementalState, incremental_revalidate
+
+        state_paths = {
+            name: os.path.join(out_dir, f"incr_{name}")
+            for name in ("fingerprints", "mentions", "results")
+        }
+        prior = None
+        if all(_committed(p) for p in state_paths.values()):
+            prior = IncrementalState(
+                spark.read.parquet(state_paths["fingerprints"]),
+                spark.read.parquet(state_paths["mentions"]),
+                spark.read.parquet(state_paths["results"]),
+            )
+        state, reports, changed = incremental_revalidate(
+            spark, triples, shapes_triples, prior=prior
+        )
+        metrics["incremental_changed_parts"] = changed
+        # stage-then-rename: state frames lazily READ the prior state
+        # paths, so overwriting them in place would corrupt the job
+        for name, df in (
+            ("fingerprints", state.fingerprints),
+            ("mentions", state.mentions),
+            ("results", state.results),
+        ):
+            staging = state_paths[name] + "__staging"
+            df.write.mode("overwrite").parquet(staging)
+            if os.path.exists(state_paths[name]):
+                shutil.rmtree(state_paths[name])
+            os.rename(staging, state_paths[name])
+        results = spark.read.parquet(state_paths["results"])
+        reports = partition_reports(results, triples.select("part_id"))
         reports_path = os.path.join(out_dir, "reports")
-        results.write.mode("overwrite").parquet(results_path)
         reports.write.mode("overwrite").parquet(reports_path)
-        results = spark.read.parquet(results_path)
         reports = spark.read.parquet(reports_path)
+    else:
+        results = validate(spark, triples, shapes_triples)
+        reports = partition_reports(results, triples.select("part_id"))
+        if out_dir:
+            results_path = os.path.join(out_dir, "validation_results")
+            reports_path = os.path.join(out_dir, "reports")
+            results.write.mode("overwrite").parquet(results_path)
+            reports.write.mode("overwrite").parquet(reports_path)
+            results = spark.read.parquet(results_path)
+            reports = spark.read.parquet(reports_path)
     metrics["t_validate"] = e_t(t1)
     metrics["t_total"] = e_t(t0)
     return PipelineResult(triples=triples, results=results, reports=reports, metrics=metrics)

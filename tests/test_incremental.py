@@ -163,3 +163,38 @@ def test_known_changed_fast_path_differential(spark):
         spark, t2, shapes, prior=state1, known_changed=[]
     )
     assert touched2 == [] and state2.results is state1.results
+
+
+def test_run_pipeline_incremental_state_round_trip(spark, tmp_path):
+    """run_pipeline(incremental=True): first run bootstraps and commits
+    state; an identical second run detects zero changed partitions and
+    reproduces the same results and reports."""
+    from cmem_plugin_pyshacl_spark.plans.pipeline import run_pipeline
+    from cmem_plugin_pyshacl_spark.sources.pages import generate_pages
+
+    out = str(tmp_path / "incr_run")
+    pages = generate_pages(spark, 120, num_partitions=4)
+    shapes = _shapes_kg(spark)
+    r1 = run_pipeline(spark, pages, shapes, out_dir=out, incremental=True)
+    n1 = r1.results.count()
+    rep1 = {(x.part_id, x.conforms) for x in r1.reports.collect()}
+    assert sorted(r1.metrics["incremental_changed_parts"])  # bootstrap: all parts
+    r2 = run_pipeline(spark, pages, shapes, out_dir=out, resume=True, incremental=True)
+    assert r2.metrics["incremental_changed_parts"] == []
+    assert r2.results.count() == n1
+    assert {(x.part_id, x.conforms) for x in r2.reports.collect()} == rep1
+
+
+def _shapes_kg(spark):
+    from cmem_plugin_pyshacl_spark.data_model import XSD_INTEGER
+
+    return triples_from_rows(
+        spark,
+        [
+            (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "S", SH + "targetClass", iri(EX + "Person")),
+            (EX + "S", SH + "property", iri(EX + "S/p")),
+            (EX + "S/p", SH + "path", iri(EX + "basedIn")),
+            (EX + "S/p", SH + "minCount", lit_typed("1", XSD_INTEGER)),
+        ],
+    )
