@@ -46,11 +46,21 @@ OWL_SAMEAS = OWL + "sameAs"
 OWL_PROP_CHAIN = OWL + "propertyChainAxiom"
 OWL_FUNCTIONAL = OWL + "FunctionalProperty"
 OWL_INV_FUNCTIONAL = OWL + "InverseFunctionalProperty"
+OWL_ON_PROPERTY = OWL + "onProperty"
+OWL_HAS_VALUE = OWL + "hasValue"
+OWL_SOME_VALUES = OWL + "someValuesFrom"
+OWL_ALL_VALUES = OWL + "allValuesFrom"
 RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
 RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
 RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 _SCHEMA_PREDS = [RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RDFS_DOMAIN, RDFS_RANGE]
 _OWL_SCHEMA_PREDS = [OWL_EQ_CLASS, OWL_EQ_PROP, OWL_INVERSE_OF, OWL_PROP_CHAIN]
+_RESTRICTION_PREDS = [
+    OWL_ON_PROPERTY,
+    OWL_HAS_VALUE,
+    OWL_SOME_VALUES,
+    OWL_ALL_VALUES,
+]
 
 
 def _transitive_close(edges: set[tuple[str, str]]) -> set[tuple[str, str]]:
@@ -398,11 +408,11 @@ def apply_inference(
         logging.getLogger(__name__).warning(
             "inference=%s: applying the RDFS + OWL equivalence/inverseOf/"
             "symmetric/transitive/functional/inverse-functional/sameAs/"
-            "propertyChainAxiom subset in ONE ordered pass, NOT the full "
-            "mutually-recursive OWL-RL fixpoint of owlrl 7.1.4 (no "
-            "restriction semantics — hasValue/someValuesFrom/"
-            "allValuesFrom — no hasKey, and rule families do not re-feed "
-            "each other across the pass)",
+            "propertyChainAxiom/hasValue/someValuesFrom/allValuesFrom "
+            "subset in ONE ordered pass, NOT the full mutually-recursive "
+            "OWL-RL fixpoint of owlrl 7.1.4 (no hasKey/unionOf/"
+            "intersectionOf, and rule families do not re-feed each other "
+            "across the pass)",
             profile,
         )
         return rdfs_inference(data, ontology, owl=True)
@@ -430,6 +440,12 @@ def rdfs_inference(
         resource objects) and owl:InverseFunctionalProperty (x1 p y),
         (x2 p y) => x1 sameAs x2 (prp-ifp, full-term object key) — both
         feed the sameAs cluster step that follows
+      owl:Restriction classes (onProperty + hasValue/someValuesFrom/
+        allValuesFrom): cls-hv1 (x type R => x p v), cls-hv2 (x p v =>
+        x type R, full-term match), cls-svf1 ((x p y),(y type D) =>
+        x type R), cls-avf ((x type R),(x p y) => y type D) — the
+        type-deriving directions run before rdfs9 so restriction types
+        feed the subclass closure; the value-deriving ones run after it
     """
     spark = data.sparkSession
     schema_src = data if ontology is None else data.unionByName(ontology)
@@ -490,6 +506,45 @@ def rdfs_inference(
                 functional_props.add(r.s)
             elif r.p == RDF_TYPE and r.o_value == OWL_INV_FUNCTIONAL:
                 inv_functional_props.add(r.s)
+
+    # OWL restriction-class schema (cls-hv1/hv2, cls-svf1, cls-avf): the
+    # owl:onProperty / hasValue / someValuesFrom / allValuesFrom rows are
+    # schema-sided and tiny, but hasValue needs the FULL object term
+    # ("5"^^xsd:integer must never conflate with "5"^^xsd:string), so they
+    # get their own collect with kind/datatype/lang preserved.
+    on_prop: dict[str, str] = {}
+    has_value: dict[str, tuple[str, str, str | None, str | None]] = {}
+    some_values: dict[str, str] = {}
+    all_values: dict[str, str] = {}
+    if owl:
+        restr_rows = (
+            schema_src.filter(F.col("p").isin(_RESTRICTION_PREDS))
+            .select("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")
+            .distinct()
+            .collect()
+        )
+        for r in restr_rows:
+            if r.p == OWL_ON_PROPERTY:
+                on_prop[r.s] = r.o_value
+            elif r.p == OWL_HAS_VALUE:
+                has_value[r.s] = (r.o_kind, r.o_value, r.o_datatype, r.o_lang)
+            elif r.p == OWL_SOME_VALUES:
+                some_values[r.s] = r.o_value
+            elif r.p == OWL_ALL_VALUES:
+                all_values[r.s] = r.o_value
+    hv_restr = [
+        (c, on_prop[c], *has_value[c]) for c in sorted(has_value) if c in on_prop
+    ]
+    svf_restr = [
+        (c, on_prop[c], some_values[c])
+        for c in sorted(some_values)
+        if c in on_prop
+    ]
+    avf_restr = [
+        (c, on_prop[c], all_values[c])
+        for c in sorted(all_values)
+        if c in on_prop
+    ]
 
     sub_class = _transitive_close(sub_class)
     sub_prop = _transitive_close(sub_prop)
@@ -658,6 +713,64 @@ def rdfs_inference(
         if members is not None:
             base = _apply_same_as(base, members)
 
+    # Restriction rules that DERIVE types run before domain/range/rdfs9 so
+    # the entailed `x rdf:type Restriction` rows feed the subclass closure
+    # (R subClassOf C => x type C); the value-deriving directions (cls-hv1,
+    # cls-avf) run after rdfs9 so subclass-entailed restriction types feed
+    # them. One ordered pass, not the owlrl mutual fixpoint — documented in
+    # apply_inference's warning.
+    def _hv_map() -> DataFrame:
+        return F.broadcast(
+            spark.createDataFrame(
+                hv_restr,
+                schema=(
+                    "cls string, rp string, v_kind string, v_value string,"
+                    " v_datatype string, v_lang string"
+                ),
+            )
+        )
+
+    type_cols = [
+        F.lit(RDF_TYPE).alias("p"),
+        F.lit(KIND_IRI).alias("o_kind"),
+        F.col("cls").alias("o_value"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        "graph",
+        "part_id",
+    ]
+    if hv_restr:
+        # cls-hv2: (x p v) => (x rdf:type R) — full-term match on v
+        m = _hv_map()
+        matched = base.join(
+            m,
+            (base.p == m.rp)
+            & (base.o_kind == m.v_kind)
+            & (base.o_value == m.v_value)
+            & base.o_datatype.eqNullSafe(m.v_datatype)
+            & base.o_lang.eqNullSafe(m.v_lang),
+        ).select("s", *type_cols)
+        base = dedupe_triples(base.unionByName(matched.distinct()))
+    if svf_restr:
+        # cls-svf1: (x p y), (y rdf:type D) => (x rdf:type R)
+        m = F.broadcast(
+            spark.createDataFrame(
+                svf_restr, schema="cls string, rp string, d string"
+            )
+        )
+        vals = (
+            base.filter(F.col("o_kind") != KIND_LITERAL)
+            .join(m, F.col("p") == m.rp)
+            .select("s", F.col("o_value").alias("_y"), "cls", "d", "graph", "part_id")
+        )
+        typed = base.filter(F.col("p") == RDF_TYPE).select(
+            F.col("s").alias("_ty"), F.col("o_value").alias("_td")
+        )
+        ent = vals.join(
+            typed, (F.col("_y") == F.col("_ty")) & (F.col("d") == F.col("_td"))
+        ).select("s", *type_cols)
+        base = dedupe_triples(base.unionByName(ent.distinct()))
+
     if domain:
         m = _mk_map(domain, "p", "cls")
         extras.append(
@@ -707,4 +820,54 @@ def rdfs_inference(
             "part_id",
         )
         base = dedupe_triples(base.unionByName(entailed))
+
+    if hv_restr:
+        # cls-hv1: (x rdf:type R) => (x p v)
+        m = _hv_map()
+        types = base.filter(F.col("p") == RDF_TYPE)
+        ent = types.join(m, types.o_value == m.cls).select(
+            "s",
+            F.col("rp").alias("p"),
+            F.col("v_kind").alias("o_kind"),
+            F.col("v_value").alias("o_value"),
+            F.col("v_datatype").alias("o_datatype"),
+            F.col("v_lang").alias("o_lang"),
+            "graph",
+            "part_id",
+        )
+        base = dedupe_triples(base.unionByName(ent.distinct()))
+    if avf_restr:
+        # cls-avf: (x rdf:type R), (x p y) => (y rdf:type D) — resource
+        # objects only (a type triple on a literal is meaningless; owlrl's
+        # literal case is a consistency report, out of scope). The schema
+        # map broadcasts; the instance-side type/edge join shuffles on its
+        # own keys and AQE picks the strategy.
+        m = F.broadcast(
+            spark.createDataFrame(
+                avf_restr, schema="rcls string, rp string, d string"
+            )
+        )
+        typed_r = (
+            base.filter(F.col("p") == RDF_TYPE)
+            .join(m, F.col("o_value") == m.rcls)
+            .select(F.col("s").alias("_x"), F.col("rp").alias("_rp"), "d")
+        )
+        ent = (
+            base.filter(F.col("o_kind") != KIND_LITERAL)
+            .join(
+                typed_r,
+                (F.col("s") == F.col("_x")) & (F.col("p") == F.col("_rp")),
+            )
+            .select(
+                F.col("o_value").alias("s"),
+                F.lit(RDF_TYPE).alias("p"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.col("d").alias("o_value"),
+                F.lit(None).cast("string").alias("o_datatype"),
+                F.lit(None).cast("string").alias("o_lang"),
+                "graph",
+                "part_id",
+            )
+        )
+        base = dedupe_triples(base.unionByName(ent.distinct()))
     return base

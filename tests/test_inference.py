@@ -398,3 +398,116 @@ def test_owl_inverse_functional_property(spark):
     assert frozenset(("urn:a", "urn:b")) in same
     assert not any("urn:c" in p for p in same)
     assert not any("urn:d" in p or "urn:e" in p for p in same)
+
+
+def test_owl_has_value_both_directions(spark):
+    """cls-hv1/cls-hv2 (owlrl 7.1.4 Restriction semantics,
+    plugin_pyshacl.py:238-249): a hasValue restriction entails the value
+    from the type and the type from the value — with FULL-term matching,
+    so "1"^^xsd:string never triggers the xsd:integer restriction."""
+    from cmem_plugin_pyshacl_spark.data_model import XSD_STRING
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_HAS_VALUE,
+        OWL_ON_PROPERTY,
+        apply_inference,
+    )
+
+    R = EX + "AdultR"
+    data = triples_from_rows(
+        spark,
+        [
+            (R, OWL_ON_PROPERTY, iri(EX + "adult")),
+            (R, OWL_HAS_VALUE, lit_typed("1", XSD_INTEGER)),
+            # hv2: value => type
+            ("urn:x", EX + "adult", lit_typed("1", XSD_INTEGER)),
+            # same lexical form, wrong datatype => NOT typed
+            ("urn:y", EX + "adult", lit_typed("1", XSD_STRING)),
+            # hv1: type => value
+            ("urn:z", RDF_TYPE, iri(R)),
+        ],
+    )
+    out = apply_inference(data, profile="owlrl").collect()
+    types = {(r.s, r.o_value) for r in out if r.p == RDF_TYPE}
+    assert ("urn:x", R) in types
+    assert ("urn:y", R) not in types
+    vals = {
+        (r.s, r.o_value, r.o_datatype) for r in out if r.p == EX + "adult"
+    }
+    assert ("urn:z", "1", XSD_INTEGER) in vals
+
+
+def test_owl_has_value_feeds_subclass(spark):
+    """hv2 runs before rdfs9: an entailed restriction type flows through
+    the subclass closure (R subClassOf C => x type C)."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_HAS_VALUE,
+        OWL_ON_PROPERTY,
+        apply_inference,
+    )
+
+    R = EX + "BerlinerR"
+    data = triples_from_rows(
+        spark,
+        [
+            (R, OWL_ON_PROPERTY, iri(EX + "city")),
+            (R, OWL_HAS_VALUE, iri("urn:berlin")),
+            (R, RDFS_SUBCLASSOF, iri(EX + "Person")),
+            ("urn:x", EX + "city", iri("urn:berlin")),
+        ],
+    )
+    types = _types(apply_inference(data, profile="owlrl"))
+    assert ("urn:x", R) in types
+    assert ("urn:x", EX + "Person") in types
+
+
+def test_owl_some_values_from(spark):
+    """cls-svf1: (x p y), (y type D) => (x type R); no entailment when
+    the object lacks the class."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_ON_PROPERTY,
+        OWL_SOME_VALUES,
+        apply_inference,
+    )
+
+    R = EX + "DogOwnerR"
+    data = triples_from_rows(
+        spark,
+        [
+            (R, OWL_ON_PROPERTY, iri(EX + "owns")),
+            (R, OWL_SOME_VALUES, iri(EX + "Dog")),
+            ("urn:a", EX + "owns", iri("urn:rex")),
+            ("urn:rex", RDF_TYPE, iri(EX + "Dog")),
+            ("urn:b", EX + "owns", iri("urn:tom")),
+            ("urn:tom", RDF_TYPE, iri(EX + "Cat")),
+        ],
+    )
+    types = _types(apply_inference(data, profile="owlrl"))
+    assert ("urn:a", R) in types
+    assert ("urn:b", R) not in types
+
+
+def test_owl_all_values_from(spark):
+    """cls-avf: (x type R), (x p y) => (y type D); untyped subjects'
+    objects are untouched."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_ALL_VALUES,
+        OWL_ON_PROPERTY,
+        apply_inference,
+    )
+
+    R = EX + "DogPound"
+    data = triples_from_rows(
+        spark,
+        [
+            (R, OWL_ON_PROPERTY, iri(EX + "holds")),
+            (R, OWL_ALL_VALUES, iri(EX + "Dog")),
+            ("urn:pound", RDF_TYPE, iri(R)),
+            ("urn:pound", EX + "holds", iri("urn:rex")),
+            ("urn:pound", EX + "holds", iri("urn:fido")),
+            ("urn:other", EX + "holds", iri("urn:tom")),
+        ],
+    )
+    types = _types(apply_inference(data, profile="owlrl"))
+    assert ("urn:rex", EX + "Dog") in types
+    assert ("urn:fido", EX + "Dog") in types
+    assert ("urn:tom", EX + "Dog") not in types
