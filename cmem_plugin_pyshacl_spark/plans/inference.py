@@ -50,11 +50,20 @@ OWL_ON_PROPERTY = OWL + "onProperty"
 OWL_HAS_VALUE = OWL + "hasValue"
 OWL_SOME_VALUES = OWL + "someValuesFrom"
 OWL_ALL_VALUES = OWL + "allValuesFrom"
+OWL_UNION_OF = OWL + "unionOf"
+OWL_INTERSECTION_OF = OWL + "intersectionOf"
 RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
 RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
 RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 _SCHEMA_PREDS = [RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RDFS_DOMAIN, RDFS_RANGE]
-_OWL_SCHEMA_PREDS = [OWL_EQ_CLASS, OWL_EQ_PROP, OWL_INVERSE_OF, OWL_PROP_CHAIN]
+_OWL_SCHEMA_PREDS = [
+    OWL_EQ_CLASS,
+    OWL_EQ_PROP,
+    OWL_INVERSE_OF,
+    OWL_PROP_CHAIN,
+    OWL_UNION_OF,
+    OWL_INTERSECTION_OF,
+]
 _RESTRICTION_PREDS = [
     OWL_ON_PROPERTY,
     OWL_HAS_VALUE,
@@ -130,14 +139,17 @@ def _transitive_instance_closure(edges: DataFrame, max_rounds: int = 20) -> Data
 
 
 def _walk_chain_lists(
-    schema_src: DataFrame, heads: dict[str, str]
+    schema_src: DataFrame,
+    heads: dict[str, str],
+    min_len: int = 2,
+    what: str = "owl:propertyChainAxiom",
 ) -> dict[str, list[str]]:
-    """Parse `p owl:propertyChainAxiom (p1 p2 ... pn)` RDF lists
-    driver-side. heads maps super-property -> list head node. Only the
-    rdf:first/rdf:rest rows are collected, and only when at least one
-    chain axiom exists — chain lists are schema-sided and tiny, so this
-    never touches the instance table's bulk. Malformed lists (missing
-    first/rest, cycles) are skipped with a warning."""
+    """Parse `s <what> (m1 m2 ... mn)` RDF lists driver-side. heads maps
+    the axiom subject -> list head node. Only the rdf:first/rdf:rest rows
+    are collected, and only when at least one axiom exists — the lists are
+    schema-sided and tiny, so this never touches the instance table's
+    bulk. Malformed lists (missing first/rest, cycles) or lists shorter
+    than min_len are skipped with a warning."""
     rows = (
         schema_src.filter(F.col("p").isin([RDF_FIRST, RDF_REST]))
         .select("s", "p", "o_value")
@@ -146,25 +158,25 @@ def _walk_chain_lists(
     first = {r.s: r.o_value for r in rows if r.p == RDF_FIRST}
     rest = {r.s: r.o_value for r in rows if r.p == RDF_REST}
     chains: dict[str, list[str]] = {}
-    for super_p, head in heads.items():
-        node, preds, seen = head, [], set()
+    for subj, head in heads.items():
+        node, members, seen = head, [], set()
         ok = True
         while node != RDF_NIL:
             if node in seen or node not in first:
                 ok = False
                 break
             seen.add(node)
-            preds.append(first[node])
+            members.append(first[node])
             node = rest.get(node, RDF_NIL)
-        if ok and len(preds) >= 2:
-            chains[super_p] = preds
+        if ok and len(members) >= min_len:
+            chains[subj] = members
         else:  # pragma: no cover - malformed schema
             import logging
 
             logging.getLogger(__name__).warning(
-                "owl:propertyChainAxiom for %s skipped (malformed or "
-                "single-element rdf list at %s)",
-                super_p,
+                "%s for %s skipped (malformed or too-short rdf list at %s)",
+                what,
+                subj,
                 head,
             )
     return chains
@@ -408,11 +420,11 @@ def apply_inference(
         logging.getLogger(__name__).warning(
             "inference=%s: applying the RDFS + OWL equivalence/inverseOf/"
             "symmetric/transitive/functional/inverse-functional/sameAs/"
-            "propertyChainAxiom/hasValue/someValuesFrom/allValuesFrom "
-            "subset in ONE ordered pass, NOT the full mutually-recursive "
-            "OWL-RL fixpoint of owlrl 7.1.4 (no hasKey/unionOf/"
-            "intersectionOf, and rule families do not re-feed each other "
-            "across the pass)",
+            "propertyChainAxiom/hasValue/someValuesFrom/allValuesFrom/"
+            "unionOf/intersectionOf subset in ONE ordered pass, NOT the "
+            "full mutually-recursive OWL-RL fixpoint of owlrl 7.1.4 (no "
+            "hasKey, and rule families do not re-feed each other across "
+            "the pass)",
             profile,
         )
         return rdfs_inference(data, ontology, owl=True)
@@ -446,6 +458,10 @@ def rdfs_inference(
         x type R), cls-avf ((x type R),(x p y) => y type D) — the
         type-deriving directions run before rdfs9 so restriction types
         feed the subclass closure; the value-deriving ones run after it
+      owl:unionOf / owl:intersectionOf: scm-uni/scm-int fold into the
+        subclass closure (cls-uni falls out of rdfs9); cls-int1 (x typed
+        with every member => x type intersection class) is a broadcast
+        join + count-distinct conjunction check after rdfs9
     """
     spark = data.sparkSession
     schema_src = data if ontology is None else data.unionByName(ontology)
@@ -485,10 +501,16 @@ def rdfs_inference(
     functional_props: set[str] = set()
     inv_functional_props: set[str] = set()
     chain_heads: dict[str, str] = {}
+    union_heads: dict[str, str] = {}
+    inter_heads: dict[str, str] = {}
     if owl:
         for r in schema_rows:
             if r.p == OWL_PROP_CHAIN:
                 chain_heads[r.s] = r.o_value
+            elif r.p == OWL_UNION_OF:
+                union_heads[r.s] = r.o_value
+            elif r.p == OWL_INTERSECTION_OF:
+                inter_heads[r.s] = r.o_value
             elif r.p == OWL_EQ_CLASS:
                 sub_class.add((r.s, r.o_value))
                 sub_class.add((r.o_value, r.s))
@@ -545,6 +567,27 @@ def rdfs_inference(
         for c in sorted(all_values)
         if c in on_prop
     ]
+
+    # owl:unionOf / owl:intersectionOf — schema-side subclass entailments
+    # (scm-uni: each member ci subClassOf the union class; scm-int: the
+    # intersection class subClassOf each member), folded into the subclass
+    # closure BEFORE it is transitively closed so rdfs9 carries them to
+    # instances (cls-uni falls out of scm-uni + rdfs9 for free). The
+    # instance-level conjunction direction (cls-int1) runs after rdfs9.
+    inter_lists: dict[str, list[str]] = {}
+    if union_heads:
+        for c, members in _walk_chain_lists(
+            schema_src, union_heads, min_len=1, what="owl:unionOf"
+        ).items():
+            for ci in members:
+                sub_class.add((ci, c))
+    if inter_heads:
+        inter_lists = _walk_chain_lists(
+            schema_src, inter_heads, min_len=1, what="owl:intersectionOf"
+        )
+        for c, members in inter_lists.items():
+            for ci in members:
+                sub_class.add((c, ci))
 
     sub_class = _transitive_close(sub_class)
     sub_prop = _transitive_close(sub_prop)
@@ -820,6 +863,56 @@ def rdfs_inference(
             "part_id",
         )
         base = dedupe_triples(base.unionByName(entailed))
+
+    if inter_lists:
+        # cls-int1: x typed with EVERY member of an intersection class =>
+        # x rdf:type c. One shuffle on the subject key (partial+final
+        # count-distinct); the member map broadcasts. Entailed types take
+        # one extra subclass hop so intersection superclasses still apply
+        # within this ordered pass.
+        rows = [
+            (ci, c, len(members))
+            for c, members in sorted(inter_lists.items())
+            for ci in members
+        ]
+        m = F.broadcast(
+            spark.createDataFrame(rows, schema="mem string, icls string, n int")
+        )
+        types = base.filter(F.col("p") == RDF_TYPE)
+        ent = (
+            types.join(m, types.o_value == m.mem)
+            .groupBy("s", "icls", "n")
+            .agg(
+                F.countDistinct("mem").alias("_k"),
+                F.min("graph").alias("graph"),
+                F.min("part_id").alias("part_id"),
+            )
+            .filter(F.col("_k") == F.col("n"))
+            .select(
+                "s",
+                F.lit(RDF_TYPE).alias("p"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.col("icls").alias("o_value"),
+                F.lit(None).cast("string").alias("o_datatype"),
+                F.lit(None).cast("string").alias("o_lang"),
+                "graph",
+                "part_id",
+            )
+        )
+        if sub_class:
+            m2 = _mk_map(sub_class, "cls", "super_cls")
+            hop = ent.join(m2, ent.o_value == m2.cls).select(
+                "s",
+                F.lit(RDF_TYPE).alias("p"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.col("super_cls").alias("o_value"),
+                F.lit(None).cast("string").alias("o_datatype"),
+                F.lit(None).cast("string").alias("o_lang"),
+                "graph",
+                "part_id",
+            )
+            ent = ent.unionByName(hop)
+        base = dedupe_triples(base.unionByName(ent))
 
     if hv_restr:
         # cls-hv1: (x rdf:type R) => (x p v)

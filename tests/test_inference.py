@@ -511,3 +511,80 @@ def test_owl_all_values_from(spark):
     assert ("urn:rex", EX + "Dog") in types
     assert ("urn:fido", EX + "Dog") in types
     assert ("urn:tom", EX + "Dog") not in types
+
+
+def _rdf_list(head, items):
+    """Rows for an RDF collection starting at bnode id `head`."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        RDF_FIRST,
+        RDF_NIL,
+        RDF_REST,
+    )
+
+    rows = []
+    for i, item in enumerate(items):
+        node = head if i == 0 else f"{head}-{i}"
+        nxt = RDF_NIL if i == len(items) - 1 else f"{head}-{i + 1}"
+        rows.append((node, RDF_FIRST, iri(item)))
+        rows.append((node, RDF_REST, iri(nxt)))
+    return rows
+
+
+def test_owl_union_of(spark):
+    """scm-uni + rdfs9 (= cls-uni): members of a unionOf class are
+    subclasses of it, so their instances get the union type; the union
+    class's own superclasses apply too."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_UNION_OF,
+        apply_inference,
+    )
+
+    U = EX + "PetU"
+    data = triples_from_rows(
+        spark,
+        [
+            (U, OWL_UNION_OF, iri("_:u0")),
+            *_rdf_list("_:u0", [EX + "Dog", EX + "Cat"]),
+            (U, RDFS_SUBCLASSOF, iri(EX + "Animal")),
+            ("urn:rex", RDF_TYPE, iri(EX + "Dog")),
+            ("urn:tom", RDF_TYPE, iri(EX + "Cat")),
+            ("urn:nemo", RDF_TYPE, iri(EX + "Fish")),
+        ],
+    )
+    types = _types(apply_inference(data, profile="owlrl"))
+    assert ("urn:rex", U) in types and ("urn:tom", U) in types
+    assert ("urn:rex", EX + "Animal") in types
+    assert ("urn:nemo", U) not in types
+
+
+def test_owl_intersection_of(spark):
+    """scm-int (intersection subClassOf each member, via rdfs9) and
+    cls-int1 (all members held => intersection type, + one subclass
+    hop for the intersection's own superclasses)."""
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_INTERSECTION_OF,
+        apply_inference,
+    )
+
+    I = EX + "WorkingDog"
+    data = triples_from_rows(
+        spark,
+        [
+            (I, OWL_INTERSECTION_OF, iri("_:i0")),
+            *_rdf_list("_:i0", [EX + "Dog", EX + "Worker"]),
+            (I, RDFS_SUBCLASSOF, iri(EX + "Useful")),
+            # scm-int: declared instance of I gets both member types
+            ("urn:lassie", RDF_TYPE, iri(I)),
+            # cls-int1: both member types => I (and I's superclass)
+            ("urn:rex", RDF_TYPE, iri(EX + "Dog")),
+            ("urn:rex", RDF_TYPE, iri(EX + "Worker")),
+            # only one member: NOT I
+            ("urn:fido", RDF_TYPE, iri(EX + "Dog")),
+        ],
+    )
+    types = _types(apply_inference(data, profile="owlrl"))
+    assert ("urn:lassie", EX + "Dog") in types
+    assert ("urn:lassie", EX + "Worker") in types
+    assert ("urn:rex", I) in types
+    assert ("urn:rex", EX + "Useful") in types
+    assert ("urn:fido", I) not in types
