@@ -31,8 +31,12 @@ ValueError, matching validate()'s strictness for the unsupported rest):
   * { ... } UNION { ... } when the whole group is an alternation of
     sub-groups: every branch evaluates from the same binding set and the
     solutions union (branch-local variables are NULL in other branches).
-    UNION mixed with other content, and MINUS anywhere, stay outside the
-    subset and raise.
+    UNION mixed with other content stays outside the subset and raises.
+  * MINUS { ... } groups: anti join on the variables shared between the
+    group and the outer pattern ($this counts only when the group
+    mentions it); a group sharing no variables removes nothing — the
+    SPARQL disjoint-domain rule that distinguishes MINUS from
+    FILTER NOT EXISTS.
   * PREFIX: inline ``PREFIX pfx: <ns>`` declarations before the query
     form, plus shapes-graph ``sh:prefixes``/``sh:declare`` ontologies
     (SHACL-AF §5.2) — prefixed names expand to full IRIs at compile time.
@@ -103,6 +107,7 @@ class _Block:
     optionals: tuple  # tuple[_Block, ...]
     exists: tuple  # tuple[(negated: bool, _Block), ...]
     alternatives: tuple = ()  # tuple[_Block, ...]
+    minuses: tuple = ()  # tuple[_Block, ...]
 
     def all_patterns(self):
         yield from self.patterns
@@ -111,6 +116,8 @@ class _Block:
         for _neg, b in self.exists:
             yield from b.all_patterns()
         for b in self.alternatives:
+            yield from b.all_patterns()
+        for b in self.minuses:
             yield from b.all_patterns()
 
 
@@ -158,7 +165,7 @@ def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
         # keyword must start at a token boundary (not inside ?var / pname)
         if m and (i == 0 or not re.match(r"[\w?$]", body[i - 1])):
             kw = re.sub(r"\s+", " ", m.group(1).upper())
-            if kw in ("MINUS", "UNION"):
+            if kw == "UNION":
                 raise ValueError(f"unsupported sh:sparql syntax {kw}")
             j = m.end()
             while j < n and body[j].isspace():
@@ -248,13 +255,23 @@ def _parse_group(body: str) -> _Block:
     patterns, filters = _parse_patterns(rest)
     optionals: list[_Block] = []
     exists: list[tuple[bool, _Block]] = []
+    minuses: list[_Block] = []
     for kw, inner in groups:
         sub = _parse_group(inner)
         if kw == "OPTIONAL":
             optionals.append(sub)
+        elif kw == "MINUS":
+            minuses.append(sub)
         else:
             exists.append((kw == "FILTER NOT EXISTS", sub))
-    return _Block(tuple(patterns), tuple(filters), tuple(optionals), tuple(exists))
+    return _Block(
+        tuple(patterns),
+        tuple(filters),
+        tuple(optionals),
+        tuple(exists),
+        (),
+        tuple(minuses),
+    )
 
 
 _PREFIX_DECL_RE = re.compile(
@@ -753,6 +770,52 @@ def _exists_join(
     )
 
 
+def _minus_join(
+    data: DataFrame,
+    bound: DataFrame,
+    bound_vars: set[str],
+    sub: _Block,
+    ns: str,
+    has_this: bool = True,
+) -> DataFrame:
+    """MINUS { … }: remove outer solutions compatible with some group
+    solution on the shared variables (anti join on them). A group sharing
+    NO variables with the outer pattern removes nothing — SPARQL MINUS's
+    disjoint-domain rule, the semantic difference from FILTER NOT EXISTS.
+    ``$this`` counts as shared only when the group actually mentions it.
+    Outer rows whose shared variable is NULL (unbound via OPTIONAL) are
+    never removed: an unbound variable is outside the solution's domain,
+    and the anti join's equi-condition never matches NULL."""
+    sub_vars: set[str] = set()
+    mentions_this = False
+    for p in sub.all_patterns():
+        for t in (p.subj, p.obj):
+            if t.kind == "var":
+                sub_vars.add(t.value)
+            elif t.kind == "this":
+                mentions_this = True
+    shared = sub_vars & bound_vars
+    # $this is the pre-bound focus column only in constraint mode; in a
+    # target select (has_this=False) ?this is an ordinary variable and
+    # stays in `shared` with its <v>__value column
+    this_key = has_this and (mentions_this or "this" in sub_vars)
+    if this_key:
+        shared -= {"this"}
+    if not shared and not this_key:
+        return bound
+    key_cols = (["this"] if this_key else []) + sorted(
+        f"{v}__value" for v in shared
+    )
+    keys = bound.select(*key_cols).distinct()
+    inner_vars = {c[: -len("__value")] for c in key_cols if c.endswith("__value")}
+    matched = (
+        _apply_block(data, keys, inner_vars, sub, ns, this_key)
+        .select(*key_cols)
+        .distinct()
+    )
+    return bound.join(matched, on=key_cols, how="left_anti")
+
+
 def _apply_block(
     data: DataFrame,
     bound: DataFrame,
@@ -786,6 +849,8 @@ def _apply_block(
         bound = _optional_join(data, bound, bound_vars, opt, f"{ns}o{k}_", has_this)
     for k, (neg, sub) in enumerate(block.exists):
         bound = _exists_join(data, bound, bound_vars, sub, neg, f"{ns}e{k}_", has_this)
+    for k, sub in enumerate(block.minuses):
+        bound = _minus_join(data, bound, bound_vars, sub, f"{ns}n{k}_", has_this)
     cols: dict[str, Column] = {"this": F.col("this")}
     for v in bound_vars:
         cols[v] = F.col(f"{v}__value")

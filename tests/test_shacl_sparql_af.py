@@ -91,7 +91,7 @@ def test_sparql_constraint_two_pattern_join_and_regex(spark):
 def test_sparql_unsupported_select_raises(spark):
     for bad in (
         "ASK { $this a ?c }",
-        "SELECT $this WHERE { $this <urn:p> ?v . MINUS { ?v <urn:q> ?w } }",
+        "SELECT $this WHERE { { $this <urn:p> ?v } UNION ?v <urn:q> ?w }",
         "SELECT $this WHERE { }",
     ):
         with pytest.raises(ValueError):
@@ -331,3 +331,54 @@ def test_sparql_union_mixed_with_patterns_raises(spark):
         validate(
             spark, _people(spark), _af_shapes(spark, bad), advanced=True
         ).collect()
+
+
+def test_sparql_minus_shared_variable(spark):
+    """MINUS removes solutions compatible on the shared variable: persons
+    $this knows, minus those who have an age recorded."""
+    select = (
+        "SELECT $this ?o WHERE { "
+        f"$this <{EX}knows> ?o . MINUS {{ ?o <{EX}age> ?a }} }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    # alice knows bob (bob HAS an age -> removed); carol knows carol
+    # (carol has no age -> kept)
+    assert {(r.focusNode, r.value) for r in res} == {("urn:carol", "urn:carol")}
+
+
+def test_sparql_minus_this_only(spark):
+    """MINUS whose group mentions only $this: removes exactly the focus
+    nodes the group matches."""
+    select = (
+        "SELECT $this WHERE { "
+        f"$this a <{EX}Person> . MINUS {{ $this <{EX}age> ?a }} }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:carol"}
+
+
+def test_sparql_minus_disjoint_domain_removes_nothing(spark):
+    """The MINUS-vs-NOT-EXISTS litmus (SPARQL 1.1 §8.3.3): a group
+    sharing NO variables with the outer pattern removes nothing, while
+    FILTER NOT EXISTS with the same group removes everything."""
+    minus_q = (
+        "SELECT $this ?age WHERE { "
+        f"$this <{EX}age> ?age . MINUS {{ ?x <{EX}knows> ?y }} }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, minus_q), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:alice", "urn:bob"}
+
+    nexists_q = (
+        "SELECT $this ?age WHERE { "
+        f"$this <{EX}age> ?age . FILTER NOT EXISTS {{ ?x <{EX}knows> ?y }} }}"
+    )
+    res2 = validate(
+        spark, _people(spark), _af_shapes(spark, nexists_q), advanced=True
+    ).collect()
+    assert res2 == []
