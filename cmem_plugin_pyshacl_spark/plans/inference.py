@@ -52,6 +52,7 @@ OWL_SOME_VALUES = OWL + "someValuesFrom"
 OWL_ALL_VALUES = OWL + "allValuesFrom"
 OWL_UNION_OF = OWL + "unionOf"
 OWL_INTERSECTION_OF = OWL + "intersectionOf"
+OWL_HAS_KEY = OWL + "hasKey"
 RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
 RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
 RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
@@ -63,6 +64,7 @@ _OWL_SCHEMA_PREDS = [
     OWL_PROP_CHAIN,
     OWL_UNION_OF,
     OWL_INTERSECTION_OF,
+    OWL_HAS_KEY,
 ]
 _RESTRICTION_PREDS = [
     OWL_ON_PROPERTY,
@@ -421,10 +423,10 @@ def apply_inference(
             "inference=%s: applying the RDFS + OWL equivalence/inverseOf/"
             "symmetric/transitive/functional/inverse-functional/sameAs/"
             "propertyChainAxiom/hasValue/someValuesFrom/allValuesFrom/"
-            "unionOf/intersectionOf subset in ONE ordered pass, NOT the "
-            "full mutually-recursive OWL-RL fixpoint of owlrl 7.1.4 (no "
-            "hasKey, and rule families do not re-feed each other across "
-            "the pass)",
+            "unionOf/intersectionOf/hasKey subset in ONE ordered pass, "
+            "NOT the full mutually-recursive OWL-RL fixpoint of owlrl "
+            "7.1.4 (rule families do not re-feed each other across the "
+            "pass)",
             profile,
         )
         return rdfs_inference(data, ontology, owl=True)
@@ -462,6 +464,9 @@ def rdfs_inference(
         subclass closure (cls-uni falls out of rdfs9); cls-int1 (x typed
         with every member => x type intersection class) is a broadcast
         join + count-distinct conjunction check after rdfs9
+      owl:hasKey (prp-key): instances of the keyed class sharing a value
+        for every key property become sameAs — per-property term-keyed
+        pair join + count-distinct intersection, feeding the sameAs step
     """
     spark = data.sparkSession
     schema_src = data if ontology is None else data.unionByName(ontology)
@@ -503,6 +508,7 @@ def rdfs_inference(
     chain_heads: dict[str, str] = {}
     union_heads: dict[str, str] = {}
     inter_heads: dict[str, str] = {}
+    haskey_heads: dict[str, str] = {}
     if owl:
         for r in schema_rows:
             if r.p == OWL_PROP_CHAIN:
@@ -511,6 +517,8 @@ def rdfs_inference(
                 union_heads[r.s] = r.o_value
             elif r.p == OWL_INTERSECTION_OF:
                 inter_heads[r.s] = r.o_value
+            elif r.p == OWL_HAS_KEY:
+                haskey_heads[r.s] = r.o_value
             elif r.p == OWL_EQ_CLASS:
                 sub_class.add((r.s, r.o_value))
                 sub_class.add((r.o_value, r.s))
@@ -588,6 +596,11 @@ def rdfs_inference(
         for c, members in inter_lists.items():
             for ci in members:
                 sub_class.add((c, ci))
+    haskey_lists: dict[str, list[str]] = {}
+    if haskey_heads:
+        haskey_lists = _walk_chain_lists(
+            schema_src, haskey_heads, min_len=1, what="owl:hasKey"
+        )
 
     sub_class = _transitive_close(sub_class)
     sub_prop = _transitive_close(sub_prop)
@@ -745,6 +758,89 @@ def rdfs_inference(
                 "part_id",
             )
         )
+    if haskey_lists:
+        # prp-key: x,y both typed c and sharing >=1 value for EVERY key
+        # property => x sameAs y. Per-property candidate pairs come from a
+        # self-join on the full object-term key (so "5"^^xsd:integer never
+        # matches "5"^^xsd:string), then the intersection across the c's
+        # key properties is a countDistinct(kp) == n check. Pair volume is
+        # bounded by per-(property, value) group sizes — hub values are
+        # the skew risk, same posture as the LSH bucket join; the sameAs
+        # cluster step downstream restores full pairwise equivalence.
+        rows = [
+            (c, p, len(props))
+            for c, props in sorted(haskey_lists.items())
+            for p in props
+        ]
+        m = F.broadcast(
+            spark.createDataFrame(rows, schema="kcls string, kp string, n int")
+        )
+        tk = F.concat_ws(
+            "\x1f",
+            F.col("o_kind"),
+            F.col("o_value"),
+            F.coalesce(F.col("o_datatype"), F.lit("")),
+            F.coalesce(F.col("o_lang"), F.lit("")),
+        )
+        typed = (
+            base.filter(F.col("p") == RDF_TYPE)
+            .select(F.col("s").alias("_kx"), F.col("o_value").alias("_tc"))
+            .distinct()
+        )
+        kvals = (
+            base.join(m, F.col("p") == F.col("kp"))
+            .join(
+                typed,
+                (F.col("s") == F.col("_kx")) & (F.col("kcls") == F.col("_tc")),
+            )
+            .select("kcls", "kp", "n", "s", tk.alias("_tk"), "graph", "part_id")
+        )
+        other = kvals.select(
+            F.col("kcls").alias("_kc2"),
+            F.col("kp").alias("_kp2"),
+            F.col("_tk").alias("_tk2"),
+            F.col("s").alias("_pb"),
+        )
+        pairs = (
+            kvals.join(
+                other,
+                (F.col("kcls") == F.col("_kc2"))
+                & (F.col("kp") == F.col("_kp2"))
+                & (F.col("_tk") == F.col("_tk2"))
+                & (F.col("s") < F.col("_pb")),
+            )
+            .select(
+                "kcls",
+                "kp",
+                "n",
+                F.col("s").alias("_pa"),
+                "_pb",
+                "graph",
+                "part_id",
+            )
+        )
+        matched = (
+            pairs.groupBy("kcls", "n", "_pa", "_pb")
+            .agg(
+                F.countDistinct("kp").alias("_k"),
+                F.min("graph").alias("graph"),
+                F.min("part_id").alias("part_id"),
+            )
+            .filter(F.col("_k") == F.col("n"))
+        )
+        fp_edges.append(
+            matched.select(
+                F.col("_pb").alias("s"),
+                F.lit(OWL_SAMEAS).alias("p"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.col("_pa").alias("o_value"),
+                F.lit(None).cast("string").alias("o_datatype"),
+                F.lit(None).cast("string").alias("o_lang"),
+                "graph",
+                "part_id",
+            )
+        )
+
     for e in fp_edges:
         base = dedupe_triples(base.unionByName(e.distinct()))
 

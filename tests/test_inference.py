@@ -588,3 +588,52 @@ def test_owl_intersection_of(spark):
     assert ("urn:rex", I) in types
     assert ("urn:rex", EX + "Useful") in types
     assert ("urn:fido", I) not in types
+
+
+def test_owl_has_key(spark):
+    """prp-key: instances of the keyed class sharing a value for EVERY
+    key property are sameAs-identified (and the sameAs step replicates
+    their triples); sharing only one of two key properties is not
+    enough, and equal lexical forms under different datatypes don't
+    match."""
+    from cmem_plugin_pyshacl_spark.data_model import XSD_STRING
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_HAS_KEY,
+        OWL_SAMEAS,
+        apply_inference,
+    )
+
+    C = EX + "Citizen"
+    data = triples_from_rows(
+        spark,
+        [
+            (C, OWL_HAS_KEY, iri("_:k0")),
+            *_rdf_list("_:k0", [EX + "ssn", EX + "country"]),
+            ("urn:a", RDF_TYPE, iri(C)),
+            ("urn:a", EX + "ssn", lit_typed("123", XSD_STRING)),
+            ("urn:a", EX + "country", iri("urn:de")),
+            ("urn:a", EX + "name", lit_typed("Alice")),
+            # same ssn AND country -> sameAs a
+            ("urn:b", RDF_TYPE, iri(C)),
+            ("urn:b", EX + "ssn", lit_typed("123", XSD_STRING)),
+            ("urn:b", EX + "country", iri("urn:de")),
+            # same ssn, different country -> NOT sameAs
+            ("urn:c", RDF_TYPE, iri(C)),
+            ("urn:c", EX + "ssn", lit_typed("123", XSD_STRING)),
+            ("urn:c", EX + "country", iri("urn:fr")),
+            # same lexical ssn but integer-typed, same country -> NOT sameAs
+            ("urn:d", RDF_TYPE, iri(C)),
+            ("urn:d", EX + "ssn", lit_typed("123", XSD_INTEGER)),
+            ("urn:d", EX + "country", iri("urn:de")),
+            # matching values but NOT typed with the keyed class
+            ("urn:e", EX + "ssn", lit_typed("123", XSD_STRING)),
+            ("urn:e", EX + "country", iri("urn:de")),
+        ],
+    )
+    out = apply_inference(data, profile="owlrl").collect()
+    same = {frozenset((r.s, r.o_value)) for r in out if r.p == OWL_SAMEAS}
+    assert frozenset(("urn:a", "urn:b")) in same
+    assert not any("urn:c" in p or "urn:d" in p or "urn:e" in p for p in same)
+    # eq-rep: b inherits a's name through the sameAs cluster step
+    names = {(r.s, r.o_value) for r in out if r.p == EX + "name"}
+    assert ("urn:b", "Alice") in names
