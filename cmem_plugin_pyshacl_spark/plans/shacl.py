@@ -2604,6 +2604,7 @@ def validate(
     sparql_preds: set[str] = set()
     if advanced:
         from .sparql_af import (
+            compile_custom_components,
             compile_sparql_constraints,
             compile_sparql_targets,
             parse_select,
@@ -2623,6 +2624,12 @@ def validate(
                         SH + "declare",
                         SH + "prefix",
                         SH + "namespace",
+                        # custom constraint components (SHACL-AF §6)
+                        SH + "parameter",
+                        SH + "path",
+                        SH + "optional",
+                        SH + "validator",
+                        SH + "nodeValidator",
                     ]
                 )
                 | (F.col("p") == RDF_TYPE)
@@ -2632,6 +2639,8 @@ def validate(
         )
         sparql_map = compile_sparql_constraints(af_rows)
         starget_map = compile_sparql_targets(af_rows)
+        for k, v in compile_custom_components(af_rows, shapes_triples).items():
+            sparql_map.setdefault(k, []).extend(v)
         for sel_list in ([sc.select for sc in scs] for scs in sparql_map.values()):
             for sel in sel_list:
                 _, blk = parse_select(sel)

@@ -54,6 +54,7 @@ binding set — same join shape as S5; no collects, no UDFs.
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass
 
@@ -72,6 +73,8 @@ class SparqlConstraint:
     select: str
     message: str | None
     severity: str
+    # custom constraint components (SHACL-AF §6) report their own IRI
+    component: str = SH_SPARQL_COMPONENT
 
 
 @dataclass(frozen=True)
@@ -372,6 +375,162 @@ def compile_sparql_constraints(shapes_rows: list) -> dict[str, list[SparqlConstr
                     severity=sevs[0].o_value if sevs else SH + "Violation",
                 )
             )
+    return out
+
+
+SH_CONSTRAINT_COMPONENT = SH + "ConstraintComponent"
+
+
+def _local_name(iri_str: str) -> str:
+    """Parameter variable name per SHACL-AF §6.2.1: the local name of the
+    parameter's sh:path IRI."""
+    for sep in ("#", "/"):
+        if sep in iri_str:
+            iri_str = iri_str.rsplit(sep, 1)[1]
+    return iri_str
+
+
+def _render_param(row) -> str:
+    """Render a parameter value row as a SPARQL constant for textual
+    pre-binding. IRIs render as ``<iri>``; literals render as plain quoted
+    strings of their lexical form (the pattern/filter grammar of this
+    subset has no typed-literal tokens — regex/comparison parameters are
+    exactly lexical)."""
+    if row.o_kind == KIND_IRI:
+        return f"<{row.o_value}>"
+    esc = row.o_value.replace("\\", "\\\\").replace('"', '\\"')
+    return f'"{esc}"'
+
+
+def _substitute_param(text: str, var: str, rendered: str, lexical: str) -> str:
+    """Pre-bind ``$var`` / ``?var`` in a validator select (whole-token
+    match) and ``{$var}`` / ``{?var}`` in messages (SHACL-AF §6.4)."""
+    text = re.sub(
+        r"\{[?$]" + re.escape(var) + r"\}", lexical.replace("\\", "\\\\"), text
+    )
+    return re.sub(r"[?$]" + re.escape(var) + r"\b", rendered, text)
+
+
+def compile_custom_components(
+    shapes_rows: list, shapes_triples: DataFrame
+) -> dict[str, list[SparqlConstraint]]:
+    """SHACL-AF §6 custom constraint components, SELECT-validator subset:
+
+      ex:C a sh:ConstraintComponent ;
+          sh:parameter [ sh:path ex:pattern ] ;
+          sh:validator [ sh:select "… $pattern …" ; sh:message "…" ] .
+
+    A NODE SHAPE carrying values for every mandatory parameter gets one
+    constraint instance per combination of parameter values; parameters
+    pre-bind TEXTUALLY into the validator's select ($var / ?var whole-token
+    substitution, IRIs as <…>, literals as plain quoted lexical forms) and
+    into the message ({$var} templates). Results report the component IRI
+    as sourceConstraintComponent and the shape as sourceShape. Validators
+    must be SELECT-based (sh:validator or sh:nodeValidator with
+    sh:select); sh:ask validators and property-shape application are
+    outside the subset and raise. Parameter values live on shape subjects
+    under arbitrary predicates, so they are collected in a second tiny
+    pass restricted to exactly the declared parameter paths."""
+    by_subject = index_rows(shapes_rows)
+    comps: list[tuple[str, list[tuple[str, bool]], str, str | None]] = []
+    for subj, preds in by_subject.items():
+        types = [r.o_value for r in preds.get(RDF_TYPE, [])]
+        if SH_CONSTRAINT_COMPONENT not in types:
+            continue
+        params: list[tuple[str, bool]] = []
+        for pref in preds.get(SH + "parameter", []):
+            pprops = by_subject.get(pref.o_value, {})
+            paths = pprops.get(SH + "path", [])
+            if not paths:
+                raise ValueError(
+                    f"sh:parameter of component {subj} has no sh:path"
+                )
+            optional = any(
+                r.o_value == "true" for r in pprops.get(SH + "optional", [])
+            )
+            params.append((paths[0].o_value, optional))
+        vrefs = (
+            preds.get(SH + "validator", [])
+            or preds.get(SH + "nodeValidator", [])
+        )
+        if not params or not vrefs:
+            # vocabulary-style declaration (e.g. the SHACL namespace's own
+            # core components) — nothing to execute, not an error
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "constraint component %s skipped (no %s declared)",
+                subj,
+                "sh:parameter" if not params else "executable validator",
+            )
+            continue
+        vnode = vrefs[0].o_value
+        vprops = by_subject.get(vnode, {})
+        selects = vprops.get(SH + "select", [])
+        if not selects:
+            raise ValueError(
+                f"validator {vnode} of component {subj} has no sh:select "
+                "(only SPARQLSelectValidators are supported)"
+            )
+        msgs = vprops.get(SH + "message", [])
+        select = expand_prefixes(
+            selects[0].o_value, declared_prefixes(by_subject, vnode)
+        )
+        comps.append(
+            (subj, params, select, msgs[0].o_value if msgs else None)
+        )
+    if not comps:
+        return {}
+
+    param_paths = sorted({p for _c, ps, _s, _m in comps for p, _o in ps})
+    val_rows = (
+        shapes_triples.filter(F.col("p").isin(param_paths))
+        .select("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")
+        .collect()
+    )
+    vals: dict[tuple[str, str], list] = {}
+    for r in val_rows:
+        vals.setdefault((r.s, r.p), []).append(r)
+
+    out: dict[str, list[SparqlConstraint]] = {}
+    for comp_iri, params, select, message in comps:
+        path_set = {p for p, _o in params}
+        shape_subjs = sorted({s for (s, p) in vals if p in path_set})
+        for subj in shape_subjs:
+            per_param: list[list] = []
+            complete = True
+            for path, optional in params:
+                v = vals.get((subj, path), [])
+                if not v:
+                    if optional:
+                        per_param.append([None])
+                    else:
+                        complete = False
+                        break
+                else:
+                    per_param.append(sorted(v, key=lambda r: r.o_value))
+            if not complete:
+                continue
+            for combo in itertools.product(*per_param):
+                sel, msg = select, message
+                for (path, _opt), row in zip(params, combo):
+                    if row is None:
+                        continue
+                    var = _local_name(path)
+                    rendered = _render_param(row)
+                    sel = _substitute_param(sel, var, rendered, row.o_value)
+                    if msg:
+                        msg = _substitute_param(msg, var, rendered, row.o_value)
+                out.setdefault(subj, []).append(
+                    SparqlConstraint(
+                        node_shape=subj,
+                        constraint_id=subj,
+                        select=sel,
+                        message=msg,
+                        severity=SH + "Violation",
+                        component=comp_iri,
+                    )
+                )
     return out
 
 
@@ -911,7 +1070,7 @@ def evaluate_sparql_constraint(
         F.lit(None).cast("string").alias("resultPath"),
         value_col.alias("value"),
         F.lit(sc.constraint_id).alias("sourceShape"),
-        F.lit(SH_SPARQL_COMPONENT).alias("sourceConstraintComponent"),
+        F.lit(sc.component).alias("sourceConstraintComponent"),
         F.lit(msg).alias("resultMessage"),
         F.lit(sc.severity).alias("resultSeverity"),
         F.col("part_id").alias("part_id"),

@@ -382,3 +382,125 @@ def test_sparql_minus_disjoint_domain_removes_nothing(spark):
         spark, _people(spark), _af_shapes(spark, nexists_q), advanced=True
     ).collect()
     assert res2 == []
+
+
+def _component_shapes(spark, pattern_value, extra_rows=()):
+    """SHACL-AF §6-style custom component: ex:PatternComponent with one
+    mandatory parameter ex:cpattern and a SELECT validator reporting name
+    values that do NOT match the pattern."""
+    rows = [
+        (EX + "PatternComponent", RDF_TYPE, iri(SH + "ConstraintComponent")),
+        (EX + "PatternComponent", SH + "parameter", iri("_:param1")),
+        ("_:param1", SH + "path", iri(EX + "cpattern")),
+        (EX + "PatternComponent", SH + "validator", iri("_:v1")),
+        (
+            "_:v1",
+            SH + "select",
+            lit_typed(
+                "SELECT $this ?v WHERE { "
+                f"$this <{EX}name> ?v . "
+                "FILTER (!regex(?v, $cpattern)) }"
+            ),
+        ),
+        ("_:v1", SH + "message", lit_typed("name does not match {$cpattern}")),
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "Person")),
+        (EX + "S", EX + "cpattern", lit_typed(pattern_value)),
+        *extra_rows,
+    ]
+    return triples_from_rows(spark, rows)
+
+
+def _named(spark):
+    return triples_from_rows(
+        spark,
+        [
+            ("urn:alice", RDF_TYPE, iri(EX + "Person")),
+            ("urn:alice", EX + "name", lit_typed("Alice")),
+            ("urn:bob", RDF_TYPE, iri(EX + "Person")),
+            ("urn:bob", EX + "name", lit_typed("bob")),
+        ],
+    )
+
+
+def test_custom_component_parameter_prebinding(spark):
+    """A shape carrying the component's parameter gets one constraint
+    instance; $cpattern pre-binds textually; results report the component
+    IRI and the parameter-templated message."""
+    res = validate(
+        spark, _named(spark), _component_shapes(spark, "^[A-Z]"), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:bob", "bob")}
+    assert res[0].sourceConstraintComponent == EX + "PatternComponent"
+    assert res[0].sourceShape == EX + "S"
+    assert res[0].resultMessage == "name does not match ^[A-Z]"
+
+
+def test_custom_component_multiple_values_and_shapes(spark):
+    """Two parameter values on one shape = two constraint instances (one
+    per combination); a second shape with its own value is independent."""
+    extra = [
+        (EX + "S", EX + "cpattern", lit_typed("b$")),
+    ]
+    res = validate(
+        spark,
+        _named(spark),
+        _component_shapes(spark, "^[A-Z]", extra),
+        advanced=True,
+    ).collect()
+    got = {(r.focusNode, r.resultMessage) for r in res}
+    # bob fails ^[A-Z]; Alice fails b$ — each instance reports its own
+    # templated message
+    assert got == {
+        ("urn:bob", "name does not match ^[A-Z]"),
+        ("urn:alice", "name does not match b$"),
+    }
+
+
+def test_custom_component_missing_mandatory_param_inert(spark):
+    """A shape NOT carrying the mandatory parameter gets no instance of
+    the component (and vocabulary-style components without validators are
+    skipped, not fatal)."""
+    rows = [
+        (EX + "PatternComponent", RDF_TYPE, iri(SH + "ConstraintComponent")),
+        (EX + "PatternComponent", SH + "parameter", iri("_:param1")),
+        ("_:param1", SH + "path", iri(EX + "cpattern")),
+        (EX + "PatternComponent", SH + "validator", iri("_:v1")),
+        ("_:v1", SH + "select", lit_typed("SELECT $this WHERE { $this a ?c }")),
+        # a vocabulary declaration with no validator: must be skipped
+        (EX + "Decl", RDF_TYPE, iri(SH + "ConstraintComponent")),
+        (EX + "Decl", SH + "parameter", iri("_:p2")),
+        ("_:p2", SH + "path", iri(EX + "unused")),
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "Person")),
+    ]
+    res = validate(
+        spark, _named(spark), triples_from_rows(spark, rows), advanced=True
+    )
+    assert res.count() == 0
+
+
+def test_custom_component_iri_parameter(spark):
+    """IRI-valued parameters render as <...>: a requires-property
+    component whose parameter names the predicate to probe."""
+    rows = [
+        (EX + "RequiresComponent", RDF_TYPE, iri(SH + "ConstraintComponent")),
+        (EX + "RequiresComponent", SH + "parameter", iri("_:rp")),
+        ("_:rp", SH + "path", iri(EX + "requiresProp")),
+        (EX + "RequiresComponent", SH + "nodeValidator", iri("_:rv")),
+        (
+            "_:rv",
+            SH + "select",
+            lit_typed(
+                "SELECT $this WHERE { "
+                "FILTER NOT EXISTS { $this $requiresProp ?v } }"
+            ),
+        ),
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "Person")),
+        (EX + "S", EX + "requiresProp", iri(EX + "age")),
+    ]
+    res = validate(
+        spark, _people(spark), triples_from_rows(spark, rows), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:carol"}
