@@ -2616,6 +2616,7 @@ def validate(
                     [
                         SH + "sparql",
                         SH + "select",
+                        SH + "ask",
                         SH + "message",
                         SH + "severity",
                         SH + "target",
@@ -2641,9 +2642,15 @@ def validate(
         starget_map = compile_sparql_targets(af_rows)
         for k, v in compile_custom_components(af_rows, shapes_triples).items():
             sparql_map.setdefault(k, []).extend(v)
-        for sel_list in ([sc.select for sc in scs] for scs in sparql_map.values()):
-            for sel in sel_list:
-                _, blk = parse_select(sel)
+        from .sparql_af import parse_ask
+
+        for scs in sparql_map.values():
+            for sc in scs:
+                blk = (
+                    parse_ask(sc.ask)
+                    if sc.ask is not None
+                    else parse_select(sc.select)[1]
+                )
                 sparql_preds.update(p.pred for p in blk.all_patterns())
         for sels in starget_map.values():
             for sel in sels:
@@ -2743,10 +2750,15 @@ def validate(
                 )
             )
             for sc in sparql_map.get(shape.shape_id, []):
-                from .sparql_af import evaluate_sparql_constraint
+                from .sparql_af import (
+                    evaluate_ask_constraint,
+                    evaluate_sparql_constraint,
+                )
 
                 result_dfs.append(
-                    evaluate_sparql_constraint(spark, eval_data, focus, sc)
+                    evaluate_ask_constraint(spark, eval_data, focus, sc)
+                    if sc.ask is not None
+                    else evaluate_sparql_constraint(spark, eval_data, focus, sc)
                 )
 
         if not result_dfs:

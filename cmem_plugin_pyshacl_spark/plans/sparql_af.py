@@ -75,6 +75,10 @@ class SparqlConstraint:
     severity: str
     # custom constraint components (SHACL-AF §6) report their own IRI
     component: str = SH_SPARQL_COMPONENT
+    # SPARQLAskValidator body (SHACL-AF §6.2.2): when set, `select` is
+    # empty and conformance means the ASK pattern has >=1 solution for
+    # the focus node ($this pre-bound); no solution -> one violation.
+    ask: str | None = None
 
 
 @dataclass(frozen=True)
@@ -426,9 +430,11 @@ def compile_custom_components(
     substitution, IRIs as <…>, literals as plain quoted lexical forms) and
     into the message ({$var} templates). Results report the component IRI
     as sourceConstraintComponent and the shape as sourceShape. Validators
-    must be SELECT-based (sh:validator or sh:nodeValidator with
-    sh:select); sh:ask validators and property-shape application are
-    outside the subset and raise. Parameter values live on shape subjects
+    are SELECT-based (sh:validator / sh:nodeValidator with sh:select —
+    each solution is a violation) or ASK-based (sh:ask — the focus node
+    conforms iff the pre-bound pattern has a solution, SHACL-AF §6.2.2);
+    property-shape application ($value binding) is outside the subset
+    and raises. Parameter values live on shape subjects
     under arbitrary predicates, so they are collected in a second tiny
     pass restricted to exactly the declared parameter paths."""
     by_subject = index_rows(shapes_rows)
@@ -467,22 +473,23 @@ def compile_custom_components(
         vnode = vrefs[0].o_value
         vprops = by_subject.get(vnode, {})
         selects = vprops.get(SH + "select", [])
-        if not selects:
+        asks = vprops.get(SH + "ask", [])
+        if not selects and not asks:
             raise ValueError(
-                f"validator {vnode} of component {subj} has no sh:select "
-                "(only SPARQLSelectValidators are supported)"
+                f"validator {vnode} of component {subj} has neither "
+                "sh:select nor sh:ask"
             )
         msgs = vprops.get(SH + "message", [])
-        select = expand_prefixes(
-            selects[0].o_value, declared_prefixes(by_subject, vnode)
-        )
+        body = (selects or asks)[0].o_value
+        body = expand_prefixes(body, declared_prefixes(by_subject, vnode))
         comps.append(
-            (subj, params, select, msgs[0].o_value if msgs else None)
+            (subj, params, body, msgs[0].o_value if msgs else None,
+             bool(asks) and not selects)
         )
     if not comps:
         return {}
 
-    param_paths = sorted({p for _c, ps, _s, _m in comps for p, _o in ps})
+    param_paths = sorted({p for _c, ps, _s, _m, _a in comps for p, _o in ps})
     val_rows = (
         shapes_triples.filter(F.col("p").isin(param_paths))
         .select("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")
@@ -493,7 +500,7 @@ def compile_custom_components(
         vals.setdefault((r.s, r.p), []).append(r)
 
     out: dict[str, list[SparqlConstraint]] = {}
-    for comp_iri, params, select, message in comps:
+    for comp_iri, params, select, message, is_ask in comps:
         path_set = {p for p, _o in params}
         shape_subjs = sorted({s for (s, p) in vals if p in path_set})
         for subj in shape_subjs:
@@ -525,10 +532,11 @@ def compile_custom_components(
                     SparqlConstraint(
                         node_shape=subj,
                         constraint_id=subj,
-                        select=sel,
+                        select="" if is_ask else sel,
                         message=msg,
                         severity=SH + "Violation",
                         component=comp_iri,
+                        ask=sel if is_ask else None,
                     )
                 )
     return out
@@ -689,6 +697,23 @@ def parse_select(select: str) -> tuple[list[str], _Block]:
     ):
         raise ValueError("sh:sparql select has no graph pattern")
     return proj, block
+
+
+def parse_ask(ask: str) -> _Block:
+    """Parse the sh:ask validator subset: ``ASK { <group> }`` with the same
+    group grammar as parse_select's WHERE body."""
+    m = re.match(r"\s*ASK\s*(?:WHERE\s*)?\{(?P<body>.*)\}\s*$", ask, re.S | re.I)
+    if not m:
+        raise ValueError("unsupported sh:ask (expected ASK { ... })")
+    block = _parse_group(m.group("body"))
+    if (
+        not block.patterns
+        and not block.optionals
+        and not block.exists
+        and not block.alternatives
+    ):
+        raise ValueError("sh:ask has no graph pattern")
+    return block
 
 
 def parse_construct(construct: str) -> tuple[list[_Pattern], _Block]:
@@ -1078,4 +1103,43 @@ def evaluate_sparql_constraint(
         value_dt.alias("value_datatype"),
     ).dropDuplicates(
         ["focusNode", "value", "sourceShape"]
+    )
+
+
+def evaluate_ask_constraint(
+    spark: SparkSession,
+    data: DataFrame,
+    focus: DataFrame,
+    sc: SparqlConstraint,
+) -> DataFrame:
+    """SPARQLAskValidator applied to a node shape: evaluate the ASK body
+    as a progressive BGP join from the focus set ($this pre-bound per
+    focus node); a focus node with ZERO solutions fails. The violation
+    reports the focus node itself as sh:value (node-shape application —
+    the value node IS the focus node, SHACL-AF §6.2.2).
+
+    Scale posture: one anti join of the focus set against the distinct
+    solution keys — the probe side is deduplicated before the join, so
+    solution multiplicity never multiplies the focus cardinality."""
+    block = parse_ask(sc.ask or "")
+    bound, _vars = eval_bgp(data, focus, block)
+    failing = focus.join(
+        bound.select(F.col("this").alias("focus")).distinct(),
+        on="focus",
+        how="left_anti",
+    )
+    msg = sc.message or (
+        f"ASK validator of {sc.component} returned false"
+    )
+    return failing.select(
+        F.col("focus").alias("focusNode"),
+        F.lit(None).cast("string").alias("resultPath"),
+        F.col("focus").alias("value"),
+        F.lit(sc.constraint_id).alias("sourceShape"),
+        F.lit(sc.component).alias("sourceConstraintComponent"),
+        F.lit(msg).alias("resultMessage"),
+        F.lit(sc.severity).alias("resultSeverity"),
+        F.col("part_id").alias("part_id"),
+        F.lit(None).cast("string").alias("value_kind"),
+        F.lit(None).cast("string").alias("value_datatype"),
     )

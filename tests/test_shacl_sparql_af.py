@@ -504,3 +504,87 @@ def test_custom_component_iri_parameter(spark):
         spark, _people(spark), triples_from_rows(spark, rows), advanced=True
     ).collect()
     assert {r.focusNode for r in res} == {"urn:carol"}
+
+
+def _ask_component_shapes(spark, pattern_value):
+    """SHACL-AF §6.2.2-style ASK validator: a focus node CONFORMS iff its
+    name matches the parameter pattern (no solution -> violation)."""
+    rows = [
+        (EX + "AskPattern", RDF_TYPE, iri(SH + "ConstraintComponent")),
+        (EX + "AskPattern", SH + "parameter", iri("_:ap")),
+        ("_:ap", SH + "path", iri(EX + "cpattern")),
+        (EX + "AskPattern", SH + "validator", iri("_:av")),
+        (
+            "_:av",
+            SH + "ask",
+            lit_typed(
+                "ASK { " f"$this <{EX}name> ?v . " "FILTER (regex(?v, $cpattern)) }"
+            ),
+        ),
+        ("_:av", SH + "message", lit_typed("name must match {$cpattern}")),
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "Person")),
+        (EX + "S", EX + "cpattern", lit_typed(pattern_value)),
+    ]
+    return triples_from_rows(spark, rows)
+
+
+def test_ask_validator_failing_focus_reported_as_value(spark):
+    """ASK false (bob's name fails ^[A-Z]; so does a nameless person) ->
+    one violation whose sh:value IS the focus node; component IRI and
+    templated message carried through."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:alice", RDF_TYPE, iri(EX + "Person")),
+            ("urn:alice", EX + "name", lit_typed("Alice")),
+            ("urn:bob", RDF_TYPE, iri(EX + "Person")),
+            ("urn:bob", EX + "name", lit_typed("bob")),
+            ("urn:carol", RDF_TYPE, iri(EX + "Person")),  # no name at all
+        ],
+    )
+    res = validate(
+        spark, data, _ask_component_shapes(spark, "^[A-Z]"), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:bob", "urn:bob"),
+        ("urn:carol", "urn:carol"),
+    }
+    assert all(r.sourceConstraintComponent == EX + "AskPattern" for r in res)
+    assert all(r.resultMessage == "name must match ^[A-Z]" for r in res)
+
+
+def test_ask_validator_all_conform(spark):
+    """ASK true for every focus node -> conforming report."""
+    res = validate(
+        spark, _named(spark), _ask_component_shapes(spark, "."), advanced=True
+    )
+    assert res.count() == 0
+
+
+def test_ask_validator_multi_valued_any_match_conforms(spark):
+    """A focus node with several values conforms when ANY solution exists
+    (EXISTS semantics of ASK) — solution multiplicity never multiplies
+    the violation count."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:dan", RDF_TYPE, iri(EX + "Person")),
+            ("urn:dan", EX + "name", lit_typed("dan")),
+            ("urn:dan", EX + "name", lit_typed("Dan")),
+            ("urn:dan", EX + "name", lit_typed("DAN")),
+        ],
+    )
+    res = validate(
+        spark, data, _ask_component_shapes(spark, "^[A-Z]"), advanced=True
+    )
+    assert res.count() == 0
+
+
+def test_ask_parse_rejects_empty_body(spark):
+    from cmem_plugin_pyshacl_spark.plans.sparql_af import parse_ask
+
+    with pytest.raises(ValueError):
+        parse_ask("ASK { }")
+    block = parse_ask(f"ASK WHERE {{ $this <{EX}age> ?v }}")
+    assert len(block.patterns) == 1
