@@ -1060,3 +1060,186 @@ def rdfs_inference(
         )
         base = dedupe_triples(base.unionByName(ent.distinct()))
     return base
+
+
+OWL_IRREFLEXIVE = OWL + "IrreflexiveProperty"
+OWL_ASYMMETRIC = OWL + "AsymmetricProperty"
+OWL_DISJOINT_WITH = OWL + "disjointWith"
+OWL_PROP_DISJOINT = OWL + "propertyDisjointWith"
+OWL_DIFFERENT_FROM = OWL + "differentFrom"
+OWL_NOTHING = OWL + "Nothing"
+
+
+def consistency_report(
+    data: DataFrame, ontology: DataFrame | None = None
+) -> DataFrame:
+    """OWL-RL consistency detection — the profile's `false`-conclusion
+    rules, which owlrl 7.1.4 (the reference's inference engine,
+    plugin_pyshacl.py:238-249) raises as inconsistency errors. Returns
+    DataFrame[node, rule, detail, part_id] with one row per detected
+    clash instead of raising, so a 100 TB run can SURFACE every
+    inconsistency in one pass rather than dying on the first:
+
+      prp-irp   p a owl:IrreflexiveProperty, (x p x)        -> clash on x
+      prp-asyp  p a owl:AsymmetricProperty, (x p y),(y p x) -> clash on x
+      prp-pdw   p1 owl:propertyDisjointWith p2, (x p1 y),(x p2 y)
+      cax-dw    c1 owl:disjointWith c2, (x type c1),(x type c2)
+      eq-diff1  (x sameAs y) and (x differentFrom y) — either orientation
+                (both predicates are symmetric)
+      cls-nothing2  x type owl:Nothing
+
+    Scale posture: property/class declarations are tiny and collected
+    driver-side; every rule is then either a pushed-down `p isin` filter
+    (prp-irp, cls-nothing2) or one self-equi-join of a predicate slice
+    keyed on (s, o) (prp-asyp/pdw, cax-dw, eq-diff1) — no fixpoints, no
+    UDFs, no driver loops over instance data."""
+    schema_src = data if ontology is None else data.unionByName(ontology)
+    decl = (
+        schema_src.filter(
+            (
+                (F.col("p") == RDF_TYPE)
+                & F.col("o_value").isin([OWL_IRREFLEXIVE, OWL_ASYMMETRIC])
+            )
+            | F.col("p").isin([OWL_DISJOINT_WITH, OWL_PROP_DISJOINT])
+        )
+        .select("s", "p", "o_value")
+        .distinct()
+        .collect()
+    )
+    irrefl = sorted(
+        r.s for r in decl if r.p == RDF_TYPE and r.o_value == OWL_IRREFLEXIVE
+    )
+    asym = sorted(
+        r.s for r in decl if r.p == RDF_TYPE and r.o_value == OWL_ASYMMETRIC
+    )
+    dis_cls = sorted(
+        (r.s, r.o_value) for r in decl if r.p == OWL_DISJOINT_WITH
+    )
+    dis_prp = sorted(
+        (r.s, r.o_value) for r in decl if r.p == OWL_PROP_DISJOINT
+    )
+    spark = data.sparkSession
+
+    def row(src: DataFrame, node, rule: str, detail) -> DataFrame:
+        return src.select(
+            node.alias("node"),
+            F.lit(rule).alias("rule"),
+            detail.alias("detail"),
+            F.col("part_id").alias("part_id"),
+        )
+
+    outs: list[DataFrame] = []
+    resources = F.col("o_kind") != KIND_LITERAL
+
+    if irrefl:
+        self_loops = data.filter(
+            F.col("p").isin(irrefl) & resources & (F.col("s") == F.col("o_value"))
+        )
+        outs.append(row(self_loops, F.col("s"), "prp-irp", F.col("p")))
+
+    if asym:
+        edges = data.filter(F.col("p").isin(asym) & resources).select(
+            "s", "p", F.col("o_value").alias("o"), "part_id"
+        )
+        rev = edges.select(
+            F.col("o").alias("s"), "p", F.col("s").alias("o")
+        )
+        both = edges.join(rev, on=["s", "p", "o"], how="left_semi")
+        outs.append(row(both, F.col("s"), "prp-asyp", F.col("p")))
+
+    if dis_prp:
+        pairs = spark.createDataFrame(dis_prp, "p1 string, p2 string")
+        slices = data.filter(
+            F.col("p").isin(sorted({p for pr in dis_prp for p in pr}))
+        ).select(
+            "s",
+            "p",
+            "o_kind",
+            "o_value",
+            "o_datatype",
+            "o_lang",
+            "part_id",
+        )
+        e1 = slices.join(F.broadcast(pairs), slices["p"] == pairs["p1"])
+        e2 = slices.select(
+            F.col("s").alias("s2"),
+            F.col("p").alias("q2"),
+            F.col("o_kind").alias("k2"),
+            F.col("o_value").alias("v2"),
+            F.col("o_datatype").alias("d2"),
+            F.col("o_lang").alias("l2"),
+        )
+        clash = e1.join(
+            e2,
+            (F.col("s") == F.col("s2"))
+            & (F.col("p2") == F.col("q2"))
+            & (F.col("o_kind") == F.col("k2"))
+            & (F.col("o_value") == F.col("v2"))
+            & F.col("o_datatype").eqNullSafe(F.col("d2"))
+            & F.col("o_lang").eqNullSafe(F.col("l2")),
+        )
+        outs.append(
+            row(
+                clash,
+                F.col("s"),
+                "prp-pdw",
+                F.concat_ws("|", F.col("p1"), F.col("p2")),
+            )
+        )
+
+    types = data.filter(F.col("p") == RDF_TYPE).select(
+        "s", F.col("o_value").alias("cls"), "part_id"
+    )
+    if dis_cls:
+        cpairs = spark.createDataFrame(dis_cls, "c1 string, c2 string")
+        t1 = types.join(F.broadcast(cpairs), types["cls"] == cpairs["c1"])
+        t2 = types.select(F.col("s").alias("s2"), F.col("cls").alias("cls2"))
+        clash = t1.join(
+            t2,
+            (F.col("s") == F.col("s2")) & (F.col("c2") == F.col("cls2")),
+        )
+        outs.append(
+            row(
+                clash,
+                F.col("s"),
+                "cax-dw",
+                F.concat_ws("|", F.col("c1"), F.col("c2")),
+            )
+        )
+
+    outs.append(
+        row(
+            types.filter(F.col("cls") == OWL_NOTHING),
+            F.col("s"),
+            "cls-nothing2",
+            F.lit(OWL_NOTHING),
+        )
+    )
+
+    # eq-diff1: both predicates are symmetric, so normalize each edge to
+    # its sorted endpoint pair before the join — one equi-join catches
+    # every orientation combination
+    def norm(pred: str, tag: str) -> DataFrame:
+        e = data.filter((F.col("p") == pred) & resources)
+        return e.select(
+            F.least(F.col("s"), F.col("o_value")).alias("a"),
+            F.greatest(F.col("s"), F.col("o_value")).alias("b"),
+            "part_id",
+        ).withColumnRenamed("part_id", f"part_id_{tag}")
+
+    same = norm(OWL_SAMEAS, "s")
+    diff = norm(OWL_DIFFERENT_FROM, "d").drop("part_id_d")
+    clash = same.join(diff, on=["a", "b"], how="left_semi")
+    outs.append(
+        clash.select(
+            F.col("a").alias("node"),
+            F.lit("eq-diff1").alias("rule"),
+            F.col("b").alias("detail"),
+            F.col("part_id_s").alias("part_id"),
+        )
+    )
+
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out.distinct()

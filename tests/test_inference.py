@@ -637,3 +637,104 @@ def test_owl_has_key(spark):
     # eq-rep: b inherits a's name through the sameAs cluster step
     names = {(r.s, r.o_value) for r in out if r.p == EX + "name"}
     assert ("urn:b", "Alice") in names
+
+
+# ---- OWL-RL consistency detection (false-conclusion rules) ----
+
+
+def _clashes(df):
+    return {(r.node, r.rule, r.detail) for r in df.collect()}
+
+
+def test_consistency_irreflexive_and_asymmetric(spark):
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL,
+        OWL_IRREFLEXIVE,
+        consistency_report,
+    )
+
+    t = triples_from_rows(
+        spark,
+        [
+            (EX + "parentOf", RDF_TYPE, iri(OWL_IRREFLEXIVE)),
+            (EX + "parentOf", RDF_TYPE, iri(OWL + "AsymmetricProperty")),
+            ("urn:a", EX + "parentOf", iri("urn:a")),       # prp-irp
+            ("urn:b", EX + "parentOf", iri("urn:c")),
+            ("urn:c", EX + "parentOf", iri("urn:b")),       # prp-asyp both ways
+            ("urn:d", EX + "parentOf", iri("urn:e")),       # fine
+            # literal object with the subject's lexical form must NOT match
+            ("urn:f", EX + "parentOf", lit_typed("urn:f")),
+        ],
+    )
+    got = _clashes(consistency_report(t))
+    assert ("urn:a", "prp-irp", EX + "parentOf") in got
+    # the self-loop also satisfies the asymmetric self-join
+    assert ("urn:b", "prp-asyp", EX + "parentOf") in got
+    assert ("urn:c", "prp-asyp", EX + "parentOf") in got
+    assert not any(n in ("urn:d", "urn:e", "urn:f") for n, _r, _d in got)
+
+
+def test_consistency_disjoint_classes_and_properties(spark):
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_DISJOINT_WITH,
+        OWL_PROP_DISJOINT,
+        consistency_report,
+    )
+
+    t = triples_from_rows(
+        spark,
+        [
+            (EX + "Cat", OWL_DISJOINT_WITH, iri(EX + "Dog")),
+            ("urn:felix", RDF_TYPE, iri(EX + "Cat")),
+            ("urn:felix", RDF_TYPE, iri(EX + "Dog")),       # cax-dw
+            ("urn:rex", RDF_TYPE, iri(EX + "Dog")),         # fine
+            (EX + "likes", OWL_PROP_DISJOINT, iri(EX + "hates")),
+            ("urn:x", EX + "likes", iri("urn:y")),
+            ("urn:x", EX + "hates", iri("urn:y")),          # prp-pdw
+            ("urn:x", EX + "hates", iri("urn:z")),          # different object: fine
+            # typed-literal objects must match on the FULL term
+            ("urn:w", EX + "likes", lit_typed("5", XSD_INTEGER)),
+            ("urn:w", EX + "hates", lit_typed("5")),        # xsd:string vs integer
+        ],
+    )
+    got = _clashes(consistency_report(t))
+    assert ("urn:felix", "cax-dw", EX + "Cat|" + EX + "Dog") in got
+    assert ("urn:x", "prp-pdw", EX + "likes|" + EX + "hates") in got
+    assert not any(n == "urn:w" for n, _r, _d in got)
+    assert not any(n == "urn:rex" for n, _r, _d in got)
+
+
+def test_consistency_same_and_different_and_nothing(spark):
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_DIFFERENT_FROM,
+        OWL_NOTHING,
+        OWL_SAMEAS,
+        consistency_report,
+    )
+
+    t = triples_from_rows(
+        spark,
+        [
+            ("urn:a", OWL_SAMEAS, iri("urn:b")),
+            ("urn:b", OWL_DIFFERENT_FROM, iri("urn:a")),    # reversed orientation
+            ("urn:c", OWL_SAMEAS, iri("urn:d")),            # fine
+            ("urn:nil", RDF_TYPE, iri(OWL_NOTHING)),        # cls-nothing2
+        ],
+    )
+    got = _clashes(consistency_report(t))
+    assert ("urn:a", "eq-diff1", "urn:b") in got
+    assert ("urn:nil", "cls-nothing2", OWL_NOTHING) in got
+    assert not any(n in ("urn:c", "urn:d") for n, _r, _d in got)
+
+
+def test_consistency_clean_graph_empty(spark):
+    from cmem_plugin_pyshacl_spark.plans.inference import consistency_report
+
+    t = triples_from_rows(
+        spark,
+        [
+            ("urn:a", EX + "knows", iri("urn:b")),
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+        ],
+    )
+    assert consistency_report(t).count() == 0
