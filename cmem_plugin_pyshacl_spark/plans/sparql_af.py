@@ -28,10 +28,12 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     keys; combined with !bound() this covers the common negation idiom)
     and FILTER [NOT] EXISTS { ... } probes (semi/anti join) — nested
     groups recurse.
-  * { ... } UNION { ... } when the whole group is an alternation of
-    sub-groups: every branch evaluates from the same binding set and the
-    solutions union (branch-local variables are NULL in other branches).
-    UNION mixed with other content stays outside the subset and raises.
+  * { ... } UNION { ... } alternations: every branch evaluates from the
+    same binding set and the solutions union (branch-local variables are
+    NULL in other branches). Both the whole-group form and an alternation
+    (or a bare braced sub-group) embedded alongside other patterns are
+    supported — the embedded form JOINS with the rest of the group on the
+    shared variables, per SPARQL group-graph-pattern semantics.
   * MINUS { ... } groups: anti join on the variables shared between the
     group and the outer pattern ($this counts only when the group
     mentions it); a group sharing no variables removes nothing — the
@@ -107,7 +109,9 @@ class _Block:
     """One group graph pattern: its own triple patterns and filters plus
     nested OPTIONAL groups and FILTER [NOT] EXISTS probes. When
     `alternatives` is non-empty the block IS a `{…} UNION {…}`
-    alternation and every other field is empty."""
+    alternation and every other field is empty. `groups` holds nested
+    braced sub-groups — including embedded alternations — that JOIN with
+    the enclosing group (SPARQL Join of group graph patterns)."""
 
     patterns: tuple  # tuple[_Pattern, ...]
     filters: tuple  # tuple[_Filter, ...]
@@ -115,6 +119,7 @@ class _Block:
     exists: tuple  # tuple[(negated: bool, _Block), ...]
     alternatives: tuple = ()  # tuple[_Block, ...]
     minuses: tuple = ()  # tuple[_Block, ...]
+    groups: tuple = ()  # tuple[_Block, ...]
 
     def all_patterns(self):
         yield from self.patterns
@@ -125,6 +130,8 @@ class _Block:
         for b in self.alternatives:
             yield from b.all_patterns()
         for b in self.minuses:
+            yield from b.all_patterns()
+        for b in self.groups:
             yield from b.all_patterns()
 
 
@@ -146,11 +153,34 @@ def _iri_end(body: str, k: int) -> int:
     return k
 
 
+def _brace_end(body: str, j: int) -> int:
+    """body[j] == '{'. Return the index of the matching '}' (string- and
+    IRI-aware), raising on imbalance."""
+    depth, k, n = 0, j, len(body)
+    while k < n:
+        ch = body[k]
+        if ch == '"':
+            k += 1
+            while k < n and (body[k] != '"' or body[k - 1] == "\\"):
+                k += 1
+        elif ch == "<":
+            k = _iri_end(body, k)
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return k
+        k += 1
+    raise ValueError("unbalanced braces in group graph pattern")
+
+
 def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
     """Split out top-level ``OPTIONAL { … }`` / ``FILTER [NOT] EXISTS
-    { … }`` segments (string- and IRI-aware brace matching); returns the
-    remaining body and the (keyword, inner-body) segments. MINUS/UNION
-    raise explicitly — outside the supported subset."""
+    { … }`` / ``MINUS { … }`` segments and bare ``{ … } [UNION { … }]*``
+    sub-group chains (string- and IRI-aware brace matching); returns the
+    remaining body and the (keyword, inner-body) segments. A stray UNION
+    not preceded by a braced group raises — outside SPARQL grammar."""
     out: list[tuple[str, str]] = []
     kept: list[str] = []
     i, n = 0, len(body)
@@ -167,6 +197,30 @@ def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
             j = _iri_end(body, i)
             kept.append(body[i : j + 1])
             i = j + 1
+            continue
+        if c == "{":
+            # bare sub-group, possibly the head of a {…} UNION {…} chain
+            parts: list[str] = []
+            k = _brace_end(body, i)
+            parts.append(body[i + 1 : k])
+            i = k + 1
+            while True:
+                um = re.match(r"\s*UNION\b\s*", body[i:], re.I)
+                if not um:
+                    break
+                j = i + um.end()
+                if j >= n or body[j] != "{":
+                    raise ValueError("expected '{' after UNION")
+                k = _brace_end(body, j)
+                parts.append(body[j + 1 : k])
+                i = k + 1
+            if len(parts) == 1:
+                out.append(("GROUP", parts[0]))
+            else:
+                # re-render so _parse_group sees a pure alternation body
+                out.append(
+                    ("GROUP", " UNION ".join("{" + p + "}" for p in parts))
+                )
             continue
         m = _GROUP_KW_RE.match(body, i)
         # keyword must start at a token boundary (not inside ?var / pname)
@@ -263,12 +317,15 @@ def _parse_group(body: str) -> _Block:
     optionals: list[_Block] = []
     exists: list[tuple[bool, _Block]] = []
     minuses: list[_Block] = []
+    subgroups: list[_Block] = []
     for kw, inner in groups:
         sub = _parse_group(inner)
         if kw == "OPTIONAL":
             optionals.append(sub)
         elif kw == "MINUS":
             minuses.append(sub)
+        elif kw == "GROUP":
+            subgroups.append(sub)
         else:
             exists.append((kw == "FILTER NOT EXISTS", sub))
     return _Block(
@@ -278,6 +335,7 @@ def _parse_group(body: str) -> _Block:
         tuple(exists),
         (),
         tuple(minuses),
+        tuple(subgroups),
     )
 
 
@@ -929,6 +987,38 @@ def _optional_join(
     return bound
 
 
+def _group_join(
+    data: DataFrame,
+    bound: DataFrame,
+    bound_vars: set[str],
+    sub: _Block,
+    ns: str,
+    has_this: bool = True,
+) -> DataFrame:
+    """A nested braced sub-group — including an embedded ``{…} UNION
+    {…}`` alternation — JOINS with the enclosing group on their shared
+    variables (SPARQL Join of group graph patterns). Evaluated over the
+    DISTINCT shared keys of the outer binding set, then inner-joined
+    back: outer solutions without a compatible group solution drop, and
+    group-solution multiplicity multiplies (standard join semantics).
+    Variables bound in only some UNION branches surface as NULL
+    (unbound) in the other branches' solutions."""
+    key_cols = _sub_block_keys(bound_vars, sub, has_this)
+    keys = bound.select(*key_cols).distinct()
+    inner_vars = {c[: -len("__value")] for c in key_cols if c.endswith("__value")}
+    shared = set(inner_vars)
+    matched = _apply_block(data, keys, inner_vars, sub, ns, has_this)
+    new_vars = inner_vars - shared
+    proj = key_cols + [
+        f"{v}__{part}"
+        for v in sorted(new_vars)
+        for part in ("value", "kind", "datatype", "lang")
+    ]
+    bound = bound.join(matched.select(*proj), on=key_cols, how="inner")
+    bound_vars |= new_vars
+    return bound
+
+
 def _exists_join(
     data: DataFrame,
     bound: DataFrame,
@@ -1029,6 +1119,8 @@ def _apply_block(
             bound_vars |= bv
         return out
     bound = _join_patterns(data, bound, bound_vars, block.patterns, ns)
+    for k, sub in enumerate(block.groups):
+        bound = _group_join(data, bound, bound_vars, sub, f"{ns}g{k}_", has_this)
     for k, opt in enumerate(block.optionals):
         bound = _optional_join(data, bound, bound_vars, opt, f"{ns}o{k}_", has_this)
     for k, (neg, sub) in enumerate(block.exists):

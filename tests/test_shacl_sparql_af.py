@@ -321,16 +321,68 @@ def test_sparql_union_inside_nested_group(spark):
     assert {r.focusNode for r in res} == {"urn:alice", "urn:bob", "urn:carol"}
 
 
-def test_sparql_union_mixed_with_patterns_raises(spark):
-    bad = (
+def test_sparql_union_embedded_joins_with_patterns(spark):
+    """UNION mixed with other patterns (SPARQL Join of the alternation
+    with the rest of the group): underage persons OR self-knowers, but
+    only among subjects that are typed Person."""
+    select = (
         "SELECT $this WHERE { "
         f"$this a <{EX}Person> . "
-        f"{{ $this <{EX}age> ?a }} UNION {{ $this <{EX}knows> ?k }} }}"
+        f"{{ $this <{EX}age> ?a . FILTER (?a < 18) }} "
+        f"UNION {{ $this <{EX}knows> $this }} }}"
     )
-    with pytest.raises(ValueError):
-        validate(
-            spark, _people(spark), _af_shapes(spark, bad), advanced=True
-        ).collect()
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:alice", "urn:carol"}
+
+
+def test_sparql_union_binds_variable_for_later_pattern(spark):
+    """A variable bound inside the embedded alternation joins with a
+    pattern outside it: ?o is whoever $this knows OR who knows $this,
+    and must have an age recorded."""
+    select = (
+        "SELECT $this ?o WHERE { "
+        f"{{ $this <{EX}knows> ?o }} UNION {{ ?o <{EX}knows> $this }} . "
+        f"?o <{EX}age> ?a }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    # alice knows bob (bob has age 42); bob is known by alice (age 17);
+    # carol knows carol but carol has no age -> dropped by the join
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:alice", "urn:bob"),
+        ("urn:bob", "urn:alice"),
+    }
+
+
+def test_sparql_bare_subgroup_joins(spark):
+    """A bare braced sub-group joins with the enclosing group; its
+    bindings are visible to the outer FILTER."""
+    select = (
+        "SELECT $this ?a WHERE { "
+        f"$this a <{EX}Person> . {{ $this <{EX}age> ?a }} . "
+        "FILTER (?a > 20) }"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:bob", "42")}
+
+
+def test_sparql_union_three_branch_chain_embedded(spark):
+    select = (
+        "SELECT $this WHERE { "
+        f"$this a <{EX}Person> . "
+        f"{{ $this <{EX}age> ?a . FILTER (?a < 18) }} "
+        f"UNION {{ $this <{EX}knows> $this }} "
+        f"UNION {{ $this <{EX}age> ?b . FILTER (?b > 40) }} }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:alice", "urn:bob", "urn:carol"}
 
 
 def test_sparql_minus_shared_variable(spark):
