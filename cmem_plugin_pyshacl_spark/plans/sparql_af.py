@@ -21,9 +21,15 @@ ValueError, matching validate()'s strictness for the unsupported rest):
   * graph patterns: ``subj pred obj .`` where subj/obj are ``$this``, a
     ``?var``, an ``<iri>``, or a quoted literal; pred is an ``<iri>`` or
     the keyword ``a`` (rdf:type). Patterns join left-to-right.
-  * FILTER clauses: comparisons (=, !=, <, <=, >, >=) between vars /
-    literals / numbers (numeric when both sides cast to double, else
-    string), regex(?var, "pattern"), and [!]bound(?var).
+  * FILTER clauses — full boolean expressions over the SPARQL 1.1
+    builtin subset: ``||`` / ``&&`` / ``!`` with parentheses;
+    comparisons (=, !=, <, <=, >, >=) between vars / literals / numbers /
+    IRIs (numeric when both sides cast to double, else string);
+    bound(), isIRI()/isURI(), isLiteral(), isBlank(), sameTerm();
+    regex(expr, "pattern"[, "flags"]) with i/s/m flags;
+    STRSTARTS/STRENDS/CONTAINS; the term accessors str(), datatype()
+    (RDF 1.1: rdf:langString / xsd:string defaults), lang(), and
+    langMatches(lang(?v), "range") incl. the "*" range.
   * OPTIONAL { ... } groups (left-outer join over the distinct shared
     keys; combined with !bound() this covers the common negation idiom)
     and FILTER [NOT] EXISTS { ... } probes (semi/anti join) — nested
@@ -63,7 +69,16 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..data_model import KIND_IRI, KIND_LITERAL, RDF_TYPE, SH, XSD
+from ..data_model import (
+    KIND_BNODE,
+    KIND_IRI,
+    KIND_LITERAL,
+    RDF_LANGSTRING,
+    RDF_TYPE,
+    SH,
+    XSD,
+    XSD_STRING,
+)
 
 SH_SPARQL_COMPONENT = SH + "SPARQLConstraintComponent"
 
@@ -153,9 +168,9 @@ def _iri_end(body: str, k: int) -> int:
     return k
 
 
-def _brace_end(body: str, j: int) -> int:
-    """body[j] == '{'. Return the index of the matching '}' (string- and
-    IRI-aware), raising on imbalance."""
+def _delim_end(body: str, j: int, open_c: str, close_c: str) -> int:
+    """body[j] == open_c. Return the index of the matching close_c
+    (string- and IRI-aware), raising on imbalance."""
     depth, k, n = 0, j, len(body)
     while k < n:
         ch = body[k]
@@ -165,14 +180,18 @@ def _brace_end(body: str, j: int) -> int:
                 k += 1
         elif ch == "<":
             k = _iri_end(body, k)
-        elif ch == "{":
+        elif ch == open_c:
             depth += 1
-        elif ch == "}":
+        elif ch == close_c:
             depth -= 1
             if depth == 0:
                 return k
         k += 1
-    raise ValueError("unbalanced braces in group graph pattern")
+    raise ValueError(f"unbalanced {open_c}{close_c} in group graph pattern")
+
+
+def _brace_end(body: str, j: int) -> int:
+    return _delim_end(body, j, "{", "}")
 
 
 def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
@@ -678,15 +697,43 @@ def _parse_term(tok: str) -> _Term:
 
 def _parse_patterns(body: str, allow_filters: bool = True) -> tuple[list[_Pattern], list[_Filter]]:
     """Parse a { ... } block body into triple patterns + FILTERs."""
+    # split out FILTER(...) clauses with string/IRI-aware balanced-paren
+    # matching (a regex capture breaks on parens inside regex() pattern
+    # strings and on deeply parenthesized boolean expressions)
     filters: list[_Filter] = []
-
-    def _take_filter(fm: re.Match) -> str:
-        if not allow_filters:
-            raise ValueError("FILTER is not allowed in a CONSTRUCT template")
-        filters.append(_Filter(fm.group(1).strip()))
-        return " "
-
-    body = re.sub(r"FILTER\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)", _take_filter, body, flags=re.I)
+    kept: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == '"':
+            j = i + 1
+            while j < n and (body[j] != '"' or body[j - 1] == "\\"):
+                j += 1
+            kept.append(body[i : j + 1])
+            i = j + 1
+            continue
+        if c == "<":
+            j = _iri_end(body, i)
+            kept.append(body[i : j + 1])
+            i = j + 1
+            continue
+        fm = re.match(r"FILTER\b", body[i:], re.I)
+        if fm and (i == 0 or not re.match(r"[\w?$]", body[i - 1])):
+            if not allow_filters:
+                raise ValueError("FILTER is not allowed in a CONSTRUCT template")
+            j = i + fm.end()
+            while j < n and body[j].isspace():
+                j += 1
+            if j >= n or body[j] != "(":
+                raise ValueError("expected '(' after FILTER")
+            k = _delim_end(body, j, "(", ")")
+            filters.append(_Filter(body[j + 1 : k].strip()))
+            kept.append(" ")
+            i = k + 1
+            continue
+        kept.append(c)
+        i += 1
+    body = "".join(kept)
 
     # tokenize the whole body (a "." splits statements only OUTSIDE <iri>
     # and string tokens — the term alternatives consume those first), then
@@ -793,62 +840,290 @@ def parse_construct(construct: str) -> tuple[list[_Pattern], _Block]:
     return template, _parse_group(m.group("body"))
 
 
-_CMP_RE = re.compile(
-    r"""^\s*(?P<a>\$this|\?[A-Za-z_]\w*|"(?:[^"\\]|\\.)*"|[0-9]+(?:\.[0-9]+)?)\s*
-        (?P<op>!=|<=|>=|=|<|>)\s*
-        (?P<b>\$this|\?[A-Za-z_]\w*|"(?:[^"\\]|\\.)*"|[0-9]+(?:\.[0-9]+)?)\s*$""",
+# ---------------------------------------------------- FILTER expressions
+# Recursive-descent parser over the SPARQL 1.1 expression subset:
+# ||, &&, ! and parentheses; comparisons (numeric when both sides cast to
+# double, else string — the engine's documented ordering contract);
+# bound/isIRI/isURI/isLiteral/isBlank/sameTerm; regex (with "i/s/m" flags);
+# STRSTARTS/STRENDS/CONTAINS; str()/datatype()/lang() term accessors and
+# langMatches. Everything outside raises ValueError (the module contract).
+
+_F_TOKEN_RE = re.compile(
+    r"""(?:
+      (?P<str>"(?:[^"\\]|\\.)*")
+    | (?P<iri><[^<>\s"{}]*>)
+    | (?P<num>[0-9]+(?:\.[0-9]+)?)
+    | (?P<var>[?$][A-Za-z_]\w*)
+    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|\(|\)|,)
+    | (?P<name>[A-Za-z_]\w*)
+    )""",
     re.X,
 )
-_REGEX_RE = re.compile(
-    r"""^\s*(?P<neg>!)?\s*regex\s*\(\s*\?(?P<var>[A-Za-z_]\w*)\s*,\s*
-        "(?P<pat>(?:[^"\\]|\\.)*)"\s*\)\s*$""",
-    re.X | re.I,
-)
+
+_F_BOOL_FUNCS = {
+    "bound", "isiri", "isuri", "isliteral", "isblank", "sameterm",
+    "regex", "strstarts", "strends", "contains", "langmatches",
+}
+_F_VALUE_FUNCS = {"str", "datatype", "lang"}
 
 
-def _term_col(tok: str, cols: dict[str, Column]) -> Column:
-    if tok == "$this":
-        return cols["this"]
-    if tok.startswith("?"):
-        name = tok[1:]
-        if name not in cols:
-            raise ValueError(f"FILTER references unbound variable ?{name}")
-        return cols[name]
-    if tok.startswith('"'):
-        return F.lit(tok[1:-1].replace('\\"', '"'))
-    return F.lit(tok)
+@dataclass(frozen=True)
+class _Val:
+    """A term-valued sub-expression: its lexical value plus the kind /
+    datatype / lang columns needed by the term-inspection functions."""
+
+    value: Column
+    kind: Column
+    datatype: Column
+    lang: Column
 
 
-_BOUND_RE = re.compile(
-    r"^\s*(?P<neg>!)?\s*bound\s*\(\s*\?(?P<var>[A-Za-z_]\w*)\s*\)\s*$", re.I
-)
-
-
-def _filter_condition(f: _Filter, cols: dict[str, Column]) -> Column:
-    bm = _BOUND_RE.match(f.raw)
-    if bm:
-        name = bm.group("var")
-        if name not in cols:
-            raise ValueError(f"FILTER bound() references unknown variable ?{name}")
-        cond = cols[name].isNotNull()
-        return ~cond if bm.group("neg") else cond
-    rm = _REGEX_RE.match(f.raw)
-    if rm:
-        cond = _term_col("?" + rm.group("var"), cols).rlike(rm.group("pat"))
-        return ~cond if rm.group("neg") else cond
-    cm = _CMP_RE.match(f.raw)
-    if not cm:
-        raise ValueError(f"unsupported FILTER expression {f.raw!r}")
-    a = _term_col(cm.group("a"), cols)
-    b = _term_col(cm.group("b"), cols)
-    op = cm.group("op")
-    an, bn = a.cast("double"), b.cast("double")
+def _cmp_cols(a: Column, b: Column, op: str) -> Column:
+    # try_cast, not cast: ANSI mode (Spark 4 default) makes cast THROW on
+    # non-numeric strings; the contract is "numeric when both sides parse"
+    an, bn = a.try_cast("double"), b.try_cast("double")
     num_ok = an.isNotNull() & bn.isNotNull()
     num = {"=": an == bn, "!=": an != bn, "<": an < bn,
            "<=": an <= bn, ">": an > bn, ">=": an >= bn}[op]
     s = {"=": a == b, "!=": a != b, "<": a < b,
          "<=": a <= b, ">": a > b, ">=": a >= b}[op]
     return F.when(num_ok, num).otherwise(s)
+
+
+class _FilterParser:
+    """One FILTER expression → one boolean Column. `cols` maps bound
+    variable names (plus ``this``) to their __value columns; kind /
+    datatype / lang columns are addressed by the naming convention the
+    binding frame guarantees for every pattern-bound variable."""
+
+    def __init__(
+        self, raw: str, cols: dict[str, Column], bound_vars: set[str] = frozenset()
+    ):
+        self.raw = raw
+        self.cols = cols
+        self.bound_vars = bound_vars
+        self.toks: list[tuple[str, str]] = []
+        i, n = 0, len(raw)
+        while i < n:
+            if raw[i].isspace():
+                i += 1
+                continue
+            m = _F_TOKEN_RE.match(raw, i)
+            if not m:
+                raise ValueError(f"unsupported FILTER expression {raw!r}")
+            self.toks.append((m.lastgroup or "", m.group(0)))
+            i = m.end()
+        self.i = 0
+
+    # -- token plumbing
+    def _peek(self) -> tuple[str, str]:
+        return self.toks[self.i] if self.i < len(self.toks) else ("", "")
+
+    def _take(self) -> tuple[str, str]:
+        t = self._peek()
+        if not t[0]:
+            raise ValueError(f"unexpected end of FILTER expression {self.raw!r}")
+        self.i += 1
+        return t
+
+    def _accept(self, text: str) -> bool:
+        if self._peek()[1] == text:
+            self.i += 1
+            return True
+        return False
+
+    def _expect(self, text: str) -> None:
+        if not self._accept(text):
+            raise ValueError(
+                f"expected {text!r} in FILTER expression {self.raw!r}"
+            )
+
+    # -- grammar
+    def parse(self) -> Column:
+        e = self._or()
+        if self.i != len(self.toks):
+            raise ValueError(f"unsupported FILTER expression {self.raw!r}")
+        return e
+
+    def _or(self) -> Column:
+        e = self._and()
+        while self._accept("||"):
+            e = e | self._and()
+        return e
+
+    def _and(self) -> Column:
+        e = self._not()
+        while self._accept("&&"):
+            e = e & self._not()
+        return e
+
+    def _not(self) -> Column:
+        if self._accept("!"):
+            return ~self._not()
+        return self._rel()
+
+    def _rel(self) -> Column:
+        kind, text = self._peek()
+        if text == "(":
+            self.i += 1
+            e = self._or()
+            self._expect(")")
+            return e
+        if kind == "name" and text.lower() in _F_BOOL_FUNCS:
+            return self._bool_func(text.lower())
+        a = self._value()
+        op = self._take()
+        if op[0] != "op" or op[1] not in ("=", "!=", "<", "<=", ">", ">="):
+            raise ValueError(
+                f"expected comparison operator in FILTER expression {self.raw!r}"
+            )
+        b = self._value()
+        return _cmp_cols(a.value, b.value, op[1])
+
+    # -- term-valued expressions
+    def _var_val(self, tok: str) -> _Val:
+        name = tok[1:]
+        if name not in self.cols:
+            raise ValueError(f"FILTER references unbound variable {tok}")
+        if name == "this" and "this" not in self.bound_vars:
+            # the pre-bound focus column (constraint mode): always an IRI
+            return _Val(
+                self.cols["this"],
+                F.lit(KIND_IRI),
+                F.lit(None).cast("string"),
+                F.lit(None).cast("string"),
+            )
+        return _Val(
+            self.cols[name],
+            F.col(f"{name}__kind"),
+            F.col(f"{name}__datatype"),
+            F.col(f"{name}__lang"),
+        )
+
+    def _value(self) -> _Val:
+        kind, text = self._take()
+        if kind == "var":
+            return self._var_val(text)
+        if kind == "str":
+            return _Val(
+                F.lit(text[1:-1].replace('\\"', '"')),
+                F.lit(KIND_LITERAL),
+                F.lit(XSD_STRING),
+                F.lit(None).cast("string"),
+            )
+        if kind == "num":
+            dt = XSD + ("decimal" if "." in text else "integer")
+            return _Val(
+                F.lit(text),
+                F.lit(KIND_LITERAL),
+                F.lit(dt),
+                F.lit(None).cast("string"),
+            )
+        if kind == "iri":
+            return _Val(
+                F.lit(text[1:-1]),
+                F.lit(KIND_IRI),
+                F.lit(None).cast("string"),
+                F.lit(None).cast("string"),
+            )
+        if kind == "name" and text.lower() in _F_VALUE_FUNCS:
+            fn = text.lower()
+            self._expect("(")
+            inner = self._value()
+            self._expect(")")
+            if fn == "str":
+                return _Val(
+                    inner.value,
+                    F.lit(KIND_LITERAL),
+                    F.lit(XSD_STRING),
+                    F.lit(None).cast("string"),
+                )
+            if fn == "datatype":
+                # RDF 1.1: lang-tagged → rdf:langString; plain → xsd:string
+                dt = F.when(
+                    inner.kind == KIND_LITERAL,
+                    F.when(
+                        inner.lang.isNotNull() & (inner.lang != ""),
+                        F.lit(RDF_LANGSTRING),
+                    ).otherwise(F.coalesce(inner.datatype, F.lit(XSD_STRING))),
+                ).otherwise(F.lit(None).cast("string"))
+                return _Val(
+                    dt, F.lit(KIND_IRI),
+                    F.lit(None).cast("string"), F.lit(None).cast("string"),
+                )
+            # lang(): "" for plain literals, unbound (NULL) for non-literals
+            lg = F.when(
+                inner.kind == KIND_LITERAL, F.coalesce(inner.lang, F.lit(""))
+            ).otherwise(F.lit(None).cast("string"))
+            return _Val(
+                lg, F.lit(KIND_LITERAL),
+                F.lit(XSD_STRING), F.lit(None).cast("string"),
+            )
+        raise ValueError(
+            f"unsupported term {text!r} in FILTER expression {self.raw!r}"
+        )
+
+    # -- boolean functions
+    def _bool_func(self, fn: str) -> Column:
+        self.i += 1  # the name token
+        self._expect("(")
+        a = self._value()
+        if fn == "bound":
+            self._expect(")")
+            return a.value.isNotNull()
+        if fn in ("isiri", "isuri"):
+            self._expect(")")
+            return a.value.isNotNull() & (a.kind == KIND_IRI)
+        if fn == "isliteral":
+            self._expect(")")
+            return a.value.isNotNull() & (a.kind == KIND_LITERAL)
+        if fn == "isblank":
+            self._expect(")")
+            return a.value.isNotNull() & (a.kind == KIND_BNODE)
+        self._expect(",")
+        if fn == "regex":
+            pk, pt = self._take()
+            if pk != "str":
+                raise ValueError("regex() pattern must be a string literal")
+            pat = pt[1:-1].replace('\\"', '"')
+            if self._accept(","):
+                fk, ft = self._take()
+                if fk != "str":
+                    raise ValueError("regex() flags must be a string literal")
+                flags = "".join(c for c in ft[1:-1] if c in "ims")
+                if flags:
+                    pat = f"(?{flags}){pat}"
+            self._expect(")")
+            return a.value.rlike(pat)
+        b = self._value()
+        self._expect(")")
+        if fn == "sameterm":
+            return (
+                (a.value == b.value)
+                & (a.kind == b.kind)
+                & a.datatype.eqNullSafe(b.datatype)
+                & a.lang.eqNullSafe(b.lang)
+            )
+        if fn == "strstarts":
+            return a.value.startswith(b.value)
+        if fn == "strends":
+            return a.value.endswith(b.value)
+        if fn == "contains":
+            return a.value.contains(b.value)
+        # langMatches(lang-expr, range): "*" matches any non-empty tag;
+        # otherwise exact tag or an extended-subtag prefix (RFC 4647 basic)
+        rng = F.lower(b.value)
+        tag = F.lower(a.value)
+        return F.when(rng == "*", tag.isNotNull() & (tag != "")).otherwise(
+            tag.isNotNull()
+            & ((tag == rng) | tag.startswith(F.concat(rng, F.lit("-"))))
+        )
+
+
+def _filter_condition(
+    f: _Filter, cols: dict[str, Column], bound_vars: set[str] = frozenset()
+) -> Column:
+    return _FilterParser(f.raw, cols, bound_vars).parse()
 
 
 def _join_patterns(
@@ -1131,7 +1406,7 @@ def _apply_block(
     for v in bound_vars:
         cols[v] = F.col(f"{v}__value")
     for f in block.filters:
-        bound = bound.filter(_filter_condition(f, cols))
+        bound = bound.filter(_filter_condition(f, cols, bound_vars))
     return bound
 
 

@@ -640,3 +640,133 @@ def test_ask_parse_rejects_empty_body(spark):
         parse_ask("ASK { }")
     block = parse_ask(f"ASK WHERE {{ $this <{EX}age> ?v }}")
     assert len(block.patterns) == 1
+
+
+# ---- FILTER expression subset (SPARQL 1.1 builtins) ----
+
+
+def _mixed_terms(spark):
+    return triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "v", iri("urn:target")),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "v", lit_typed("5", XSD_INTEGER)),
+            ("urn:c", RDF_TYPE, iri(EX + "Person")),
+            ("urn:c", EX + "v", lit_typed("hello")),
+            ("urn:d", RDF_TYPE, iri(EX + "Person")),
+            ("urn:d", EX + "v", ("bonjour", "literal", None, "fr")),
+            ("urn:e", RDF_TYPE, iri(EX + "Person")),
+            ("urn:e", EX + "v", ("Guten Tag", "literal", None, "de-AT")),
+        ],
+    )
+
+
+def _vq(select_filter):
+    return (
+        "SELECT $this ?v WHERE { "
+        f"$this <{EX}v> ?v . FILTER ({select_filter}) }}"
+    )
+
+
+def _filter_hits(spark, data, flt):
+    res = validate(
+        spark, data, _af_shapes(spark, _vq(flt)), advanced=True
+    ).collect()
+    return {r.focusNode for r in res}
+
+
+def test_filter_boolean_connectives_and_parens(spark):
+    data = _mixed_terms(spark)
+    got = _filter_hits(
+        spark, data, '(?v = "hello" || ?v = "5") && !(?v < 3)'
+    )
+    assert got == {"urn:b", "urn:c"}
+
+
+def test_filter_is_iri_is_literal_datatype(spark):
+    data = _mixed_terms(spark)
+    assert _filter_hits(spark, data, "isIRI(?v)") == {"urn:a"}
+    assert _filter_hits(spark, data, "isLiteral(?v)") == {
+        "urn:b", "urn:c", "urn:d", "urn:e",
+    }
+    # RDF 1.1 datatype(): typed -> declared, plain -> xsd:string,
+    # lang-tagged -> rdf:langString
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    assert _filter_hits(
+        spark, data, f"datatype(?v) = <{xsd}integer>"
+    ) == {"urn:b"}
+    assert _filter_hits(
+        spark, data, f"datatype(?v) = <{xsd}string>"
+    ) == {"urn:c"}
+    assert _filter_hits(
+        spark, data, f"datatype(?v) = <{rdf}langString>"
+    ) == {"urn:d", "urn:e"}
+
+
+def test_filter_lang_and_langmatches(spark):
+    data = _mixed_terms(spark)
+    assert _filter_hits(spark, data, 'lang(?v) = "fr"') == {"urn:d"}
+    # plain literal: lang() is the empty string
+    assert _filter_hits(
+        spark, data, 'isLiteral(?v) && lang(?v) = ""'
+    ) == {"urn:b", "urn:c"}
+    # basic RFC 4647 range: "de" matches de-AT; "*" matches any tagged
+    assert _filter_hits(
+        spark, data, 'langMatches(lang(?v), "de")'
+    ) == {"urn:e"}
+    assert _filter_hits(
+        spark, data, 'langMatches(lang(?v), "*")'
+    ) == {"urn:d", "urn:e"}
+
+
+def test_filter_string_functions_and_regex_flags(spark):
+    data = _mixed_terms(spark)
+    assert _filter_hits(spark, data, 'STRSTARTS(?v, "bon")') == {"urn:d"}
+    assert _filter_hits(spark, data, 'CONTAINS(?v, "ell")') == {"urn:c"}
+    assert _filter_hits(spark, data, 'STRENDS(str(?v), "Tag")') == {"urn:e"}
+    # case-insensitive flag; parens inside the pattern string must not
+    # break the FILTER(...) capture
+    assert _filter_hits(
+        spark, data, 'regex(?v, "^(HELLO|BONJOUR)$", "i")'
+    ) == {"urn:c", "urn:d"}
+
+
+def test_filter_sameterm_full_term_identity(spark):
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:x", RDF_TYPE, iri(EX + "Person")),
+            ("urn:x", EX + "v", lit_typed("5", XSD_INTEGER)),
+            ("urn:y", RDF_TYPE, iri(EX + "Person")),
+            ("urn:y", EX + "v", lit_typed("5")),  # xsd:string "5"
+        ],
+    )
+    select = (
+        "SELECT $this ?v ?w WHERE { "
+        f"$this <{EX}v> ?v . ?other <{EX}v> ?w . "
+        "FILTER (sameTerm(?v, ?w) && ?other != $this) }"
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    # "5"^^xsd:integer and "5"^^xsd:string share a lexical form but are
+    # DIFFERENT terms -> no cross-subject sameTerm solutions
+    assert res == []
+
+
+def test_filter_unsupported_expressions_raise(spark):
+    data = _mixed_terms(spark)
+    for bad in (
+        "STRLEN(?v) > 3",          # unsupported function
+        "?v = ",                   # dangling comparison
+        "(?v = \"x\"",             # unbalanced paren
+        "bound(?nope)",            # unbound variable
+        "?v ~ \"x\"",              # bogus operator
+    ):
+        with pytest.raises(ValueError):
+            validate(
+                spark, data, _af_shapes(spark, _vq(bad)), advanced=True
+            )
