@@ -1068,6 +1068,14 @@ OWL_DISJOINT_WITH = OWL + "disjointWith"
 OWL_PROP_DISJOINT = OWL + "propertyDisjointWith"
 OWL_DIFFERENT_FROM = OWL + "differentFrom"
 OWL_NOTHING = OWL + "Nothing"
+OWL_THING = OWL + "Thing"
+OWL_MAX_CARD = OWL + "maxCardinality"
+OWL_MAX_QCARD = OWL + "maxQualifiedCardinality"
+OWL_ON_CLASS = OWL + "onClass"
+OWL_SRC_INDIVIDUAL = OWL + "sourceIndividual"
+OWL_ASSERTION_PROP = OWL + "assertionProperty"
+OWL_TGT_INDIVIDUAL = OWL + "targetIndividual"
+OWL_TGT_VALUE = OWL + "targetValue"
 
 
 def consistency_report(
@@ -1087,6 +1095,14 @@ def consistency_report(
       eq-diff1  (x sameAs y) and (x differentFrom y) — either orientation
                 (both predicates are symmetric)
       cls-nothing2  x type owl:Nothing
+      prp-npa1  owl:NegativePropertyAssertion (sourceIndividual i,
+                assertionProperty p, targetIndividual j) with (i p j)
+      prp-npa2  same with owl:targetValue — FULL-term literal match
+      cls-maxc1   R owl:maxCardinality 0 / owl:onProperty p,
+                  (x type R), (x p y)                      -> clash on x
+      cls-maxqc2  R owl:maxQualifiedCardinality 0 + owl:onClass c
+                  (c = owl:Thing folds into the unqualified case; else
+                  requires (y type c))                     -> clash on x
 
     Scale posture: property/class declarations are tiny and collected
     driver-side; every rule is then either a pushed-down `p isin` filter
@@ -1215,6 +1231,136 @@ def consistency_report(
             F.lit(OWL_NOTHING),
         )
     )
+
+    # --- maxCardinality-0 restrictions and negative property assertions:
+    # schema rows are tiny and collected driver-side (full term preserved
+    # for owl:targetValue); instance checks are one broadcast join each.
+    extra = (
+        schema_src.filter(
+            F.col("p").isin(
+                [
+                    OWL_MAX_CARD,
+                    OWL_MAX_QCARD,
+                    OWL_ON_PROPERTY,
+                    OWL_ON_CLASS,
+                    OWL_SRC_INDIVIDUAL,
+                    OWL_ASSERTION_PROP,
+                    OWL_TGT_INDIVIDUAL,
+                    OWL_TGT_VALUE,
+                ]
+            )
+        )
+        .select("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")
+        .distinct()
+        .collect()
+    )
+    on_prop: dict[str, str] = {}
+    on_cls: dict[str, str] = {}
+    max0: set[str] = set()
+    maxq0: set[str] = set()
+    npa_src: dict[str, str] = {}
+    npa_prop: dict[str, str] = {}
+    npa_tgt_i: dict[str, str] = {}
+    npa_tgt_v: dict[str, tuple[str, str | None, str | None]] = {}
+    for r in extra:
+        if r.p == OWL_ON_PROPERTY:
+            on_prop[r.s] = r.o_value
+        elif r.p == OWL_ON_CLASS:
+            on_cls[r.s] = r.o_value
+        elif r.p == OWL_MAX_CARD and r.o_value.strip() == "0":
+            max0.add(r.s)
+        elif r.p == OWL_MAX_QCARD and r.o_value.strip() == "0":
+            maxq0.add(r.s)
+        elif r.p == OWL_SRC_INDIVIDUAL:
+            npa_src[r.s] = r.o_value
+        elif r.p == OWL_ASSERTION_PROP:
+            npa_prop[r.s] = r.o_value
+        elif r.p == OWL_TGT_INDIVIDUAL:
+            npa_tgt_i[r.s] = r.o_value
+        elif r.p == OWL_TGT_VALUE:
+            npa_tgt_v[r.s] = (r.o_value, r.o_datatype, r.o_lang)
+
+    # cls-maxc1 (+ cls-maxqc2's owl:Thing-qualified case, which is the
+    # same rule): any (x p y) while x is typed with the 0-restriction
+    unqual = sorted(
+        (c, on_prop[c])
+        for c in (max0 | {c for c in maxq0 if on_cls.get(c) == OWL_THING})
+        if c in on_prop
+    )
+    if unqual:
+        up = spark.createDataFrame(unqual, "r string, restr_p string")
+        inst = types.join(F.broadcast(up), types["cls"] == up["r"])
+        hit = inst.join(
+            data.select(F.col("s").alias("s2"), F.col("p").alias("p2")),
+            (inst["s"] == F.col("s2")) & (F.col("p2") == F.col("restr_p")),
+            "left_semi",
+        )
+        outs.append(row(hit, F.col("s"), "cls-maxc1", F.col("restr_p")))
+
+    # cls-maxqc2 with a real qualifying class: (x p y) & (y type c)
+    qual = sorted(
+        (c, on_prop[c], on_cls[c])
+        for c in maxq0
+        if c in on_prop and on_cls.get(c) not in (None, OWL_THING)
+    )
+    if qual:
+        qp = spark.createDataFrame(qual, "r string, restr_p string, restr_c string")
+        inst = types.join(F.broadcast(qp), types["cls"] == qp["r"])
+        edges = data.filter(resources).select(
+            F.col("s").alias("s2"), F.col("p").alias("p2"),
+            F.col("o_value").alias("o2"),
+        )
+        et = edges.join(
+            types.select(F.col("s").alias("o2"), F.col("cls").alias("ocls")),
+            "o2",
+        )
+        hit = inst.join(
+            et,
+            (inst["s"] == F.col("s2"))
+            & (F.col("p2") == F.col("restr_p"))
+            & (F.col("ocls") == F.col("restr_c")),
+            "left_semi",
+        )
+        outs.append(row(hit, F.col("s"), "cls-maxqc2", F.col("restr_p")))
+
+    # prp-npa1 / prp-npa2
+    npa_iri = sorted(
+        (npa_src[k], npa_prop[k], npa_tgt_i[k])
+        for k in npa_src
+        if k in npa_prop and k in npa_tgt_i
+    )
+    if npa_iri:
+        ni = spark.createDataFrame(npa_iri, "ni string, np string, nj string")
+        hit = data.filter(resources).join(
+            F.broadcast(ni),
+            (F.col("s") == F.col("ni"))
+            & (F.col("p") == F.col("np"))
+            & (F.col("o_value") == F.col("nj")),
+            "inner",
+        )
+        outs.append(row(hit, F.col("s"), "prp-npa1", F.col("p")))
+    npa_lit = sorted(
+        (
+            (npa_src[k], npa_prop[k], *npa_tgt_v[k])
+            for k in npa_src
+            if k in npa_prop and k in npa_tgt_v
+        ),
+        key=lambda t: tuple(x or "" for x in t),
+    )
+    if npa_lit:
+        nv = spark.createDataFrame(
+            npa_lit, "ni string, np string, nv string, nd string, nl string"
+        )
+        hit = data.filter(F.col("o_kind") == KIND_LITERAL).join(
+            F.broadcast(nv),
+            (F.col("s") == F.col("ni"))
+            & (F.col("p") == F.col("np"))
+            & (F.col("o_value") == F.col("nv"))
+            & F.col("o_datatype").eqNullSafe(F.col("nd"))
+            & F.col("o_lang").eqNullSafe(F.col("nl")),
+            "inner",
+        )
+        outs.append(row(hit, F.col("s"), "prp-npa2", F.col("p")))
 
     # eq-diff1: both predicates are symmetric, so normalize each edge to
     # its sorted endpoint pair before the join — one equi-join catches

@@ -738,3 +738,80 @@ def test_consistency_clean_graph_empty(spark):
         ],
     )
     assert consistency_report(t).count() == 0
+
+
+def test_consistency_max_cardinality_zero(spark):
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL,
+        OWL_MAX_CARD,
+        OWL_MAX_QCARD,
+        OWL_ON_CLASS,
+        OWL_ON_PROPERTY,
+        consistency_report,
+    )
+
+    t = triples_from_rows(
+        spark,
+        [
+            # R: maxCardinality 0 on ex:child
+            ("urn:R", OWL_MAX_CARD, lit_typed("0")),
+            ("urn:R", OWL_ON_PROPERTY, iri(EX + "child")),
+            # Q: maxQualifiedCardinality 0 on ex:pet qualified to ex:Cat
+            ("urn:Q", OWL_MAX_QCARD, lit_typed("0")),
+            ("urn:Q", OWL_ON_PROPERTY, iri(EX + "pet")),
+            ("urn:Q", OWL_ON_CLASS, iri(EX + "Cat")),
+            # T: qualified to owl:Thing -> behaves like unqualified
+            ("urn:T", OWL_MAX_QCARD, lit_typed("0")),
+            ("urn:T", OWL_ON_PROPERTY, iri(EX + "toy")),
+            ("urn:T", OWL_ON_CLASS, iri(OWL + "Thing")),
+            ("urn:a", RDF_TYPE, iri("urn:R")),
+            ("urn:a", EX + "child", iri("urn:kid")),      # cls-maxc1
+            ("urn:b", RDF_TYPE, iri("urn:R")),            # no child: fine
+            ("urn:c", RDF_TYPE, iri("urn:Q")),
+            ("urn:c", EX + "pet", iri("urn:felix")),
+            ("urn:felix", RDF_TYPE, iri(EX + "Cat")),     # cls-maxqc2
+            ("urn:d", RDF_TYPE, iri("urn:Q")),
+            ("urn:d", EX + "pet", iri("urn:rex")),        # rex not a Cat: fine
+            ("urn:e", RDF_TYPE, iri("urn:T")),
+            ("urn:e", EX + "toy", lit_typed("ball")),     # cls-maxc1 (Thing)
+        ],
+    )
+    got = _clashes(consistency_report(t))
+    assert ("urn:a", "cls-maxc1", EX + "child") in got
+    assert ("urn:c", "cls-maxqc2", EX + "pet") in got
+    assert ("urn:e", "cls-maxc1", EX + "toy") in got
+    assert not any(n in ("urn:b", "urn:d") for n, _r, _d in got)
+
+
+def test_consistency_negative_property_assertions(spark):
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_ASSERTION_PROP,
+        OWL_SRC_INDIVIDUAL,
+        OWL_TGT_INDIVIDUAL,
+        OWL_TGT_VALUE,
+        consistency_report,
+    )
+
+    t = triples_from_rows(
+        spark,
+        [
+            ("urn:npa1", OWL_SRC_INDIVIDUAL, iri("urn:a")),
+            ("urn:npa1", OWL_ASSERTION_PROP, iri(EX + "knows")),
+            ("urn:npa1", OWL_TGT_INDIVIDUAL, iri("urn:b")),
+            ("urn:a", EX + "knows", iri("urn:b")),          # prp-npa1
+            ("urn:a", EX + "knows", iri("urn:c")),          # fine
+            ("urn:npa2", OWL_SRC_INDIVIDUAL, iri("urn:d")),
+            ("urn:npa2", OWL_ASSERTION_PROP, iri(EX + "age")),
+            ("urn:npa2", OWL_TGT_VALUE, lit_typed("5", XSD_INTEGER)),
+            ("urn:d", EX + "age", lit_typed("5", XSD_INTEGER)),  # prp-npa2
+            # same lexical form, different datatype -> NOT a clash
+            ("urn:e", EX + "age", lit_typed("5")),
+            ("urn:npa3", OWL_SRC_INDIVIDUAL, iri("urn:e")),
+            ("urn:npa3", OWL_ASSERTION_PROP, iri(EX + "age")),
+            ("urn:npa3", OWL_TGT_VALUE, lit_typed("5", XSD_INTEGER)),
+        ],
+    )
+    got = _clashes(consistency_report(t))
+    assert ("urn:a", "prp-npa1", EX + "knows") in got
+    assert ("urn:d", "prp-npa2", EX + "age") in got
+    assert not any(n == "urn:e" for n, _r, _d in got)
