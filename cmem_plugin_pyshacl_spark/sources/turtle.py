@@ -575,9 +575,12 @@ def turtle_header(prefixes: dict[str, str]) -> str:
 
 def to_turtle(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
     """Serialize a triples DataFrame to Turtle subject blocks — one
-    ``subj p1 o1 ;\\n    p2 o2 .`` row per subject, rdf:type as ``a``,
-    IRIs compacted against `prefixes`. Pure Column expressions + one
-    groupBy(s) shuffle; object lists are sorted for determinism.
+    ``subj p1 o1 , o2 ;\\n    p2 o3 .`` row per subject: rdf:type as
+    ``a``, IRIs compacted against `prefixes`, multiple objects of the
+    same (subject, predicate) grouped into a ``,`` object list. Pure
+    Column expressions; two hash aggregations — per-(s, p) object-list
+    fold (map-side partial), then the per-subject body — with sorted
+    lists at both levels for determinism.
 
     The output deliberately round-trips through parse_turtle (tested);
     prepend ``turtle_header(prefixes)`` when writing to a file, or use
@@ -585,25 +588,29 @@ def to_turtle(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFram
     from pyspark.sql import functions as F
 
     pfx = prefixes or {}
-    subj = F.when(
-        F.col("s").startswith("_:"), F.col("s")
-    ).otherwise(_compact_iri(F.col("s"), pfx))
     pred = F.when(F.col("p") == RDF_TYPE, F.lit("a")).otherwise(
         _compact_iri(F.col("p"), pfx)
     )
-    po = F.concat(
-        pred,
-        F.lit(" "),
-        _ttl_term(
-            F.col("o_kind"),
-            F.col("o_value"),
-            F.col("o_datatype"),
-            F.col("o_lang"),
-            pfx,
-        ),
+    obj = _ttl_term(
+        F.col("o_kind"),
+        F.col("o_value"),
+        F.col("o_datatype"),
+        F.col("o_lang"),
+        pfx,
     )
+    per_pred = (
+        df.withColumn("_pred", pred)
+        .withColumn("_obj", obj)
+        .groupBy("s", "_pred")
+        .agg(
+            F.concat_ws(" , ", F.sort_array(F.collect_list("_obj"))).alias(
+                "_objs"
+            )
+        )
+    )
+    po = F.concat(F.col("_pred"), F.lit(" "), F.col("_objs"))
     return (
-        df.withColumn("_po", po)
+        per_pred.withColumn("_po", po)
         .groupBy("s")
         .agg(
             F.concat_ws(" ;\n    ", F.sort_array(F.collect_list("_po"))).alias(

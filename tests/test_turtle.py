@@ -323,3 +323,24 @@ def test_write_turtle_single_file(spark, tmp_path):
     assert {r[:6] for r in parse_turtle(content)} == {
         tuple(r)[:6] for r in df.collect()
     }
+
+
+def test_to_turtle_groups_objects_with_commas(spark):
+    from cmem_plugin_pyshacl_spark.sources.turtle import to_turtle, turtle_header
+
+    rows = [
+        (EX + "a", EX + "p", ("v1", KIND_LITERAL, XSD_STRING, None)),
+        (EX + "a", EX + "p", ("v2", KIND_LITERAL, XSD_STRING, None)),
+        (EX + "a", EX + "p", ("v3", KIND_LITERAL, XSD_STRING, None)),
+        (EX + "a", EX + "q", (EX + "b", KIND_IRI, None, None)),
+    ]
+    df = triples_from_rows(spark, rows)
+    pfx = {"ex": EX}
+    lines = [r.line for r in to_turtle(df, pfx).collect()]
+    assert len(lines) == 1
+    # same-predicate objects fold into ONE , object list; predicates ;
+    assert 'ex:p "v1" , "v2" , "v3"' in lines[0]
+    assert lines[0].count("ex:p") == 1
+    assert " ;\n    ex:q ex:b ." in lines[0]
+    back = {r[:6] for r in parse_turtle(turtle_header(pfx) + lines[0])}
+    assert back == {tuple(r)[:6] for r in df.collect()}
