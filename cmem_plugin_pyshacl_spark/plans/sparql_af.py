@@ -27,9 +27,14 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     IRIs (numeric when both sides cast to double, else string);
     bound(), isIRI()/isURI(), isLiteral(), isBlank(), sameTerm();
     regex(expr, "pattern"[, "flags"]) with i/s/m flags;
-    STRSTARTS/STRENDS/CONTAINS; the term accessors str(), datatype()
-    (RDF 1.1: rdf:langString / xsd:string defaults), lang(), and
-    langMatches(lang(?v), "range") incl. the "*" range.
+    STRSTARTS/STRENDS/CONTAINS; [NOT] IN lists; the term accessors
+    str(), datatype() (RDF 1.1: rdf:langString / xsd:string defaults),
+    lang(), langMatches(lang(?v), "range") incl. the "*" range; and the
+    value functions STRLEN/UCASE/LCASE/CONCAT/ABS.
+  * BIND(expr AS ?var) over the same value-expression subset — evaluated
+    after the group's patterns/nested groups, before its FILTERs; a
+    NULL-evaluating expression leaves the variable unbound. The bound
+    variable is projectable (usable as sh:value).
   * OPTIONAL { ... } groups (left-outer join over the distinct shared
     keys; combined with !bound() this covers the common negation idiom)
     and FILTER [NOT] EXISTS { ... } probes (semi/anti join) — nested
@@ -135,6 +140,7 @@ class _Block:
     alternatives: tuple = ()  # tuple[_Block, ...]
     minuses: tuple = ()  # tuple[_Block, ...]
     groups: tuple = ()  # tuple[_Block, ...]
+    binds: tuple = ()  # tuple[(var: str, raw_expr: str), ...]
 
     def all_patterns(self):
         yield from self.patterns
@@ -332,7 +338,7 @@ def _parse_group(body: str) -> _Block:
     if alts is not None:
         return _Block((), (), (), (), tuple(_parse_group(a) for a in alts))
     rest, groups = _extract_groups(body)
-    patterns, filters = _parse_patterns(rest)
+    patterns, filters, binds = _parse_patterns(rest)
     optionals: list[_Block] = []
     exists: list[tuple[bool, _Block]] = []
     minuses: list[_Block] = []
@@ -355,6 +361,7 @@ def _parse_group(body: str) -> _Block:
         (),
         tuple(minuses),
         tuple(subgroups),
+        tuple(binds),
     )
 
 
@@ -695,12 +702,19 @@ def _parse_term(tok: str) -> _Term:
     return _Term("lit", tok, dt=XSD + ("decimal" if "." in tok else "integer"))
 
 
-def _parse_patterns(body: str, allow_filters: bool = True) -> tuple[list[_Pattern], list[_Filter]]:
-    """Parse a { ... } block body into triple patterns + FILTERs."""
-    # split out FILTER(...) clauses with string/IRI-aware balanced-paren
-    # matching (a regex capture breaks on parens inside regex() pattern
-    # strings and on deeply parenthesized boolean expressions)
+_BIND_AS_RE = re.compile(r"\s+AS\s+\?([A-Za-z_]\w*)\s*$", re.I)
+
+
+def _parse_patterns(
+    body: str, allow_filters: bool = True
+) -> tuple[list[_Pattern], list[_Filter], list[tuple[str, str]]]:
+    """Parse a { ... } block body into triple patterns + FILTERs +
+    BIND(expr AS ?var) clauses."""
+    # split out FILTER(...) / BIND(...) clauses with string/IRI-aware
+    # balanced-paren matching (a regex capture breaks on parens inside
+    # regex() pattern strings and on deeply parenthesized expressions)
     filters: list[_Filter] = []
+    binds: list[tuple[str, str]] = []
     kept: list[str] = []
     i, n = 0, len(body)
     while i < n:
@@ -717,17 +731,30 @@ def _parse_patterns(body: str, allow_filters: bool = True) -> tuple[list[_Patter
             kept.append(body[i : j + 1])
             i = j + 1
             continue
-        fm = re.match(r"FILTER\b", body[i:], re.I)
+        fm = re.match(r"(FILTER|BIND)\b", body[i:], re.I)
         if fm and (i == 0 or not re.match(r"[\w?$]", body[i - 1])):
+            kw = fm.group(1).upper()
             if not allow_filters:
-                raise ValueError("FILTER is not allowed in a CONSTRUCT template")
+                raise ValueError(
+                    f"{kw} is not allowed in a CONSTRUCT template"
+                )
             j = i + fm.end()
             while j < n and body[j].isspace():
                 j += 1
             if j >= n or body[j] != "(":
-                raise ValueError("expected '(' after FILTER")
+                raise ValueError(f"expected '(' after {kw}")
             k = _delim_end(body, j, "(", ")")
-            filters.append(_Filter(body[j + 1 : k].strip()))
+            inner = body[j + 1 : k].strip()
+            if kw == "FILTER":
+                filters.append(_Filter(inner))
+            else:
+                am = _BIND_AS_RE.search(inner)
+                if not am:
+                    raise ValueError(
+                        "expected BIND(expr AS ?var), got "
+                        f"BIND({inner[:40]!r})"
+                    )
+                binds.append((am.group(1), inner[: am.start()].strip()))
             kept.append(" ")
             i = k + 1
             continue
@@ -771,7 +798,7 @@ def _parse_patterns(body: str, allow_filters: bool = True) -> tuple[list[_Patter
         else:
             group.append(tok)
     _flush()
-    return patterns, filters
+    return patterns, filters, binds
 
 
 def parse_select(select: str) -> tuple[list[str], _Block]:
@@ -834,7 +861,7 @@ def parse_construct(construct: str) -> tuple[list[_Pattern], _Block]:
         raise ValueError(
             "unsupported sh:construct (expected CONSTRUCT { ... } WHERE { ... })"
         )
-    template, _ = _parse_patterns(m.group("tpl"), allow_filters=False)
+    template, _, _ = _parse_patterns(m.group("tpl"), allow_filters=False)
     if not template:
         raise ValueError("sh:construct template has no triple pattern")
     return template, _parse_group(m.group("body"))
@@ -945,6 +972,14 @@ class _FilterParser:
             raise ValueError(f"unsupported FILTER expression {self.raw!r}")
         return e
 
+    def parse_value(self) -> "_Val":
+        """Entry point for BIND(expr AS ?var): one term-valued expression
+        consuming the whole input."""
+        v = self._value()
+        if self.i != len(self.toks):
+            raise ValueError(f"unsupported BIND expression {self.raw!r}")
+        return v
+
     def _or(self) -> Column:
         e = self._and()
         while self._accept("||"):
@@ -973,12 +1008,33 @@ class _FilterParser:
             return self._bool_func(text.lower())
         a = self._value()
         op = self._take()
+        if op[0] == "name" and op[1].upper() == "IN":
+            return self._in_list(a, negated=False)
+        if op[0] == "name" and op[1].upper() == "NOT":
+            nxt = self._take()
+            if nxt[0] != "name" or nxt[1].upper() != "IN":
+                raise ValueError(
+                    f"expected IN after NOT in FILTER expression {self.raw!r}"
+                )
+            return self._in_list(a, negated=True)
         if op[0] != "op" or op[1] not in ("=", "!=", "<", "<=", ">", ">="):
             raise ValueError(
                 f"expected comparison operator in FILTER expression {self.raw!r}"
             )
         b = self._value()
         return _cmp_cols(a.value, b.value, op[1])
+
+    def _in_list(self, a: _Val, negated: bool) -> Column:
+        """SPARQL IN / NOT IN: disjunction of = comparisons (value
+        equality, same promotion rules as the binary operators)."""
+        self._expect("(")
+        cond: Column = F.lit(False)
+        if self._peek()[1] != ")":
+            cond = _cmp_cols(a.value, self._value().value, "=")
+            while self._accept(","):
+                cond = cond | _cmp_cols(a.value, self._value().value, "=")
+        self._expect(")")
+        return ~cond if negated else cond
 
     # -- term-valued expressions
     def _var_val(self, tok: str) -> _Val:
@@ -1025,6 +1081,31 @@ class _FilterParser:
                 F.lit(KIND_IRI),
                 F.lit(None).cast("string"),
                 F.lit(None).cast("string"),
+            )
+        if kind == "name" and text.lower() in (
+            "strlen", "ucase", "lcase", "concat", "abs",
+        ):
+            fn = text.lower()
+            self._expect("(")
+            args = [self._value()]
+            while self._accept(","):
+                args.append(self._value())
+            self._expect(")")
+            if fn == "concat":
+                val, dt = F.concat(*(a.value for a in args)), XSD_STRING
+            elif len(args) != 1:
+                raise ValueError(f"{fn}() takes exactly one argument")
+            elif fn == "strlen":
+                val, dt = F.length(args[0].value).cast("string"), XSD + "integer"
+            elif fn == "abs":
+                val = F.abs(args[0].value.try_cast("double")).cast("string")
+                dt = XSD + "decimal"
+            elif fn == "ucase":
+                val, dt = F.upper(args[0].value), XSD_STRING
+            else:
+                val, dt = F.lower(args[0].value), XSD_STRING
+            return _Val(
+                val, F.lit(KIND_LITERAL), F.lit(dt), F.lit(None).cast("string")
             )
         if kind == "name" and text.lower() in _F_VALUE_FUNCS:
             fn = text.lower()
@@ -1405,6 +1486,30 @@ def _apply_block(
     cols: dict[str, Column] = {"this": F.col("this")}
     for v in bound_vars:
         cols[v] = F.col(f"{v}__value")
+    # BIND(expr AS ?var): evaluated after the group's patterns and nested
+    # groups, before its FILTERs (which therefore see the bound value); a
+    # NULL-evaluating expression leaves the variable unbound, per SPARQL
+    for var, raw in block.binds:
+        if var in bound_vars or var == "this":
+            raise ValueError(f"BIND would rebind already-bound ?{var}")
+        val = _FilterParser(raw, cols, bound_vars).parse_value()
+        bound = (
+            bound.withColumn(f"{var}__value", val.value)
+            .withColumn(
+                f"{var}__kind",
+                F.when(val.value.isNotNull(), val.kind),
+            )
+            .withColumn(
+                f"{var}__datatype",
+                F.when(val.value.isNotNull(), val.datatype),
+            )
+            .withColumn(
+                f"{var}__lang",
+                F.when(val.value.isNotNull(), val.lang),
+            )
+        )
+        bound_vars.add(var)
+        cols[var] = F.col(f"{var}__value")
     for f in block.filters:
         bound = bound.filter(_filter_condition(f, cols, bound_vars))
     return bound

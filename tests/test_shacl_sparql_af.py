@@ -760,7 +760,7 @@ def test_filter_sameterm_full_term_identity(spark):
 def test_filter_unsupported_expressions_raise(spark):
     data = _mixed_terms(spark)
     for bad in (
-        "STRLEN(?v) > 3",          # unsupported function
+        "ROUND(?v) > 3",           # unsupported function
         "?v = ",                   # dangling comparison
         "(?v = \"x\"",             # unbalanced paren
         "bound(?nope)",            # unbound variable
@@ -770,3 +770,73 @@ def test_filter_unsupported_expressions_raise(spark):
             validate(
                 spark, data, _af_shapes(spark, _vq(bad)), advanced=True
             )
+
+
+def test_filter_in_and_not_in(spark):
+    data = _mixed_terms(spark)
+    assert _filter_hits(
+        spark, data, '?v IN ("hello", "bonjour", 5)'
+    ) == {"urn:b", "urn:c", "urn:d"}
+    assert _filter_hits(
+        spark, data, 'isLiteral(?v) && ?v NOT IN ("hello", 5)'
+    ) == {"urn:d", "urn:e"}
+    # empty lists: IN () is false, NOT IN () is true
+    assert _filter_hits(spark, data, "?v IN ()") == set()
+    assert _filter_hits(spark, data, "isIRI(?v) && ?v NOT IN ()") == {"urn:a"}
+
+
+def test_filter_value_functions(spark):
+    data = _mixed_terms(spark)
+    # STRLEN: "hello"=5, "bonjour"=7, "Guten Tag"=9, "5"=1, iri len 10
+    assert _filter_hits(
+        spark, data, "isLiteral(?v) && STRLEN(?v) > 6"
+    ) == {"urn:d", "urn:e"}
+    assert _filter_hits(spark, data, 'UCASE(?v) = "HELLO"') == {"urn:c"}
+    assert _filter_hits(spark, data, 'LCASE(?v) = "guten tag"') == {"urn:e"}
+    assert _filter_hits(
+        spark, data, 'CONCAT(?v, "!") = "hello!"'
+    ) == {"urn:c"}
+    assert _filter_hits(spark, data, "ABS(?v) = 5") == {"urn:b"}
+    with pytest.raises(ValueError):
+        validate(
+            spark, data, _af_shapes(spark, _vq("STRLEN(?v, ?v) > 1")),
+            advanced=True,
+        )
+
+
+def test_bind_expression_and_projection(spark):
+    """BIND computes a new variable visible to later FILTERs and
+    projectable as sh:value."""
+    select = (
+        "SELECT $this ?shout WHERE { "
+        f"$this <{EX}v> ?v . "
+        "BIND (UCASE(str(?v)) AS ?shout) "
+        'FILTER (STRSTARTS(?shout, "H")) }'
+    )
+    res = validate(
+        spark, _mixed_terms(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:c", "HELLO")}
+
+
+def test_bind_constant_and_rebind_raises(spark):
+    data = _mixed_terms(spark)
+    select = (
+        "SELECT $this ?w WHERE { "
+        f"$this <{EX}v> ?v . "
+        'BIND (CONCAT(?v, "-x") AS ?w) . FILTER (?w = "5-x") }'
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:b", "5-x")}
+    with pytest.raises(ValueError):
+        validate(
+            spark, data,
+            _af_shapes(
+                spark,
+                "SELECT $this WHERE { "
+                f"$this <{EX}v> ?v . BIND (str(?v) AS ?v) }}",
+            ),
+            advanced=True,
+        )
