@@ -19,8 +19,12 @@ ValueError, matching validate()'s strictness for the unsupported rest):
   * SELECT list: ``$this`` plus any subset of pattern variables; the first
     non-$this variable becomes sh:value in the report.
   * graph patterns: ``subj pred obj .`` where subj/obj are ``$this``, a
-    ``?var``, an ``<iri>``, or a quoted literal; pred is an ``<iri>`` or
-    the keyword ``a`` (rdf:type). Patterns join left-to-right.
+    ``?var``, an ``<iri>``, or a quoted literal; pred is an ``<iri>``,
+    the keyword ``a`` (rdf:type), or a property path built from ``/``
+    (sequence — desugared to fresh-variable chains), ``^`` (inverse —
+    operand swap), ``|`` (alternative — desugared to UNION sub-blocks)
+    and parens. ``*``/``+``/``?``/``!`` path modifiers stay outside the
+    subset and raise. Patterns join left-to-right.
   * FILTER clauses — full boolean expressions over the SPARQL 1.1
     builtin subset: ``||`` / ``&&`` / ``!`` with parentheses;
     comparisons (=, !=, <, <=, >, >=) between vars / literals / numbers /
@@ -35,6 +39,11 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     after the group's patterns/nested groups, before its FILTERs; a
     NULL-evaluating expression leaves the variable unbound. The bound
     variable is projectable (usable as sh:value).
+  * VALUES ?v { t1 t2 } and VALUES (?a ?b) { (t1 t2) (UNDEF t3) } inline
+    data, compiled to a zero-shuffle OR-of-ANDs predicate (the inline
+    table is query-text-sized); UNDEF is a wildcard, term matching is
+    value+kind (consistent with pattern-object matching), and every
+    VALUES variable must be bound by the group's patterns.
   * OPTIONAL { ... } groups (left-outer join over the distinct shared
     keys; combined with !bound() this covers the common negation idiom)
     and FILTER [NOT] EXISTS { ... } probes (semi/anti join) — nested
@@ -141,6 +150,7 @@ class _Block:
     minuses: tuple = ()  # tuple[_Block, ...]
     groups: tuple = ()  # tuple[_Block, ...]
     binds: tuple = ()  # tuple[(var: str, raw_expr: str), ...]
+    values_clauses: tuple = ()  # tuple[_ValuesClause, ...]
 
     def all_patterns(self):
         yield from self.patterns
@@ -159,6 +169,63 @@ class _Block:
 _GROUP_KW_RE = re.compile(
     r"(FILTER\s+NOT\s+EXISTS|FILTER\s+EXISTS|OPTIONAL|MINUS|UNION)\b", re.I
 )
+
+
+@dataclass(frozen=True)
+class _ValuesClause:
+    """An inline-data block: VALUES ?v { t1 t2 } or
+    VALUES (?a ?b) { (t1 t2) (UNDEF t3) }. Rows hold _Term or None
+    (UNDEF wildcard)."""
+
+    vars: tuple  # tuple[str, ...]
+    rows: tuple  # tuple[tuple[_Term | None, ...], ...]
+
+
+def _parse_values(vars_text: str, data_text: str) -> _ValuesClause:
+    names = re.findall(r"\?([A-Za-z_]\w*)", vars_text)
+    if not names or re.sub(r"[?$\w\s]", "", vars_text):
+        raise ValueError(f"unsupported VALUES variable list {vars_text!r}")
+    if "this" in names:
+        raise ValueError("VALUES may not constrain the focus variable ?this")
+
+    def _row_terms(text: str) -> tuple:
+        toks = re.findall(_TERM_RE.pattern + r"|\bUNDEF\b", text, re.X)
+        leftover = re.sub(
+            _TERM_RE.pattern + r"|\bUNDEF\b", " ", text, flags=re.X
+        ).strip()
+        if leftover:
+            raise ValueError(f"unsupported VALUES data near {leftover[:40]!r}")
+        terms = tuple(
+            None if t.upper() == "UNDEF" else _parse_term(t) for t in toks
+        )
+        for t in terms:
+            if t is not None and t.kind in ("var", "this"):
+                raise ValueError("VALUES data must be constant terms or UNDEF")
+        return terms
+
+    rows: list[tuple] = []
+    if len(names) == 1 and "(" not in data_text:
+        rows = [(t,) for t in _row_terms(data_text)]
+    else:
+        i, n = 0, len(data_text)
+        while i < n:
+            ch = data_text[i]
+            if ch.isspace():
+                i += 1
+                continue
+            if ch != "(":
+                raise ValueError(
+                    f"expected '(' row in VALUES data near {data_text[i:i+20]!r}"
+                )
+            k = _delim_end(data_text, i, "(", ")")
+            row = _row_terms(data_text[i + 1 : k])
+            if len(row) != len(names):
+                raise ValueError(
+                    f"VALUES row arity {len(row)} != {len(names)} variables"
+                )
+            rows.append(row)
+            i = k + 1
+    return _ValuesClause(tuple(names), tuple(rows))
 
 
 def _iri_end(body: str, k: int) -> int:
@@ -222,6 +289,29 @@ def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
             j = _iri_end(body, i)
             kept.append(body[i : j + 1])
             i = j + 1
+            continue
+        vm = re.match(r"VALUES\b", body[i:], re.I)
+        if vm and (i == 0 or not re.match(r"[\w?$]", body[i - 1])):
+            j = i + vm.end()
+            while j < n and body[j].isspace():
+                j += 1
+            if j < n and body[j] == "(":
+                k = _delim_end(body, j, "(", ")")
+                vars_text = body[j + 1 : k]
+                j = k + 1
+            else:
+                mv = re.match(r"\?[A-Za-z_]\w*", body[j:])
+                if not mv:
+                    raise ValueError("expected variable list after VALUES")
+                vars_text = mv.group(0)
+                j += mv.end()
+            while j < n and body[j].isspace():
+                j += 1
+            if j >= n or body[j] != "{":
+                raise ValueError("expected '{' after VALUES variable list")
+            k = _brace_end(body, j)
+            out.append(("VALUES", _parse_values(vars_text, body[j + 1 : k])))
+            i = k + 1
             continue
         if c == "{":
             # bare sub-group, possibly the head of a {…} UNION {…} chain
@@ -338,12 +428,16 @@ def _parse_group(body: str) -> _Block:
     if alts is not None:
         return _Block((), (), (), (), tuple(_parse_group(a) for a in alts))
     rest, groups = _extract_groups(body)
-    patterns, filters, binds = _parse_patterns(rest)
+    patterns, filters, binds, path_groups = _parse_patterns(rest)
+    subgroups: list[_Block] = list(path_groups)
     optionals: list[_Block] = []
     exists: list[tuple[bool, _Block]] = []
     minuses: list[_Block] = []
-    subgroups: list[_Block] = []
+    values_clauses: list[_ValuesClause] = []
     for kw, inner in groups:
+        if kw == "VALUES":
+            values_clauses.append(inner)
+            continue
         sub = _parse_group(inner)
         if kw == "OPTIONAL":
             optionals.append(sub)
@@ -362,6 +456,7 @@ def _parse_group(body: str) -> _Block:
         tuple(minuses),
         tuple(subgroups),
         tuple(binds),
+        tuple(values_clauses),
     )
 
 
@@ -707,9 +802,10 @@ _BIND_AS_RE = re.compile(r"\s+AS\s+\?([A-Za-z_]\w*)\s*$", re.I)
 
 def _parse_patterns(
     body: str, allow_filters: bool = True
-) -> tuple[list[_Pattern], list[_Filter], list[tuple[str, str]]]:
+) -> tuple[list[_Pattern], list[_Filter], list[tuple[str, str]], list[_Block]]:
     """Parse a { ... } block body into triple patterns + FILTERs +
-    BIND(expr AS ?var) clauses."""
+    BIND(expr AS ?var) clauses + sub-blocks desugared from property-path
+    alternatives (joined into the group like any nested sub-group)."""
     # split out FILTER(...) / BIND(...) clauses with string/IRI-aware
     # balanced-paren matching (a regex capture breaks on parens inside
     # regex() pattern strings and on deeply parenthesized expressions)
@@ -763,33 +859,121 @@ def _parse_patterns(
     body = "".join(kept)
 
     # tokenize the whole body (a "." splits statements only OUTSIDE <iri>
-    # and string tokens — the term alternatives consume those first), then
-    # reject any leftover text (OPTIONAL, UNION, nested groups, ...)
-    tok_re = re.compile(_TERM_RE.pattern + r"|\.", re.X)
+    # and string tokens — the term alternatives consume those first; the
+    # path operators / ^ | ( ) tokenize individually), then reject any
+    # leftover text (OPTIONAL, UNION, nested groups, ...)
+    tok_re = re.compile(_TERM_RE.pattern + r"|[.\/^|()]", re.X)
     tokens = tok_re.findall(body)
     leftover = tok_re.sub(" ", body).strip()
     if leftover:
         raise ValueError(f"unsupported select syntax near {leftover[:40]!r}")
 
     patterns: list[_Pattern] = []
+    path_groups: list[_Block] = []
     group: list[str] = []
+    fresh = itertools.count()
+
+    def _emit(s_t: _Term, ast: tuple, o_t: _Term, pats: list, grps: list) -> None:
+        """Desugar one path AST node connecting s_t → o_t into triple
+        patterns (sequence steps via fresh variables, inverse via operand
+        swap) and UNION sub-blocks (alternatives)."""
+        kind = ast[0]
+        if kind == "iri":
+            if s_t.kind == "lit":
+                raise ValueError("literal subjects are not valid RDF")
+            pats.append(_Pattern(s_t, ast[1], o_t))
+        elif kind == "inv":
+            _emit(o_t, ast[1], s_t, pats, grps)
+        elif kind == "seq":
+            steps = ast[1]
+            cur = s_t
+            for idx, step in enumerate(steps):
+                nxt = (
+                    o_t
+                    if idx == len(steps) - 1
+                    else _Term("var", f"_seq{next(fresh)}")
+                )
+                _emit(cur, step, nxt, pats, grps)
+                cur = nxt
+        else:  # alt
+            branches = []
+            for b in ast[1]:
+                bp: list = []
+                bg: list = []
+                _emit(s_t, b, o_t, bp, bg)
+                branches.append(
+                    _Block(tuple(bp), (), (), (), (), (), tuple(bg))
+                )
+            grps.append(_Block((), (), (), (), tuple(branches)))
+
+    def _parse_path(toks: list[str]) -> tuple:
+        """Recursive-descent over the path grammar: alt := seq ('|' seq)*;
+        seq := step ('/' step)*; step := '^' step | '(' alt ')' | iri | a."""
+        pos = [0]
+
+        def peek() -> str | None:
+            return toks[pos[0]] if pos[0] < len(toks) else None
+
+        def step() -> tuple:
+            t = peek()
+            if t == "^":
+                pos[0] += 1
+                return ("inv", step())
+            if t == "(":
+                pos[0] += 1
+                inner = alt()
+                if peek() != ")":
+                    raise ValueError("unbalanced parens in property path")
+                pos[0] += 1
+                return inner
+            if t == "a":
+                pos[0] += 1
+                return ("iri", RDF_TYPE)
+            if t is not None and t.startswith("<"):
+                pos[0] += 1
+                return ("iri", t[1:-1])
+            raise ValueError(f"unsupported property path near {t!r}")
+
+        def seq() -> tuple:
+            steps = [step()]
+            while peek() == "/":
+                pos[0] += 1
+                steps.append(step())
+            return steps[0] if len(steps) == 1 else ("seq", steps)
+
+        def alt() -> tuple:
+            branches = [seq()]
+            while peek() == "|":
+                pos[0] += 1
+                branches.append(seq())
+            return branches[0] if len(branches) == 1 else ("alt", branches)
+
+        ast = alt()
+        if pos[0] != len(toks):
+            raise ValueError(
+                f"unsupported property path {' '.join(toks)!r}"
+            )
+        return ast
 
     def _flush() -> None:
         if not group:
             return
-        if len(group) != 3:
+        if len(group) < 3:
             raise ValueError(f"unsupported graph pattern {' '.join(group)!r}")
-        subj, pred_tok, obj = group
-        if pred_tok == "a":
-            pred = RDF_TYPE
-        elif pred_tok.startswith("<"):
-            pred = pred_tok[1:-1]
-        else:
-            raise ValueError(f"unsupported predicate {pred_tok!r}")
+        subj, obj = group[0], group[-1]
+        mid = group[1:-1]
         s_t, o_t = _parse_term(subj), _parse_term(obj)
-        if s_t.kind == "lit":
-            raise ValueError("literal subjects are not valid RDF")
-        patterns.append(_Pattern(s_t, pred, o_t))
+        if len(mid) == 1 and (mid[0] == "a" or mid[0].startswith("<")):
+            if s_t.kind == "lit":
+                raise ValueError("literal subjects are not valid RDF")
+            pred = RDF_TYPE if mid[0] == "a" else mid[0][1:-1]
+            patterns.append(_Pattern(s_t, pred, o_t))
+        else:
+            if not allow_filters:
+                raise ValueError(
+                    "property paths are not allowed in a CONSTRUCT template"
+                )
+            _emit(s_t, _parse_path(mid), o_t, patterns, path_groups)
         group.clear()
 
     for tok in tokens:
@@ -798,7 +982,7 @@ def _parse_patterns(
         else:
             group.append(tok)
     _flush()
-    return patterns, filters, binds
+    return patterns, filters, binds, path_groups
 
 
 def parse_select(select: str) -> tuple[list[str], _Block]:
@@ -826,6 +1010,7 @@ def parse_select(select: str) -> tuple[list[str], _Block]:
         and not block.optionals
         and not block.exists
         and not block.alternatives
+        and not block.groups
     ):
         raise ValueError("sh:sparql select has no graph pattern")
     return proj, block
@@ -843,6 +1028,7 @@ def parse_ask(ask: str) -> _Block:
         and not block.optionals
         and not block.exists
         and not block.alternatives
+        and not block.groups
     ):
         raise ValueError("sh:ask has no graph pattern")
     return block
@@ -861,7 +1047,7 @@ def parse_construct(construct: str) -> tuple[list[_Pattern], _Block]:
         raise ValueError(
             "unsupported sh:construct (expected CONSTRUCT { ... } WHERE { ... })"
         )
-    template, _, _ = _parse_patterns(m.group("tpl"), allow_filters=False)
+    template, _, _, _ = _parse_patterns(m.group("tpl"), allow_filters=False)
     if not template:
         raise ValueError("sh:construct template has no triple pattern")
     return template, _parse_group(m.group("body"))
@@ -1510,6 +1696,36 @@ def _apply_block(
         )
         bound_vars.add(var)
         cols[var] = F.col(f"{var}__value")
+    # VALUES: the inline table is query-text-sized, so it compiles to a
+    # zero-shuffle OR-of-ANDs predicate over the binding set (the
+    # Spark-idiomatic form of joining a tiny inline relation); term
+    # matching is value+kind, consistent with pattern-object matching.
+    # Every VALUES variable must be bound by this group's patterns.
+    for vc in block.values_clauses:
+        for v in vc.vars:
+            if v not in bound_vars:
+                raise ValueError(
+                    f"VALUES variable ?{v} is not bound by the group's patterns"
+                )
+        row_conds: list[Column] = []
+        for vals in vc.rows:
+            parts: list[Column] = []
+            for v, term in zip(vc.vars, vals):
+                if term is None:  # UNDEF wildcard
+                    continue
+                want_kind = KIND_IRI if term.kind == "iri" else KIND_LITERAL
+                parts.append(
+                    (F.col(f"{v}__value") == term.value)
+                    & (F.col(f"{v}__kind") == want_kind)
+                )
+            cond = F.lit(True)
+            for p in parts:
+                cond = cond & p
+            row_conds.append(cond)
+        total: Column = F.lit(False)
+        for rc in row_conds:
+            total = total | rc
+        bound = bound.filter(total)
     for f in block.filters:
         bound = bound.filter(_filter_condition(f, cols, bound_vars))
     return bound

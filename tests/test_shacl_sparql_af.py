@@ -840,3 +840,158 @@ def test_bind_constant_and_rebind_raises(spark):
             ),
             advanced=True,
         )
+
+
+def test_values_single_variable(spark):
+    select = (
+        "SELECT $this ?v WHERE { "
+        f"$this <{EX}v> ?v . "
+        'VALUES ?v { "hello" "bonjour" 5 } }'
+    )
+    res = validate(
+        spark, _mixed_terms(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:b", "urn:c", "urn:d"}
+
+
+def test_values_iri_terms_and_empty_block(spark):
+    select = (
+        "SELECT $this ?v WHERE { "
+        f"$this <{EX}v> ?v . VALUES ?v {{ <urn:target> }} }}"
+    )
+    res = validate(
+        spark, _mixed_terms(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:a"}
+    # empty data block: join with the empty table -> no solutions
+    empty = (
+        "SELECT $this ?v WHERE { "
+        f"$this <{EX}v> ?v . VALUES ?v {{ }} }}"
+    )
+    res = validate(
+        spark, _mixed_terms(spark), _af_shapes(spark, empty), advanced=True
+    ).collect()
+    assert res == []
+
+
+def test_values_multi_variable_with_undef(spark):
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "p", lit_typed("x")),
+            ("urn:a", EX + "q", lit_typed("1", XSD_INTEGER)),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "p", lit_typed("y")),
+            ("urn:b", EX + "q", lit_typed("2", XSD_INTEGER)),
+            ("urn:c", RDF_TYPE, iri(EX + "Person")),
+            ("urn:c", EX + "p", lit_typed("z")),
+            ("urn:c", EX + "q", lit_typed("3", XSD_INTEGER)),
+        ],
+    )
+    select = (
+        "SELECT $this ?pv WHERE { "
+        f"$this <{EX}p> ?pv . $this <{EX}q> ?qv . "
+        'VALUES (?pv ?qv) { ("x" 1) (UNDEF 3) } }'
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    # row 1 matches urn:a exactly; row 2 wildcards ?pv and matches urn:c
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:a", "x"), ("urn:c", "z"),
+    }
+
+
+def test_values_errors(spark):
+    data = _mixed_terms(spark)
+    for bad in (
+        # unbound VALUES variable
+        "SELECT $this ?v WHERE { "
+        f"$this <{EX}v> ?v . VALUES ?nope {{ \"x\" }} }}",
+        # arity mismatch
+        "SELECT $this ?v WHERE { "
+        f"$this <{EX}v> ?v . VALUES (?v ?w) {{ (\"x\") }} }}",
+        # ?this may not be constrained
+        "SELECT $this ?v WHERE { "
+        f"$this <{EX}v> ?v . VALUES ?this {{ <urn:a> }} }}",
+        # variables are not constant terms
+        "SELECT $this ?v WHERE { "
+        f"$this <{EX}v> ?v . VALUES ?v {{ ?v }} }}",
+    ):
+        with pytest.raises(ValueError):
+            validate(spark, data, _af_shapes(spark, bad), advanced=True)
+
+
+# ---- property paths in BGP patterns ----
+
+
+def test_path_sequence(spark):
+    """p1/p2 desugars to a fresh-variable chain: age of someone $this
+    knows."""
+    select = (
+        "SELECT $this ?a WHERE { "
+        f"$this <{EX}knows>/<{EX}age> ?a }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:alice", "42")}
+
+
+def test_path_inverse(spark):
+    """^p swaps the operands: persons somebody knows."""
+    select = f"SELECT $this ?who WHERE {{ $this ^<{EX}knows> ?who }}"
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:bob", "urn:alice"),
+        ("urn:carol", "urn:carol"),
+    }
+
+
+def test_path_alternative_and_sequence_combo(spark):
+    """(p1|p2) desugars to a UNION sub-block joined on shared vars;
+    combined with a sequence step."""
+    select = (
+        "SELECT $this ?x WHERE { "
+        f"$this (<{EX}age>|<{EX}knows>/<{EX}age>) ?x }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    got = {(r.focusNode, r.value) for r in res}
+    # alice: own age 17 AND bob's age 42 via knows/age; bob: own age
+    assert got == {
+        ("urn:alice", "17"),
+        ("urn:alice", "42"),
+        ("urn:bob", "42"),
+    }
+
+
+def test_path_inverse_of_sequence(spark):
+    """^(p1/p2): the inverse distributes over the whole parenthesized
+    sequence via operand swap."""
+    select = (
+        "SELECT $this ?who WHERE { "
+        f"$this ^(<{EX}knows>/<{EX}age>) ?who }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    # ?who knows someone whose age is $this ... no Person focus has a
+    # literal IRI, so no solutions; but the query must compile and run
+    assert res == []
+
+
+def test_path_modifiers_raise(spark):
+    for bad in (
+        f"SELECT $this WHERE {{ $this <{EX}knows>+ ?x }}",
+        f"SELECT $this WHERE {{ $this <{EX}knows>* ?x }}",
+        f"SELECT $this WHERE {{ $this !<{EX}knows> ?x }}",
+    ):
+        with pytest.raises(ValueError):
+            validate(
+                spark, _people(spark), _af_shapes(spark, bad), advanced=True
+            )
