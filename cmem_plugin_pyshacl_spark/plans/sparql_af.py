@@ -22,9 +22,12 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     ``?var``, an ``<iri>``, or a quoted literal; pred is an ``<iri>``,
     the keyword ``a`` (rdf:type), or a property path built from ``/``
     (sequence — desugared to fresh-variable chains), ``^`` (inverse —
-    operand swap), ``|`` (alternative — desugared to UNION sub-blocks)
-    and parens. ``*``/``+``/``?``/``!`` path modifiers stay outside the
-    subset and raise. Patterns join left-to-right.
+    operand swap), ``|`` (alternative — desugared to UNION sub-blocks),
+    parens, and the closure modifiers ``*`` ``+`` ``?`` (evaluated by
+    the core engine's bounded reachability fixpoint, seeded from the
+    pattern's bound endpoint — a closure path with both endpoints
+    unbound raises, as does the ``!`` negated property set, which stays
+    outside the subset). Patterns join left-to-right.
   * FILTER clauses — full boolean expressions over the SPARQL 1.1
     builtin subset: ``||`` / ``&&`` / ``!`` with parentheses;
     comparisons (=, !=, <, <=, >, >=) between vars / literals / numbers /
@@ -124,7 +127,10 @@ class _Term:
 @dataclass(frozen=True)
 class _Pattern:
     subj: _Term
-    pred: str
+    # a plain predicate IRI string, or (closure-bearing property paths
+    # only) a normalized plans/shacl.py PathExpr tree evaluated by the
+    # bounded reachability fixpoint
+    pred: object
     obj: _Term
 
 
@@ -799,6 +805,41 @@ def _parse_term(tok: str) -> _Term:
 
 _BIND_AS_RE = re.compile(r"\s+AS\s+\?([A-Za-z_]\w*)\s*$", re.I)
 
+# SPARQL path modifier -> SHACL closure kind (sh:zeroOrMorePath etc.)
+_CLOSURE_KINDS = {"*": "zeroOrMore", "+": "oneOrMore", "?": "zeroOrOne"}
+
+
+def _has_closure(ast: tuple) -> bool:
+    kind = ast[0]
+    if kind == "clo":
+        return True
+    if kind == "iri":
+        return False
+    if kind == "inv":
+        return _has_closure(ast[1])
+    return any(_has_closure(x) for x in ast[1])  # seq / alt
+
+
+def _to_path_expr(ast: tuple):
+    """Convert a closure-bearing path AST into the core engine's
+    normalized PathExpr tree (plans/shacl.py path algebra) so the
+    bounded reachability fixpoint can evaluate it."""
+    from .shacl import PAlt, PClosure, PInv, PPred, PSeq, _normalize_path
+
+    def conv(a: tuple):
+        k = a[0]
+        if k == "iri":
+            return PPred(a[1])
+        if k == "inv":
+            return PInv(conv(a[1]))
+        if k == "seq":
+            return PSeq(tuple(conv(x) for x in a[1]))
+        if k == "alt":
+            return PAlt(tuple(conv(x) for x in a[1]))
+        return PClosure(conv(a[2]), a[1])  # ("clo", kind, inner)
+
+    return _normalize_path(conv(ast))
+
 
 def _parse_patterns(
     body: str, allow_filters: bool = True
@@ -860,9 +901,10 @@ def _parse_patterns(
 
     # tokenize the whole body (a "." splits statements only OUTSIDE <iri>
     # and string tokens — the term alternatives consume those first; the
-    # path operators / ^ | ( ) tokenize individually), then reject any
-    # leftover text (OPTIONAL, UNION, nested groups, ...)
-    tok_re = re.compile(_TERM_RE.pattern + r"|[.\/^|()]", re.X)
+    # path operators / ^ | ( ) * + ? tokenize individually — a bare `?`
+    # only when the variable alternative did not consume it first), then
+    # reject any leftover text (OPTIONAL, UNION, nested groups, ...)
+    tok_re = re.compile(_TERM_RE.pattern + r"|[.\/^|()*+?]", re.X)
     tokens = tok_re.findall(body)
     leftover = tok_re.sub(" ", body).strip()
     if leftover:
@@ -908,7 +950,11 @@ def _parse_patterns(
 
     def _parse_path(toks: list[str]) -> tuple:
         """Recursive-descent over the path grammar: alt := seq ('|' seq)*;
-        seq := step ('/' step)*; step := '^' step | '(' alt ')' | iri | a."""
+        seq := step ('/' step)*; step := '^' step | primary mod*;
+        primary := '(' alt ')' | iri | a; mod := '*' | '+' | '?'.
+        Per the SPARQL 1.1 grammar a modifier binds tighter than '^'
+        (PathEltOrInverse := '^' PathElt, PathElt := primary mod), so
+        ``^<p>*`` parses as ``^(<p>*)``."""
         pos = [0]
 
         def peek() -> str | None:
@@ -921,18 +967,22 @@ def _parse_patterns(
                 return ("inv", step())
             if t == "(":
                 pos[0] += 1
-                inner = alt()
+                node = alt()
                 if peek() != ")":
                     raise ValueError("unbalanced parens in property path")
                 pos[0] += 1
-                return inner
-            if t == "a":
+            elif t == "a":
                 pos[0] += 1
-                return ("iri", RDF_TYPE)
-            if t is not None and t.startswith("<"):
+                node = ("iri", RDF_TYPE)
+            elif t is not None and t.startswith("<"):
                 pos[0] += 1
-                return ("iri", t[1:-1])
-            raise ValueError(f"unsupported property path near {t!r}")
+                node = ("iri", t[1:-1])
+            else:
+                raise ValueError(f"unsupported property path near {t!r}")
+            while peek() in ("*", "+", "?"):
+                node = ("clo", _CLOSURE_KINDS[peek()], node)
+                pos[0] += 1
+            return node
 
         def seq() -> tuple:
             steps = [step()]
@@ -973,7 +1023,16 @@ def _parse_patterns(
                 raise ValueError(
                     "property paths are not allowed in a CONSTRUCT template"
                 )
-            _emit(s_t, _parse_path(mid), o_t, patterns, path_groups)
+            ast = _parse_path(mid)
+            if _has_closure(ast):
+                # a closure cannot desugar to finitely many triple
+                # patterns — keep the whole path as one PathExpr pattern
+                # evaluated by the core engine's bounded fixpoint
+                if s_t.kind == "lit":
+                    raise ValueError("literal subjects are not valid RDF")
+                patterns.append(_Pattern(s_t, _to_path_expr(ast), o_t))
+            else:
+                _emit(s_t, ast, o_t, patterns, path_groups)
         group.clear()
 
     for tok in tokens:
@@ -1393,6 +1452,97 @@ def _filter_condition(
     return _FilterParser(f.raw, cols, bound_vars).parse()
 
 
+def _closure_path_rel(
+    data: DataFrame,
+    bound: DataFrame,
+    bound_vars: set[str],
+    pat: _Pattern,
+    sfx: str,
+) -> DataFrame:
+    """Pairs relation for a property path carrying a closure modifier
+    (``*`` ``+`` ``?``). Reachability cannot desugar to finitely many
+    triple patterns, so this reuses the core engine's bounded path
+    evaluator (plans/shacl.py::_eval_path_expr — per-round
+    localCheckpoint lineage truncation, SET semantics, bounded by
+    validate(closure_max_iters=) with a truncation warning), seeded from
+    whichever endpoint the binding set already constrains; an unbound
+    subject with a bound object evaluates the REVERSED path from the
+    object side. Paths with BOTH endpoints unbound are outside the
+    subset (the zero-length arm would relate every term in the graph to
+    itself) and raise.
+
+    Returns the same five-column (_s/_ok/_ov/_od/_ol) pairs shape a
+    simple-pattern slice produces, so the caller's join/condition logic
+    is shared. Two documented narrowings: closure traversal starts only
+    from IRI/bnode-kind bindings (a literal has no outgoing edges, and
+    its zero-length self-match is dropped), and object-seeded traversal
+    matches a literal seed by lexical value only (the reversed first hop
+    cannot see the kind/datatype columns)."""
+    from .shacl import PInv, _eval_path_expr, _normalize_path
+
+    expr = pat.pred
+    spark = data.sparkSession
+    subj, obj = pat.subj, pat.obj
+    _null = F.lit(None).cast("string")
+
+    seeds = None
+    if subj.kind == "this":
+        seeds = bound.select(F.col("this").alias("focus")).distinct()
+    elif subj.kind == "iri":
+        seeds = spark.range(1).select(F.lit(subj.value).alias("focus"))
+    elif subj.kind == "var" and subj.value in bound_vars:
+        seeds = (
+            bound.filter(
+                F.col(f"{subj.value}__value").isNotNull()
+                & (F.col(f"{subj.value}__kind") != KIND_LITERAL)
+            )
+            .select(F.col(f"{subj.value}__value").alias("focus"))
+            .distinct()
+        )
+    if seeds is not None:
+        pairs = _eval_path_expr(data, seeds, expr)
+        return pairs.select(
+            F.col("focus").alias(f"_s{sfx}"),
+            F.col("v_kind").alias(f"_ok{sfx}"),
+            F.col("v_value").alias(f"_ov{sfx}"),
+            F.col("v_datatype").alias(f"_od{sfx}"),
+            F.col("v_lang").alias(f"_ol{sfx}"),
+        )
+
+    # subject side unbound — seed the reversed path from the object
+    if obj.kind == "this":
+        seeds = bound.select(F.col("this").alias("focus")).distinct()
+        okind, odt = F.lit(KIND_IRI), _null
+    elif obj.kind == "iri":
+        seeds = spark.range(1).select(F.lit(obj.value).alias("focus"))
+        okind, odt = F.lit(KIND_IRI), _null
+    elif obj.kind == "lit":
+        seeds = spark.range(1).select(F.lit(obj.value).alias("focus"))
+        okind, odt = F.lit(KIND_LITERAL), F.lit(obj.dt)
+    elif obj.kind == "var" and obj.value in bound_vars:
+        seeds = (
+            bound.filter(F.col(f"{obj.value}__value").isNotNull())
+            .select(F.col(f"{obj.value}__value").alias("focus"))
+            .distinct()
+        )
+        # the caller's bound-variable condition compares values only
+        okind, odt = _null, _null
+    else:
+        raise ValueError(
+            "a property path with a closure modifier (* + ?) needs at "
+            "least one bound endpoint ($this, a constant, or a variable "
+            "bound by an earlier pattern)"
+        )
+    pairs = _eval_path_expr(data, seeds, _normalize_path(PInv(expr)))
+    return pairs.select(
+        F.col("v_value").alias(f"_s{sfx}"),
+        okind.alias(f"_ok{sfx}"),
+        F.col("focus").alias(f"_ov{sfx}"),
+        odt.alias(f"_od{sfx}"),
+        _null.alias(f"_ol{sfx}"),
+    )
+
+
 def _join_patterns(
     data: DataFrame,
     bound: DataFrame,
@@ -1405,13 +1555,19 @@ def _join_patterns(
     collide with the enclosing evaluation."""
     for i, pat in enumerate(patterns):
         sfx = f"{ns}{i}"
-        rel = data.filter(F.col("p") == pat.pred).select(
-            F.col("s").alias(f"_s{sfx}"),
-            F.col("o_kind").alias(f"_ok{sfx}"),
-            F.col("o_value").alias(f"_ov{sfx}"),
-            F.col("o_datatype").alias(f"_od{sfx}"),
-            F.col("o_lang").alias(f"_ol{sfx}"),
-        )
+        if isinstance(pat.pred, str):
+            rel = data.filter(F.col("p") == pat.pred).select(
+                F.col("s").alias(f"_s{sfx}"),
+                F.col("o_kind").alias(f"_ok{sfx}"),
+                F.col("o_value").alias(f"_ov{sfx}"),
+                F.col("o_datatype").alias(f"_od{sfx}"),
+                F.col("o_lang").alias(f"_ol{sfx}"),
+            )
+        else:
+            # a closure-bearing property path: the pairs relation comes
+            # from the bounded reachability fixpoint, seeded from the
+            # endpoint the binding set already constrains
+            rel = _closure_path_rel(data, bound, bound_vars, pat, sfx)
         conds: list[Column] = []
         if pat.subj.kind == "this":
             conds.append(F.col(f"_s{sfx}") == F.col("this"))

@@ -985,13 +985,129 @@ def test_path_inverse_of_sequence(spark):
     assert res == []
 
 
-def test_path_modifiers_raise(spark):
-    for bad in (
-        f"SELECT $this WHERE {{ $this <{EX}knows>+ ?x }}",
-        f"SELECT $this WHERE {{ $this <{EX}knows>* ?x }}",
-        f"SELECT $this WHERE {{ $this !<{EX}knows> ?x }}",
-    ):
-        with pytest.raises(ValueError):
-            validate(
-                spark, _people(spark), _af_shapes(spark, bad), advanced=True
-            )
+def test_path_negated_property_set_raises(spark):
+    with pytest.raises(ValueError):
+        validate(
+            spark,
+            _people(spark),
+            _af_shapes(
+                spark, f"SELECT $this WHERE {{ $this !<{EX}knows> ?x }}"
+            ),
+            advanced=True,
+        )
+
+
+# ---- closure path modifiers (* + ?) ----
+
+
+def _chain(spark):
+    """n1 -next-> n2 -next-> n3 -next-> n4 -next-> n5, all Persons."""
+    rows = []
+    for i in range(1, 6):
+        rows.append((f"urn:n{i}", RDF_TYPE, iri(EX + "Person")))
+        if i < 5:
+            rows.append((f"urn:n{i}", EX + "next", iri(f"urn:n{i+1}")))
+    return triples_from_rows(spark, rows)
+
+
+def test_path_zero_or_more(spark):
+    """p*: self (zero hops) plus transitive closure, set semantics —
+    carol's knows-cycle contributes herself exactly once."""
+    select = f"SELECT $this ?x WHERE {{ $this <{EX}knows>* ?x }}"
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:alice", "urn:alice"),
+        ("urn:alice", "urn:bob"),
+        ("urn:bob", "urn:bob"),
+        ("urn:carol", "urn:carol"),
+    }
+
+
+def test_path_one_or_more_multi_hop(spark):
+    """p+ reaches the whole downstream chain (4 hops), never self
+    without a cycle."""
+    select = f"SELECT $this ?x WHERE {{ $this <{EX}next>+ ?x }}"
+    res = validate(
+        spark, _chain(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    got = {(r.focusNode, r.value) for r in res}
+    assert ("urn:n1", "urn:n5") in got  # full 4-hop reachability
+    assert ("urn:n1", "urn:n1") not in got  # no zero-length arm
+    assert len(got) == 4 + 3 + 2 + 1
+
+
+def test_path_one_or_more_cycle(spark):
+    select = f"SELECT $this ?x WHERE {{ $this <{EX}knows>+ ?x }}"
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:alice", "urn:bob"),
+        ("urn:carol", "urn:carol"),
+    }
+
+
+def test_path_zero_or_one(spark):
+    select = f"SELECT $this ?x WHERE {{ $this <{EX}next>? ?x }}"
+    res = validate(
+        spark, _chain(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    got = {(r.focusNode, r.value) for r in res}
+    assert {(f, x) for f, x in got if f == "urn:n1"} == {
+        ("urn:n1", "urn:n1"),
+        ("urn:n1", "urn:n2"),
+    }
+    assert ("urn:n1", "urn:n3") not in got
+
+
+def test_path_closure_in_sequence(spark):
+    """p*/q: closure feeds the next step via the shared pairs relation."""
+    select = f"SELECT $this ?a WHERE {{ $this <{EX}knows>*/<{EX}age> ?a }}"
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:alice", "17"),
+        ("urn:alice", "42"),
+        ("urn:bob", "42"),
+    }
+
+
+def test_path_inverse_closure(spark):
+    """^p+ — who transitively knows $this (inverse pushed to the leaf
+    by normalization, closure evaluated over the reversed edges)."""
+    select = f"SELECT $this ?x WHERE {{ $this ^<{EX}knows>+ ?x }}"
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:bob", "urn:alice"),
+        ("urn:carol", "urn:carol"),
+    }
+
+
+def test_path_closure_object_seeded(spark):
+    """Unbound subject + bound object: the REVERSED path evaluates from
+    the object-side seeds (?y, bound by the first pattern)."""
+    select = (
+        "SELECT $this ?x WHERE { "
+        f"$this <{EX}knows> ?y . ?x <{EX}knows>* ?y }}"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:alice", "urn:bob"),
+        ("urn:alice", "urn:alice"),
+        ("urn:carol", "urn:carol"),
+    }
+
+
+def test_path_closure_both_unbound_raises(spark):
+    select = f"SELECT $this ?x WHERE {{ ?x <{EX}knows>* ?y }}"
+    with pytest.raises(ValueError, match="bound endpoint"):
+        validate(
+            spark, _people(spark), _af_shapes(spark, select), advanced=True
+        )
