@@ -318,7 +318,23 @@ class PClosure:
     kind: str  # 'zeroOrMore' | 'oneOrMore' | 'zeroOrOne'
 
 
-PathExpr = PPred | PInv | PSeq | PAlt | PClosure
+@dataclass(frozen=True)
+class PNeg:
+    """SPARQL 1.1 negated property set ``!(<a>|^<b>|…)`` — one hop over
+    any predicate OUTSIDE the set: the forward arm matches (x,p,y) with
+    p not in `fwd`, the inverse arm matches (y,p,x) with p not in `inv`;
+    an arm is present only when its exclusion tuple is not None (spec
+    §18.2.2.3: ``!(:p)`` matches forward edges only, ``!(^:q)`` reversed
+    edges only, a mixed set both arms). SHACL's own path syntax has no
+    negation (W3C SHACL §2.3.1), so shape compilation never builds this
+    node — it exists for the sh:sparql property-path grammar
+    (plans/sparql_af.py)."""
+
+    fwd: tuple | None
+    inv: tuple | None
+
+
+PathExpr = PPred | PInv | PSeq | PAlt | PClosure | PNeg
 
 
 def _normalize_path(e: PathExpr) -> PathExpr:
@@ -332,6 +348,8 @@ def _normalize_path(e: PathExpr) -> PathExpr:
         return PAlt(tuple(_normalize_path(p) for p in e.parts))
     if isinstance(e, PClosure):
         return PClosure(_normalize_path(e.sub), e.kind)
+    if isinstance(e, PNeg):
+        return e
     # PInv
     s = e.sub
     if isinstance(s, PPred):
@@ -344,6 +362,10 @@ def _normalize_path(e: PathExpr) -> PathExpr:
         return PAlt(tuple(_normalize_path(PInv(p)) for p in s.parts))
     if isinstance(s, PClosure):
         return PClosure(_normalize_path(PInv(s.sub)), s.kind)
+    if isinstance(s, PNeg):
+        # ^(alt(NPS(f), inv(NPS(i)))) = alt(NPS(i), inv(NPS(f))): the
+        # arms swap roles, exclusion lists intact
+        return PNeg(fwd=s.inv, inv=s.fwd)
     raise TypeError(type(s))
 
 
@@ -357,13 +379,18 @@ def _path_display(e: PathExpr) -> str:
         return "/".join(_maybe_paren(p) for p in e.parts)
     if isinstance(e, PAlt):
         return "|".join(_maybe_paren(p) for p in e.parts)
+    if isinstance(e, PNeg):
+        members = [f"<{p}>" for p in (e.fwd or ())] + [
+            f"^<{p}>" for p in (e.inv or ())
+        ]
+        return f"!({'|'.join(members)})"
     sym = {"zeroOrMore": "*", "oneOrMore": "+", "zeroOrOne": "?"}[e.kind]
     return f"{_maybe_paren(e.sub)}{sym}"
 
 
 def _maybe_paren(e: PathExpr) -> str:
     s = _path_display(e)
-    return s if isinstance(e, (PPred, PInv)) else f"({s})"
+    return s if isinstance(e, (PPred, PInv, PNeg)) else f"({s})"
 
 
 @dataclass
@@ -891,6 +918,51 @@ def _path_step(data: DataFrame, frontier: DataFrame, expr: PathExpr) -> DataFram
                 F.col("part_id").alias("v_part_id"),
             )
         )
+    if isinstance(expr, PNeg):
+        # one hop over the COMPLEMENT of a predicate set — inherently a
+        # broader slice than `p == iri` (the whole relation minus a few
+        # predicates), but still bounded by the frontier join; the
+        # inverse arm drops literal landing nodes (a literal cannot be
+        # a pattern subject)
+        parts = []
+        if expr.fwd is not None:
+            sl = (
+                data.filter(~F.col("p").isin(list(expr.fwd)))
+                if expr.fwd
+                else data
+            )
+            parts.append(
+                sl.join(frontier.withColumnRenamed("node", "s"), on="s").select(
+                    "focus",
+                    F.col("o_kind").alias("v_kind"),
+                    F.col("o_value").alias("v_value"),
+                    F.col("o_datatype").alias("v_datatype"),
+                    F.col("o_lang").alias("v_lang"),
+                    F.col("part_id").alias("v_part_id"),
+                )
+            )
+        if expr.inv is not None:
+            sl = (
+                data.filter(~F.col("p").isin(list(expr.inv)))
+                if expr.inv
+                else data
+            )
+            parts.append(
+                sl.join(
+                    frontier.withColumnRenamed("node", "o_value"), on="o_value"
+                ).select(
+                    "focus",
+                    F.lit(KIND_IRI).alias("v_kind"),
+                    F.col("s").alias("v_value"),
+                    F.lit(None).cast("string").alias("v_datatype"),
+                    F.lit(None).cast("string").alias("v_lang"),
+                    F.col("part_id").alias("v_part_id"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     if isinstance(expr, PSeq):
         cur = frontier
         for part in expr.parts[:-1]:

@@ -23,11 +23,12 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     the keyword ``a`` (rdf:type), or a property path built from ``/``
     (sequence — desugared to fresh-variable chains), ``^`` (inverse —
     operand swap), ``|`` (alternative — desugared to UNION sub-blocks),
-    parens, and the closure modifiers ``*`` ``+`` ``?`` (evaluated by
-    the core engine's bounded reachability fixpoint, seeded from the
+    parens, the closure modifiers ``*`` ``+`` ``?`` (evaluated by the
+    core engine's bounded reachability fixpoint, seeded from the
     pattern's bound endpoint — a closure path with both endpoints
-    unbound raises, as does the ``!`` negated property set, which stays
-    outside the subset). Patterns join left-to-right.
+    unbound raises), and negated property sets ``!p`` / ``!(a|^b)``
+    (one hop over the complement slice; mixed sets evaluate both arms
+    per SPARQL §18.2.2.3). Patterns join left-to-right.
   * FILTER clauses — full boolean expressions over the SPARQL 1.1
     builtin subset: ``||`` / ``&&`` / ``!`` with parentheses;
     comparisons (=, !=, <, <=, >, >=) between vars / literals / numbers /
@@ -813,7 +814,7 @@ def _has_closure(ast: tuple) -> bool:
     kind = ast[0]
     if kind == "clo":
         return True
-    if kind == "iri":
+    if kind in ("iri", "neg"):
         return False
     if kind == "inv":
         return _has_closure(ast[1])
@@ -826,6 +827,8 @@ def _to_path_expr(ast: tuple):
     bounded reachability fixpoint can evaluate it."""
     from .shacl import PAlt, PClosure, PInv, PPred, PSeq, _normalize_path
 
+    from .shacl import PNeg
+
     def conv(a: tuple):
         k = a[0]
         if k == "iri":
@@ -836,6 +839,8 @@ def _to_path_expr(ast: tuple):
             return PSeq(tuple(conv(x) for x in a[1]))
         if k == "alt":
             return PAlt(tuple(conv(x) for x in a[1]))
+        if k == "neg":
+            return PNeg(a[1], a[2])  # ("neg", fwd|None, inv|None)
         return PClosure(conv(a[2]), a[1])  # ("clo", kind, inner)
 
     return _normalize_path(conv(ast))
@@ -904,7 +909,7 @@ def _parse_patterns(
     # path operators / ^ | ( ) * + ? tokenize individually — a bare `?`
     # only when the variable alternative did not consume it first), then
     # reject any leftover text (OPTIONAL, UNION, nested groups, ...)
-    tok_re = re.compile(_TERM_RE.pattern + r"|[.\/^|()*+?]", re.X)
+    tok_re = re.compile(_TERM_RE.pattern + r"|[.\/^|()*+?!]", re.X)
     tokens = tok_re.findall(body)
     leftover = tok_re.sub(" ", body).strip()
     if leftover:
@@ -924,6 +929,14 @@ def _parse_patterns(
             if s_t.kind == "lit":
                 raise ValueError("literal subjects are not valid RDF")
             pats.append(_Pattern(s_t, ast[1], o_t))
+        elif kind == "neg":
+            # a negated set is still ONE hop — it stays a single pattern
+            # whose relation is the complement slice (no fixpoint needed)
+            from .shacl import PNeg
+
+            if s_t.kind == "lit":
+                raise ValueError("literal subjects are not valid RDF")
+            pats.append(_Pattern(s_t, PNeg(ast[1], ast[2]), o_t))
         elif kind == "inv":
             _emit(o_t, ast[1], s_t, pats, grps)
         elif kind == "seq":
@@ -960,12 +973,51 @@ def _parse_patterns(
         def peek() -> str | None:
             return toks[pos[0]] if pos[0] < len(toks) else None
 
+        def one_in_set(fwd: list, inv: list) -> None:
+            """PathOneInPropertySet := iri | 'a' | '^' (iri | 'a')."""
+            dest = fwd
+            t = peek()
+            if t == "^":
+                pos[0] += 1
+                dest = inv
+                t = peek()
+            if t == "a":
+                dest.append(RDF_TYPE)
+            elif t is not None and t.startswith("<"):
+                dest.append(t[1:-1])
+            else:
+                raise ValueError(
+                    f"unsupported negated property set member near {t!r}"
+                )
+            pos[0] += 1
+
         def step() -> tuple:
             t = peek()
             if t == "^":
                 pos[0] += 1
                 return ("inv", step())
-            if t == "(":
+            if t == "!":
+                # negated property set: !elt or !(elt|elt|...) — per the
+                # spec (§18.2.2.3) the forward/inverse members form two
+                # arms, each present only when it has members
+                pos[0] += 1
+                fwd: list = []
+                inv: list = []
+                if peek() == "(":
+                    pos[0] += 1
+                    one_in_set(fwd, inv)
+                    while peek() == "|":
+                        pos[0] += 1
+                        one_in_set(fwd, inv)
+                    if peek() != ")":
+                        raise ValueError(
+                            "unbalanced parens in negated property set"
+                        )
+                    pos[0] += 1
+                else:
+                    one_in_set(fwd, inv)
+                node = ("neg", tuple(fwd) or None, tuple(inv) or None)
+            elif t == "(":
                 pos[0] += 1
                 node = alt()
                 if peek() != ")":
@@ -1553,6 +1605,8 @@ def _join_patterns(
     """Progressively join triple patterns into the binding set (mutates
     bound_vars). ns namespaces the temp columns so nested blocks never
     collide with the enclosing evaluation."""
+    from .shacl import PNeg
+
     for i, pat in enumerate(patterns):
         sfx = f"{ns}{i}"
         if isinstance(pat.pred, str):
@@ -1563,6 +1617,45 @@ def _join_patterns(
                 F.col("o_datatype").alias(f"_od{sfx}"),
                 F.col("o_lang").alias(f"_ol{sfx}"),
             )
+        elif isinstance(pat.pred, PNeg):
+            # negated property set: single hop over the complement slice
+            # — still a declarative (anti-)filtered scan the optimizer
+            # can push down, joined like any pattern; the inverse arm
+            # drops literal landing nodes (no literal subjects)
+            arms = []
+            if pat.pred.fwd is not None:
+                sl = (
+                    data.filter(~F.col("p").isin(list(pat.pred.fwd)))
+                    if pat.pred.fwd
+                    else data
+                )
+                arms.append(
+                    sl.select(
+                        F.col("s").alias(f"_s{sfx}"),
+                        F.col("o_kind").alias(f"_ok{sfx}"),
+                        F.col("o_value").alias(f"_ov{sfx}"),
+                        F.col("o_datatype").alias(f"_od{sfx}"),
+                        F.col("o_lang").alias(f"_ol{sfx}"),
+                    )
+                )
+            if pat.pred.inv is not None:
+                sl = (
+                    data.filter(~F.col("p").isin(list(pat.pred.inv)))
+                    if pat.pred.inv
+                    else data
+                )
+                arms.append(
+                    sl.filter(F.col("o_kind") != KIND_LITERAL).select(
+                        F.col("o_value").alias(f"_s{sfx}"),
+                        F.lit(KIND_IRI).alias(f"_ok{sfx}"),
+                        F.col("s").alias(f"_ov{sfx}"),
+                        F.lit(None).cast("string").alias(f"_od{sfx}"),
+                        F.lit(None).cast("string").alias(f"_ol{sfx}"),
+                    )
+                )
+            rel = arms[0]
+            for a in arms[1:]:
+                rel = rel.unionByName(a)
         else:
             # a closure-bearing property path: the pairs relation comes
             # from the bounded reachability fixpoint, seeded from the

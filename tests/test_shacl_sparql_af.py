@@ -985,16 +985,75 @@ def test_path_inverse_of_sequence(spark):
     assert res == []
 
 
-def test_path_negated_property_set_raises(spark):
-    with pytest.raises(ValueError):
-        validate(
-            spark,
-            _people(spark),
-            _af_shapes(
-                spark, f"SELECT $this WHERE {{ $this !<{EX}knows> ?x }}"
-            ),
-            advanced=True,
-        )
+def test_path_negated_property_set_forward(spark):
+    """!p: one hop over any predicate except p — forward edges only."""
+    select = f"SELECT $this ?x WHERE {{ $this !<{EX}knows> ?x }}"
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:alice", EX + "Person"),  # rdf:type edge
+        ("urn:alice", "17"),
+        ("urn:bob", EX + "Person"),
+        ("urn:bob", "42"),
+        ("urn:carol", EX + "Person"),
+    }
+
+
+def test_path_negated_set_with_a_keyword(spark):
+    """!(a|<age>) leaves only the knows edges."""
+    select = f"SELECT $this ?x WHERE {{ $this !(a|<{EX}age>) ?x }}"
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:alice", "urn:bob"),
+        ("urn:carol", "urn:carol"),
+    }
+
+
+def test_path_negated_set_mixed_arms(spark):
+    """!(<age>|^<knows>): forward non-age edges PLUS reversed non-knows
+    edges (none here) — the two spec arms with separate exclusions."""
+    select = f"SELECT $this ?x WHERE {{ $this !(<{EX}age>|^<{EX}knows>) ?x }}"
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:alice", EX + "Person"),
+        ("urn:alice", "urn:bob"),
+        ("urn:bob", EX + "Person"),
+        ("urn:carol", EX + "Person"),
+        ("urn:carol", "urn:carol"),
+    }
+
+
+def test_path_inverse_of_negated_set(spark):
+    """^!<age> desugars by operand swap: who points at $this over a
+    non-age predicate."""
+    select = f"SELECT $this ?x WHERE {{ $this ^!<{EX}age> ?x }}"
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:bob", "urn:alice"),  # alice knows bob
+        ("urn:carol", "urn:carol"),
+    }
+
+
+def test_path_negated_set_under_closure(spark):
+    """!(<age>)* — closure over the complement slice: the fixpoint
+    traverses type and knows edges alike."""
+    select = f"SELECT $this ?x WHERE {{ $this !<{EX}age>* ?x }}"
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    got = {(r.focusNode, r.value) for r in res}
+    assert {(f, x) for f, x in got if f == "urn:alice"} == {
+        ("urn:alice", "urn:alice"),  # zero hops
+        ("urn:alice", EX + "Person"),  # via rdf:type
+        ("urn:alice", "urn:bob"),  # via knows
+    }
 
 
 # ---- closure path modifiers (* + ?) ----
