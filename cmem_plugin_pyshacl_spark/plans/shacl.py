@@ -2674,6 +2674,9 @@ def validate(
     sparql_map: dict[str, list] = {}
     starget_map: dict[str, list[str]] = {}
     sparql_preds: set[str] = set()
+    # a negated property set reads the COMPLEMENT of a predicate list, so
+    # any predicate slice would silently drop its matchable edges
+    sparql_unsliceable = False
     if advanced:
         from .sparql_af import (
             compile_custom_components,
@@ -2714,7 +2717,7 @@ def validate(
         starget_map = compile_sparql_targets(af_rows)
         for k, v in compile_custom_components(af_rows, shapes_triples).items():
             sparql_map.setdefault(k, []).extend(v)
-        from .sparql_af import parse_ask
+        from .sparql_af import parse_ask, pattern_predicates
 
         for scs in sparql_map.values():
             for sc in scs:
@@ -2723,11 +2726,15 @@ def validate(
                     if sc.ask is not None
                     else parse_select(sc.select)[1]
                 )
-                sparql_preds.update(p.pred for p in blk.all_patterns())
+                ps, has_neg = pattern_predicates(blk)
+                sparql_preds.update(ps)
+                sparql_unsliceable = sparql_unsliceable or has_neg
         for sels in starget_map.values():
             for sel in sels:
                 _, blk = parse_select(sel)
-                sparql_preds.update(p.pred for p in blk.all_patterns())
+                ps, has_neg = pattern_predicates(blk)
+                sparql_preds.update(ps)
+                sparql_unsliceable = sparql_unsliceable or has_neg
 
     closure_src = ont_triples if ont_triples is not None else data_triples
     all_classes: set[str] = set()
@@ -2746,7 +2753,9 @@ def validate(
     # slices the in-memory relation instead of rescanning storage.
     eval_data = data_triples
     preds = _constraint_predicates(compiled) if single_scan else None
-    if preds is not None and sparql_preds:
+    if sparql_unsliceable:
+        preds = None  # full scan: a !(...) hop can touch any predicate
+    elif preds is not None and sparql_preds:
         preds = set(preds) | sparql_preds
     n_constraints = sum(
         len(s.properties) + len(s.self_constraints) for s in compiled.shapes

@@ -1096,6 +1096,38 @@ def _parse_patterns(
     return patterns, filters, binds, path_groups
 
 
+def pattern_predicates(block: _Block) -> tuple[set[str], bool]:
+    """All predicate IRIs the block's patterns can touch, descending into
+    the PathExpr trees of closure-bearing paths. The second element is
+    True when a negated property set appears anywhere — its complement
+    hop can read ANY predicate, so a caller building a predicate slice
+    (plans/shacl.py single-scan mode) must not restrict the scan."""
+    from .shacl import PAlt, PClosure, PInv, PNeg, PPred, PSeq
+
+    preds: set[str] = set()
+    has_neg = False
+
+    def walk(e) -> None:
+        nonlocal has_neg
+        if isinstance(e, str):
+            preds.add(e)
+        elif isinstance(e, PPred):
+            preds.add(e.iri)
+        elif isinstance(e, PInv):
+            walk(e.sub)
+        elif isinstance(e, (PSeq, PAlt)):
+            for p in e.parts:
+                walk(p)
+        elif isinstance(e, PClosure):
+            walk(e.sub)
+        else:  # PNeg
+            has_neg = True
+
+    for p in block.all_patterns():
+        walk(p.pred)
+    return preds, has_neg
+
+
 def parse_select(select: str) -> tuple[list[str], _Block]:
     """Parse the supported SELECT subset; ValueError on anything outside."""
     m = re.match(

@@ -1164,6 +1164,66 @@ def test_path_closure_object_seeded(spark):
     }
 
 
+def test_single_scan_slice_with_closure_and_neg_paths(spark):
+    """Regression: with >1 property constraints the single-scan predicate
+    slice builds — closure-path LEAF predicates must feed it (else the
+    fixpoint sees no edges), and a negated property set must disable
+    slicing entirely (its complement hop can touch any predicate)."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "knows", iri("urn:b")),
+            ("urn:a", EX + "age", lit_typed("30", XSD_INTEGER)),
+            ("urn:b", EX + "age", lit_typed("15", XSD_INTEGER)),
+        ],
+    )
+    base = [
+        (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "S", SH + "targetClass", iri(EX + "Person")),
+        (EX + "S", SH + "property", iri(EX + "S/p1")),
+        (EX + "S/p1", SH + "path", iri(EX + "age")),
+        (EX + "S/p1", SH + "minCount", lit_typed("1", XSD_INTEGER)),
+        (EX + "S", SH + "property", iri(EX + "S/p2")),
+        (EX + "S/p2", SH + "path", iri(EX + "age")),
+        (EX + "S/p2", SH + "maxCount", lit_typed("5", XSD_INTEGER)),
+    ]
+    closure_shapes = base + [
+        (EX + "S", SH + "sparql", iri("urn:af:cs")),
+        (
+            "urn:af:cs",
+            SH + "select",
+            lit_typed(
+                "SELECT $this ?a WHERE { "
+                f"$this <{EX}knows>*/<{EX}age> ?a . FILTER (?a < 18) }}"
+            ),
+        ),
+    ]
+    res = validate(
+        spark, data, triples_from_rows(spark, closure_shapes), advanced=True
+    ).collect()
+    af = {(r.focusNode, r.value) for r in res if r.sourceShape == "urn:af:cs"}
+    assert af == {("urn:a", "15")}  # via knows, sliced data must keep it
+
+    neg_shapes = base + [
+        (EX + "S", SH + "sparql", iri("urn:af:cn")),
+        (
+            "urn:af:cn",
+            SH + "select",
+            lit_typed(
+                f"SELECT $this ?x WHERE {{ $this !(a|<{EX}age>) ?x }}"
+            ),
+        ),
+    ]
+    res = validate(
+        spark, data, triples_from_rows(spark, neg_shapes), advanced=True
+    ).collect()
+    afn = {(r.focusNode, r.value) for r in res if r.sourceShape == "urn:af:cn"}
+    # the knows edge is outside every constraint predicate — it survives
+    # only because negation forces the full scan
+    assert afn == {("urn:a", "urn:b")}
+
+
 def test_path_closure_both_unbound_raises(spark):
     select = f"SELECT $this ?x WHERE {{ ?x <{EX}knows>* ?y }}"
     with pytest.raises(ValueError, match="bound endpoint"):
