@@ -43,6 +43,15 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     after the group's patterns/nested groups, before its FILTERs; a
     NULL-evaluating expression leaves the variable unbound. The bound
     variable is projectable (usable as sh:value).
+  * aggregates: ``SELECT $this (COUNT(?v) AS ?n) … GROUP BY $this [?g …]
+    HAVING (expr)`` — COUNT (incl. DISTINCT and ``*``), SUM, AVG, MIN,
+    MAX (numeric via try_cast; non-numeric values turn NULL and drop
+    from the aggregate, SPARQL's error-dropping behavior). Grouping is
+    by full RDF term; HAVING takes the full FILTER expression grammar
+    plus inline aggregate calls; constraint mode requires GROUP BY
+    $this. An explicit GROUP BY is mandatory for any aggregate query
+    (implicit whole-result grouping stays outside the subset), and
+    ORDER BY / LIMIT / subqueries remain unsupported.
   * VALUES ?v { t1 t2 } and VALUES (?a ?b) { (t1 t2) (UNDEF t3) } inline
     data, compiled to a zero-shuffle OR-of-ANDs predicate (the inline
     table is query-text-sized); UNDEF is a wildcard, term matching is
@@ -766,7 +775,8 @@ def evaluate_target_select(
     (distinct). Inside a target select ``?this`` is an ordinary variable
     BOUND BY the pattern (there is no outer focus set), so ``$this`` is
     rejected — SHACL-AF target queries project ``?this``."""
-    proj, block = parse_select(select)
+    q = parse_select_query(select)
+    block = q.block
     if any(
         t.kind == "this"
         for p in block.all_patterns()
@@ -781,6 +791,14 @@ def evaluate_target_select(
     bound = _apply_block(data, seed, bound_vars, block, "t", has_this=False)
     if "this" not in bound_vars:
         raise ValueError("sh:SPARQLTarget select must bind ?this")
+    if q.aggs or q.group_by or q.having:
+        bound, bound_vars = _apply_aggregation(
+            bound, bound_vars, q, has_this=False
+        )
+        if "this" not in bound_vars:
+            raise ValueError(
+                "an aggregate sh:SPARQLTarget select must GROUP BY ?this"
+            )
     return bound.select(F.col("this__value").alias("focus")).distinct()
 
 
@@ -1128,10 +1146,56 @@ def pattern_predicates(block: _Block) -> tuple[set[str], bool]:
     return preds, has_neg
 
 
-def parse_select(select: str) -> tuple[list[str], _Block]:
-    """Parse the supported SELECT subset; ValueError on anything outside."""
+@dataclass(frozen=True)
+class _Agg:
+    fn: str  # 'count' | 'sum' | 'min' | 'max' | 'avg'
+    var: str | None  # None = COUNT(*)
+    distinct: bool
+    alias: str
+
+
+@dataclass(frozen=True)
+class _SelectQuery:
+    """A parsed SELECT: ordered non-$this projection names (plain vars
+    and aggregate aliases), the WHERE block, and the aggregate clause
+    (empty for plain selects)."""
+
+    proj: tuple
+    block: _Block
+    aggs: tuple = ()  # tuple[_Agg, ...]
+    group_by: tuple = ()  # grouping names; 'this' covers $this/?this
+    having: str | None = None
+
+
+_AGG_PROJ_RE = re.compile(
+    r"\(\s*(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<d>DISTINCT\s+)?"
+    r"(?P<arg>\?[A-Za-z_]\w*|\*)\s*\)\s+AS\s+\?(?P<alias>[A-Za-z_]\w*)\s*\)",
+    re.I,
+)
+_AGG_CALL_RE = re.compile(
+    r"\b(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<d>DISTINCT\s+)?"
+    r"(?P<arg>\?[A-Za-z_]\w*|\*)\s*\)",
+    re.I,
+)
+
+
+def _mk_agg(mm: re.Match, alias: str) -> _Agg:
+    arg = mm.group("arg")
+    return _Agg(
+        mm.group("fn").lower(),
+        None if arg == "*" else arg[1:],
+        bool(mm.group("d")),
+        alias,
+    )
+
+
+def parse_select_query(select: str) -> _SelectQuery:
+    """Parse the supported SELECT subset — plain projections plus the
+    aggregate form ``SELECT $this (COUNT(?v) AS ?n) … GROUP BY $this
+    [?g …] HAVING (expr)``; ValueError on anything outside."""
     m = re.match(
-        r"\s*SELECT\s+(?P<proj>.+?)\s+WHERE\s*\{(?P<body>.*)\}\s*$",
+        r"\s*SELECT\s+(?P<proj>.+?)\s+WHERE\s*\{(?P<body>.*)\}"
+        r"\s*(?P<tail>(?:GROUP\s+BY|HAVING)\b.*)?$",
         select,
         re.S | re.I,
     )
@@ -1139,14 +1203,76 @@ def parse_select(select: str) -> tuple[list[str], _Block]:
         raise ValueError(
             "unsupported sh:sparql select (expected SELECT ... WHERE { ... })"
         )
-    proj_toks = m.group("proj").split()
+    # projection list: $this, ?var, or (AGG(?v) AS ?alias) items
     proj: list[str] = []
-    for t in proj_toks:
-        if t == "$this":
+    aggs: list[_Agg] = []
+    s = m.group("proj")
+    i = 0
+    while i < len(s):
+        if s[i].isspace():
+            i += 1
             continue
-        if not t.startswith("?"):
-            raise ValueError(f"unsupported projection term {t!r}")
-        proj.append(t[1:])
+        if s.startswith("$this", i):
+            i += 5
+            continue
+        mv = re.match(r"\?([A-Za-z_]\w*)", s[i:])
+        if mv:
+            proj.append(mv.group(1))
+            i += mv.end()
+            continue
+        ma = _AGG_PROJ_RE.match(s, i)
+        if ma:
+            a = _mk_agg(ma, ma.group("alias"))
+            aggs.append(a)
+            proj.append(a.alias)
+            i = ma.end()
+            continue
+        raise ValueError(f"unsupported projection term near {s[i:i+30]!r}")
+
+    # trailing GROUP BY / HAVING
+    group_by: list[str] = []
+    having: str | None = None
+    tail = (m.group("tail") or "").strip()
+    if tail:
+        gm = re.match(r"GROUP\s+BY\s+", tail, re.I)
+        if gm:
+            j = gm.end()
+            while True:
+                t = re.match(r"\s*[$?]([A-Za-z_]\w*)", tail[j:])
+                if not t:
+                    break
+                group_by.append(t.group(1))
+                j += t.end()
+            if not group_by:
+                raise ValueError("GROUP BY lists no variables")
+            tail = tail[j:].strip()
+        if tail:
+            hm = re.match(r"HAVING\s*", tail, re.I)
+            if not hm or hm.end() >= len(tail) or tail[hm.end()] != "(":
+                raise ValueError(
+                    f"unsupported SELECT tail near {tail[:40]!r} "
+                    "(expected GROUP BY vars / HAVING (expr))"
+                )
+            j = hm.end()
+            k = _delim_end(tail, j, "(", ")")
+            having = tail[j + 1 : k]
+            if tail[k + 1 :].strip():
+                raise ValueError(
+                    f"unsupported text after HAVING: {tail[k+1:][:40]!r}"
+                )
+
+    if (aggs or group_by or having) and not group_by:
+        raise ValueError(
+            "aggregate SELECT requires an explicit GROUP BY (implicit "
+            "whole-result grouping is outside the subset)"
+        )
+    alias_names = {a.alias for a in aggs}
+    for v in proj:
+        if group_by and v not in alias_names and v not in group_by:
+            raise ValueError(
+                f"projected ?{v} is neither aggregated nor a GROUP BY key"
+            )
+
     block = _parse_group(m.group("body"))
     if (
         not block.patterns
@@ -1156,7 +1282,15 @@ def parse_select(select: str) -> tuple[list[str], _Block]:
         and not block.groups
     ):
         raise ValueError("sh:sparql select has no graph pattern")
-    return proj, block
+    return _SelectQuery(
+        tuple(proj), block, tuple(aggs), tuple(group_by), having
+    )
+
+
+def parse_select(select: str) -> tuple[list[str], _Block]:
+    """Back-compat view of parse_select_query: (projection names, block)."""
+    q = parse_select_query(select)
+    return list(q.proj), q.block
 
 
 def parse_ask(ask: str) -> _Block:
@@ -2012,6 +2146,121 @@ def _apply_block(
     return bound
 
 
+def _apply_aggregation(
+    bound: DataFrame,
+    bound_vars: set[str],
+    q: _SelectQuery,
+    has_this: bool = True,
+) -> tuple[DataFrame, set[str]]:
+    """GROUP BY + aggregates + HAVING over the binding set (one hash
+    aggregation with map-side partial combine — the plan Spark picks for
+    a declarative groupBy). Grouping keys are full RDF terms (all four
+    term columns per variable); SUM/AVG/MIN/MAX operate numerically via
+    try_cast (non-numeric values become NULL and are ignored, SPARQL's
+    error-solution-dropping behavior for numeric aggregates); COUNT
+    supports DISTINCT and ``*``. HAVING may reference aggregate aliases
+    or inline aggregate calls (rewritten to hidden aggregate columns).
+    Constraint mode requires GROUP BY $this so every row still reports a
+    focus node; part_id survives as min() per group."""
+    having_expr = q.having
+    extra: list[_Agg] = []
+    if having_expr:
+        seen = {(a.fn, a.var, a.distinct): a.alias for a in q.aggs}
+        counter = itertools.count()
+
+        def _repl(mm: re.Match) -> str:
+            key = (
+                mm.group("fn").lower(),
+                None if mm.group("arg") == "*" else mm.group("arg")[1:],
+                bool(mm.group("d")),
+            )
+            alias = seen.get(key)
+            if alias is None:
+                alias = f"_hagg{next(counter)}"
+                seen[key] = alias
+                extra.append(_Agg(*key, alias))
+            return f"?{alias}"
+
+        having_expr = _AGG_CALL_RE.sub(_repl, having_expr)
+
+    if has_this and "this" not in q.group_by:
+        raise ValueError(
+            "an aggregate sh:sparql constraint select must GROUP BY $this"
+        )
+    keys: list[str] = []
+    for g in q.group_by:
+        if g == "this" and has_this:
+            keys.append("this")
+        elif g in bound_vars:
+            keys += [f"{g}__{p}" for p in ("value", "kind", "datatype", "lang")]
+        else:
+            raise ValueError(
+                f"GROUP BY variable ?{g} is not bound by the pattern"
+            )
+
+    all_aggs = list(q.aggs) + extra
+    agg_exprs: list[Column] = []
+    if has_this:
+        agg_exprs.append(F.min("part_id").alias("part_id"))
+    for a in all_aggs:
+        if a.alias in bound_vars:
+            raise ValueError(
+                f"aggregate alias ?{a.alias} rebinds a pattern variable"
+            )
+        if a.var is None:
+            if a.distinct:
+                raise ValueError("COUNT(DISTINCT *) is outside the subset")
+            col = F.count(F.lit(1))
+        else:
+            if a.var not in bound_vars:
+                raise ValueError(
+                    f"aggregate references unbound variable ?{a.var}"
+                )
+            vcol = F.col(f"{a.var}__value")
+            if a.fn == "count":
+                col = F.count_distinct(vcol) if a.distinct else F.count(vcol)
+            elif a.distinct:
+                raise ValueError(
+                    "DISTINCT is only supported inside COUNT"
+                )
+            else:
+                col = {
+                    "sum": F.sum,
+                    "avg": F.avg,
+                    "min": F.min,
+                    "max": F.max,
+                }[a.fn](vcol.try_cast("double"))
+        agg_exprs.append(col.cast("string").alias(f"{a.alias}__value"))
+
+    if agg_exprs:
+        out = bound.groupBy(*keys).agg(*agg_exprs)
+    else:  # GROUP BY + HAVING without aggregates (target-select mode)
+        out = bound.select(*keys).distinct()
+    for a in all_aggs:
+        dt = XSD + ("integer" if a.fn == "count" else "double")
+        vcol = F.col(f"{a.alias}__value")
+        out = (
+            out.withColumn(
+                f"{a.alias}__kind",
+                F.when(vcol.isNotNull(), F.lit(KIND_LITERAL)),
+            )
+            .withColumn(
+                f"{a.alias}__datatype", F.when(vcol.isNotNull(), F.lit(dt))
+            )
+            .withColumn(f"{a.alias}__lang", F.lit(None).cast("string"))
+        )
+
+    new_vars = {g for g in q.group_by if not (g == "this" and has_this)} | {
+        a.alias for a in all_aggs
+    }
+    if having_expr:
+        cols = {v: F.col(f"{v}__value") for v in new_vars}
+        if has_this:
+            cols["this"] = F.col("this")
+        out = out.filter(_FilterParser(having_expr, cols, new_vars).parse())
+    return out, new_vars
+
+
 def eval_bgp(
     data: DataFrame,
     focus: DataFrame,
@@ -2042,8 +2291,11 @@ def evaluate_sparql_constraint(
 ) -> DataFrame:
     """Compile the constraint's SELECT into a progressive BGP join from the
     focus set and emit one RESULT_SCHEMA row per solution."""
-    proj, block = parse_select(sc.select)
+    q = parse_select_query(sc.select)
+    proj, block = list(q.proj), q.block
     bound, bound_vars = eval_bgp(data, focus, block)
+    if q.aggs or q.group_by or q.having:
+        bound, bound_vars = _apply_aggregation(bound, bound_vars, q)
 
     for v in proj:
         if v not in bound_vars:

@@ -1230,3 +1230,183 @@ def test_path_closure_both_unbound_raises(spark):
         validate(
             spark, _people(spark), _af_shapes(spark, select), advanced=True
         )
+
+
+# ---- aggregates: GROUP BY / HAVING / COUNT / SUM / AVG / MIN / MAX ----
+
+
+def _emails(spark):
+    return triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "email", lit_typed("a1@x")),
+            ("urn:a", EX + "email", lit_typed("a2@x")),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "email", lit_typed("b@x")),
+            ("urn:c", RDF_TYPE, iri(EX + "Person")),
+        ],
+    )
+
+
+def test_agg_count_having(spark):
+    """The classic SHACL-AF aggregate validator: more than one email."""
+    select = (
+        "SELECT $this (COUNT(?e) AS ?n) WHERE { "
+        f"$this <{EX}email> ?e }} GROUP BY $this HAVING (?n > 1)"
+    )
+    res = validate(
+        spark, _emails(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:a", "2")}
+    assert res[0].value_datatype.endswith("integer")
+
+
+def test_agg_having_inline_call_no_projection(spark):
+    """HAVING may call the aggregate inline (W3C example style); with no
+    projected value the report's sh:value is NULL."""
+    select = (
+        "SELECT $this WHERE { "
+        f"$this <{EX}email> ?e }} GROUP BY $this HAVING (COUNT(?e) > 1)"
+    )
+    res = validate(
+        spark, _emails(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:a", None)}
+
+
+def test_agg_count_distinct(spark):
+    """(p1|p2) duplicates a shared value in the solution multiset; COUNT
+    counts both, COUNT(DISTINCT) collapses them."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "p1", lit_typed("x@x")),
+            ("urn:a", EX + "p2", lit_typed("x@x")),
+        ],
+    )
+    both = (
+        "SELECT $this (COUNT(?e) AS ?n) (COUNT(DISTINCT ?e) AS ?d) WHERE { "
+        f"$this (<{EX}p1>|<{EX}p2>) ?e }} GROUP BY $this HAVING (?n > 0)"
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, both), advanced=True
+    ).collect()
+    # first projected name is the report value
+    assert {(r.focusNode, r.value) for r in res} == {("urn:a", "2")}
+    # ... and DISTINCT must actually collapse: assert via HAVING
+    only_distinct = (
+        "SELECT $this WHERE { "
+        f"$this (<{EX}p1>|<{EX}p2>) ?e }} GROUP BY $this "
+        "HAVING (COUNT(DISTINCT ?e) = 1 && COUNT(?e) = 2)"
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, only_distinct), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:a"}
+
+
+def test_agg_numeric_functions(spark):
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "score", lit_typed("1", XSD_INTEGER)),
+            ("urn:a", EX + "score", lit_typed("2", XSD_INTEGER)),
+            ("urn:a", EX + "score", lit_typed("9", XSD_INTEGER)),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "score", lit_typed("5", XSD_INTEGER)),
+        ],
+    )
+    select = (
+        "SELECT $this (SUM(?s) AS ?total) WHERE { "
+        f"$this <{EX}score> ?s }} GROUP BY $this "
+        "HAVING (AVG(?s) >= 4 && MIN(?s) < 2 && MAX(?s) = 9)"
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:a", "12.0")}
+    assert res[0].value_datatype.endswith("double")
+
+
+def test_agg_group_by_extra_var(spark):
+    """GROUP BY $this ?cat groups per full term of the extra key."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "tag", lit_typed("red")),
+            ("urn:a", EX + "tag", lit_typed("red")),
+            ("urn:a", EX + "tag", lit_typed("blue")),
+        ],
+    )
+    # triples are set-semantics, so duplicate (a,tag,red) collapses; use
+    # an alternative to duplicate the red solution
+    select = (
+        "SELECT $this ?t WHERE { "
+        f"$this (<{EX}tag>|<{EX}tag>) ?t }} GROUP BY $this ?t "
+        "HAVING (COUNT(*) > 1)"
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:a", "red"),
+        ("urn:a", "blue"),
+    }
+
+
+def test_agg_errors(spark):
+    data = _emails(spark)
+    for bad in (
+        # aggregate without GROUP BY
+        "SELECT $this (COUNT(?e) AS ?n) WHERE { "
+        f"$this <{EX}email> ?e }}",
+        # constraint mode must group by $this
+        "SELECT $this (COUNT(?e) AS ?n) WHERE { "
+        f"$this <{EX}email> ?e }} GROUP BY ?e",
+        # projected var that is neither aggregated nor a key
+        "SELECT $this ?e (COUNT(?e) AS ?n) WHERE { "
+        f"$this <{EX}email> ?e }} GROUP BY $this",
+        # aggregate over an unbound variable
+        "SELECT $this (COUNT(?nope) AS ?n) WHERE { "
+        f"$this <{EX}email> ?e }} GROUP BY $this",
+        # DISTINCT outside COUNT
+        "SELECT $this (SUM(DISTINCT ?e) AS ?n) WHERE { "
+        f"$this <{EX}email> ?e }} GROUP BY $this",
+        # trailing garbage
+        "SELECT $this (COUNT(?e) AS ?n) WHERE { "
+        f"$this <{EX}email> ?e }} GROUP BY $this ORDER BY ?n",
+    ):
+        with pytest.raises(ValueError):
+            validate(spark, data, _af_shapes(spark, bad), advanced=True)
+
+
+def test_sparql_target_aggregate(spark):
+    """sh:SPARQLTarget with GROUP BY ?this HAVING — targets only the
+    multi-email nodes, then the shape's minCount applies to them."""
+    data = _emails(spark)
+    shapes = triples_from_rows(
+        spark,
+        [
+            (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "S", SH + "target", iri("urn:t1")),
+            ("urn:t1", RDF_TYPE, iri(SH + "SPARQLTarget")),
+            (
+                "urn:t1",
+                SH + "select",
+                lit_typed(
+                    "SELECT ?this WHERE { "
+                    f"?this <{EX}email> ?e }} GROUP BY ?this "
+                    "HAVING (COUNT(?e) > 1)"
+                ),
+            ),
+            (EX + "S", SH + "property", iri(EX + "S/p")),
+            (EX + "S/p", SH + "path", iri(EX + "phone")),
+            (EX + "S/p", SH + "minCount", lit_typed("1", XSD_INTEGER)),
+        ],
+    )
+    res = validate(spark, data, shapes, advanced=True).collect()
+    assert {r.focusNode for r in res} == {"urn:a"}
