@@ -49,9 +49,16 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     from the aggregate, SPARQL's error-dropping behavior). Grouping is
     by full RDF term; HAVING takes the full FILTER expression grammar
     plus inline aggregate calls; constraint mode requires GROUP BY
-    $this. An explicit GROUP BY is mandatory for any aggregate query
-    (implicit whole-result grouping stays outside the subset), and
-    ORDER BY / LIMIT / subqueries remain unsupported.
+    $this at the top level; a GROUP-BY-less aggregate is legal inside a
+    subquery (one implicit whole-result group). ORDER BY / LIMIT remain
+    unsupported.
+  * subqueries ``{ SELECT … [GROUP BY … HAVING …] }`` — evaluated
+    bottom-up (seeded per focus node only when they mention the
+    pre-bound $this), projected to their SELECT list (inner helper
+    variables never escape), joined to the enclosing group on shared
+    visible variables; no shared variable means the SPARQL cross
+    product (the global-aggregate idiom). Subqueries inside UNION
+    branches raise.
   * VALUES ?v { t1 t2 } and VALUES (?a ?b) { (t1 t2) (UNDEF t3) } inline
     data, compiled to a zero-shuffle OR-of-ANDs predicate (the inline
     table is query-text-sized); UNDEF is a wildcard, term matching is
@@ -167,8 +174,12 @@ class _Block:
     groups: tuple = ()  # tuple[_Block, ...]
     binds: tuple = ()  # tuple[(var: str, raw_expr: str), ...]
     values_clauses: tuple = ()  # tuple[_ValuesClause, ...]
+    subselects: tuple = ()  # tuple[_SelectQuery, ...]
 
     def all_patterns(self):
+        """Every triple pattern of this block and its nested groups —
+        EXCLUDING subquery bodies (their non-projected variables are out
+        of scope outside the subquery; walk all_subselects for them)."""
         yield from self.patterns
         for b in self.optionals:
             yield from b.all_patterns()
@@ -180,6 +191,23 @@ class _Block:
             yield from b.all_patterns()
         for b in self.groups:
             yield from b.all_patterns()
+
+    def all_subselects(self):
+        """Every nested { SELECT ... } at any depth (including inside
+        other subqueries)."""
+        yield from self.subselects
+        for b in self.optionals:
+            yield from b.all_subselects()
+        for _neg, b in self.exists:
+            yield from b.all_subselects()
+        for b in self.alternatives:
+            yield from b.all_subselects()
+        for b in self.minuses:
+            yield from b.all_subselects()
+        for b in self.groups:
+            yield from b.all_subselects()
+        for q in self.subselects:
+            yield from q.block.all_subselects()
 
 
 _GROUP_KW_RE = re.compile(
@@ -330,10 +358,22 @@ def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
             i = k + 1
             continue
         if c == "{":
-            # bare sub-group, possibly the head of a {…} UNION {…} chain
-            parts: list[str] = []
             k = _brace_end(body, i)
-            parts.append(body[i + 1 : k])
+            inner0 = body[i + 1 : k]
+            if re.match(r"\s*SELECT\b", inner0, re.I):
+                # nested { SELECT ... } subquery
+                k2 = k + 1
+                while k2 < n and body[k2].isspace():
+                    k2 += 1
+                if re.match(r"UNION\b", body[k2:], re.I):
+                    raise ValueError(
+                        "subqueries inside UNION are not supported"
+                    )
+                out.append(("SUBSELECT", inner0))
+                i = k + 1
+                continue
+            # bare sub-group, possibly the head of a {…} UNION {…} chain
+            parts: list[str] = [inner0]
             i = k + 1
             while True:
                 um = re.match(r"\s*UNION\b\s*", body[i:], re.I)
@@ -442,6 +482,9 @@ def _parse_group(body: str) -> _Block:
     OPTIONAL / FILTER [NOT] EXISTS groups and whole-group UNIONs)."""
     alts = _split_alternation(body)
     if alts is not None:
+        for a in alts:
+            if re.match(r"\s*SELECT\b", a, re.I):
+                raise ValueError("subqueries inside UNION are not supported")
         return _Block((), (), (), (), tuple(_parse_group(a) for a in alts))
     rest, groups = _extract_groups(body)
     patterns, filters, binds, path_groups = _parse_patterns(rest)
@@ -450,9 +493,13 @@ def _parse_group(body: str) -> _Block:
     exists: list[tuple[bool, _Block]] = []
     minuses: list[_Block] = []
     values_clauses: list[_ValuesClause] = []
+    subselects: list[_SelectQuery] = []
     for kw, inner in groups:
         if kw == "VALUES":
             values_clauses.append(inner)
+            continue
+        if kw == "SUBSELECT":
+            subselects.append(parse_select_query(inner))
             continue
         sub = _parse_group(inner)
         if kw == "OPTIONAL":
@@ -473,6 +520,7 @@ def _parse_group(body: str) -> _Block:
         tuple(subgroups),
         tuple(binds),
         tuple(values_clauses),
+        tuple(subselects),
     )
 
 
@@ -780,6 +828,11 @@ def evaluate_target_select(
     if any(
         t.kind == "this"
         for p in block.all_patterns()
+        for t in (p.subj, p.obj)
+    ) or any(
+        t.kind == "this"
+        for qq in block.all_subselects()
+        for p in qq.block.all_patterns()
         for t in (p.subj, p.obj)
     ):
         raise ValueError(
@@ -1143,7 +1196,31 @@ def pattern_predicates(block: _Block) -> tuple[set[str], bool]:
 
     for p in block.all_patterns():
         walk(p.pred)
+    for q in block.all_subselects():
+        for p in q.block.all_patterns():
+            walk(p.pred)
     return preds, has_neg
+
+
+def _visible_subselect_proj(block: _Block) -> set[str]:
+    """Variables that nested subqueries expose to this block — their
+    SELECT lists only (a subquery's inner helper variables are out of
+    scope, so a grandchild projection is visible solely through its
+    parent's list)."""
+    out: set[str] = set()
+    for q in block.subselects:
+        out |= set(q.proj)
+    for b in block.optionals:
+        out |= _visible_subselect_proj(b)
+    for _neg, b in block.exists:
+        out |= _visible_subselect_proj(b)
+    for b in block.alternatives:
+        out |= _visible_subselect_proj(b)
+    for b in block.minuses:
+        out |= _visible_subselect_proj(b)
+    for b in block.groups:
+        out |= _visible_subselect_proj(b)
+    return out
 
 
 @dataclass(frozen=True)
@@ -1261,17 +1338,16 @@ def parse_select_query(select: str) -> _SelectQuery:
                     f"unsupported text after HAVING: {tail[k+1:][:40]!r}"
                 )
 
-    if (aggs or group_by or having) and not group_by:
-        raise ValueError(
-            "aggregate SELECT requires an explicit GROUP BY (implicit "
-            "whole-result grouping is outside the subset)"
-        )
+    # a GROUP-BY-less aggregate query is one implicit whole-result group
+    # (legal in subqueries; top-level constraint/target evaluation still
+    # demands grouping on $this/?this and raises there)
     alias_names = {a.alias for a in aggs}
-    for v in proj:
-        if group_by and v not in alias_names and v not in group_by:
-            raise ValueError(
-                f"projected ?{v} is neither aggregated nor a GROUP BY key"
-            )
+    if aggs or group_by or having:
+        for v in proj:
+            if v not in alias_names and v not in group_by:
+                raise ValueError(
+                    f"projected ?{v} is neither aggregated nor a GROUP BY key"
+                )
 
     block = _parse_group(m.group("body"))
     if (
@@ -1280,6 +1356,7 @@ def parse_select_query(select: str) -> _SelectQuery:
         and not block.exists
         and not block.alternatives
         and not block.groups
+        and not block.subselects
     ):
         raise ValueError("sh:sparql select has no graph pattern")
     return _SelectQuery(
@@ -1306,6 +1383,7 @@ def parse_ask(ask: str) -> _Block:
         and not block.exists
         and not block.alternatives
         and not block.groups
+        and not block.subselects
     ):
         raise ValueError("sh:ask has no graph pattern")
     return block
@@ -1904,7 +1982,7 @@ def _sub_block_keys(
         for p in sub.all_patterns()
         for t in (p.subj, p.obj)
         if t.kind == "var"
-    }
+    } | _visible_subselect_proj(sub)
     keys = (["this"] if has_this else []) + sorted(
         f"{v}__value" for v in sub_vars & bound_vars
     )
@@ -2025,6 +2103,7 @@ def _minus_join(
                 sub_vars.add(t.value)
             elif t.kind == "this":
                 mentions_this = True
+    sub_vars |= _visible_subselect_proj(sub)
     shared = sub_vars & bound_vars
     # $this is the pre-bound focus column only in constraint mode; in a
     # target select (has_this=False) ?this is an ordinary variable and
@@ -2045,6 +2124,71 @@ def _minus_join(
         .distinct()
     )
     return bound.join(matched, on=key_cols, how="left_anti")
+
+
+def _subselect_join(
+    data: DataFrame,
+    bound: DataFrame,
+    bound_vars: set[str],
+    q: _SelectQuery,
+    ns: str,
+    has_this: bool = True,
+) -> DataFrame:
+    """A nested ``{ SELECT … }`` subquery (SPARQL 1.1 §12): evaluated
+    bottom-up over the graph — seeded per distinct outer focus node only
+    when it mentions the pre-bound ``$this`` (SHACL-AF pre-binding) —
+    aggregated when it carries GROUP BY / HAVING (a GROUP-BY-less
+    aggregate is the implicit whole-result group), PROJECTED to its
+    SELECT list (inner helper variables never escape), then inner-joined
+    to the enclosing group on the shared visible variables. With no
+    shared variable the join is the SPARQL cross product — the global-
+    aggregate-compared-in-an-outer-FILTER idiom, one row by
+    construction."""
+    sub = q.block
+    spark = data.sparkSession
+    mentions_this = has_this and (
+        any(
+            t.kind == "this"
+            for p in sub.all_patterns()
+            for t in (p.subj, p.obj)
+        )
+        or any(
+            t.kind == "this"
+            for qq in sub.all_subselects()
+            for p in qq.block.all_patterns()
+            for t in (p.subj, p.obj)
+        )
+    )
+    seed = (
+        bound.select("this").distinct()
+        if mentions_this
+        else spark.range(1).select(F.lit(0).alias("_seed"))
+    )
+    sub_vars: set[str] = set()
+    inner = _apply_block(data, seed, sub_vars, sub, ns, mentions_this)
+    if q.aggs or q.group_by or q.having:
+        inner, sub_vars = _apply_aggregation(inner, sub_vars, q, mentions_this)
+    for v in q.proj:
+        if v not in sub_vars:
+            raise ValueError(f"subquery projects unbound variable ?{v}")
+    proj_set = set(q.proj)
+    shared = sorted(proj_set & bound_vars)
+    key_cols = (["this"] if mentions_this else []) + [
+        f"{v}__value" for v in shared
+    ]
+    new_vars = proj_set - set(shared)
+    proj_cols = key_cols + [
+        f"{v}__{p}"
+        for v in sorted(new_vars)
+        for p in ("value", "kind", "datatype", "lang")
+    ]
+    inner = inner.select(*proj_cols)
+    if key_cols:
+        bound = bound.join(inner, on=key_cols, how="inner")
+    else:
+        bound = bound.crossJoin(inner)
+    bound_vars |= new_vars
+    return bound
 
 
 def _apply_block(
@@ -2076,6 +2220,10 @@ def _apply_block(
             bound_vars |= bv
         return out
     bound = _join_patterns(data, bound, bound_vars, block.patterns, ns)
+    for k, sq in enumerate(block.subselects):
+        bound = _subselect_join(
+            data, bound, bound_vars, sq, f"{ns}q{k}_", has_this
+        )
     for k, sub in enumerate(block.groups):
         bound = _group_join(data, bound, bound_vars, sub, f"{ns}g{k}_", has_this)
     for k, opt in enumerate(block.optionals):
@@ -2200,7 +2348,8 @@ def _apply_aggregation(
 
     all_aggs = list(q.aggs) + extra
     agg_exprs: list[Column] = []
-    if has_this:
+    if has_this and "part_id" in bound.columns:
+        # absent inside a subquery seeded from bare focus keys
         agg_exprs.append(F.min("part_id").alias("part_id"))
     for a in all_aggs:
         if a.alias in bound_vars:

@@ -1384,6 +1384,118 @@ def test_agg_errors(spark):
             validate(spark, data, _af_shapes(spark, bad), advanced=True)
 
 
+# ---- subqueries ----
+
+
+def test_subquery_global_aggregate_cross_product(spark):
+    """{ SELECT (MAX(?s) AS ?m) ... } with no shared variable cross-joins
+    its single row; the outer FILTER compares against it — report the
+    persons holding the global maximum score."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "score", lit_typed("3", XSD_INTEGER)),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "score", lit_typed("9", XSD_INTEGER)),
+            ("urn:c", RDF_TYPE, iri(EX + "Person")),
+            ("urn:c", EX + "score", lit_typed("9", XSD_INTEGER)),
+        ],
+    )
+    select = (
+        "SELECT $this ?s WHERE { "
+        f"$this <{EX}score> ?s . "
+        f"{{ SELECT (MAX(?x) AS ?m) WHERE {{ ?p <{EX}score> ?x }} }} "
+        "FILTER (?s = ?m) }"
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:b", "9"),
+        ("urn:c", "9"),
+    }
+
+
+def test_subquery_joins_on_shared_visible_var(spark):
+    """A grouped subquery joins the outer pattern on its projected
+    variable — flag scores that more than one person shares."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "score", lit_typed("9", XSD_INTEGER)),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "score", lit_typed("9", XSD_INTEGER)),
+            ("urn:c", RDF_TYPE, iri(EX + "Person")),
+            ("urn:c", EX + "score", lit_typed("3", XSD_INTEGER)),
+        ],
+    )
+    select = (
+        "SELECT $this ?s WHERE { "
+        f"$this <{EX}score> ?s . "
+        f"{{ SELECT ?s WHERE {{ ?p <{EX}score> ?s }} GROUP BY ?s "
+        "HAVING (COUNT(?p) > 1) } }"
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:a", "9"),
+        ("urn:b", "9"),
+    }
+
+
+def test_subquery_with_prebound_this(spark):
+    """SHACL-AF pre-binding: $this inside the subquery is seeded per
+    focus node, so the aggregate is per-focus."""
+    select = (
+        "SELECT $this ?n WHERE { "
+        f"{{ SELECT $this (COUNT(?e) AS ?n) WHERE {{ "
+        f"$this <{EX}email> ?e }} GROUP BY $this }} "
+        "FILTER (?n > 1) }"
+    )
+    res = validate(
+        spark, _emails(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:a", "2")}
+
+
+def test_subquery_inner_vars_do_not_escape(spark):
+    """?p is bound only inside the subquery; referencing it outside must
+    raise (projection scoping)."""
+    select = (
+        "SELECT $this ?p WHERE { "
+        f"$this <{EX}score> ?s . "
+        f"{{ SELECT ?s WHERE {{ ?p <{EX}score> ?s }} GROUP BY ?s }} }}"
+    )
+    with pytest.raises(ValueError, match="not bound"):
+        validate(
+            spark,
+            triples_from_rows(
+                spark,
+                [
+                    ("urn:a", RDF_TYPE, iri(EX + "Person")),
+                    ("urn:a", EX + "score", lit_typed("3", XSD_INTEGER)),
+                ],
+            ),
+            _af_shapes(spark, select),
+            advanced=True,
+        )
+
+
+def test_subquery_inside_union_raises(spark):
+    select = (
+        "SELECT $this WHERE { "
+        f"{{ SELECT ?x WHERE {{ ?x a <{EX}Person> }} }} UNION "
+        f"{{ $this <{EX}age> ?a }} }}"
+    )
+    with pytest.raises(ValueError, match="UNION"):
+        validate(
+            spark, _people(spark), _af_shapes(spark, select), advanced=True
+        )
+
+
 def test_sparql_target_aggregate(spark):
     """sh:SPARQLTarget with GROUP BY ?this HAVING — targets only the
     multi-email nodes, then the shape's minCount applies to them."""
