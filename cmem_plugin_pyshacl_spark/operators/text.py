@@ -285,3 +285,118 @@ def decontaminate(
             "contaminated", F.col("contamination_hits") >= F.lit(min_hits)
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the standard shaping step
+    for training/RAG corpora. Tokens are whitespace words (the same
+    convention as token_counts); chunks start every ``chunk_tokens -
+    overlap`` tokens, each carrying ``overlap`` tokens of left context,
+    and a trailing window that would add no NEW tokens beyond the
+    overlap is dropped.
+
+    Returns one row per chunk: id_col, chunk_id (0-based per document),
+    tok_begin (0-based token offset), n_tokens, chunk_text.
+
+    Scale posture: a narrow per-row generator — split + sequence +
+    posexplode + slice are all JVM-side Column expressions, zero
+    shuffle, no Python workers; output partitioning follows the input,
+    so a downstream repartition is the caller's choice."""
+    if overlap < 0 or chunk_tokens <= overlap:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = documents.select(
+        F.col(id_col), _tokens(text_col).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    out = base.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+            )
+        ).alias("chunk_id", "tok_begin"),
+    ).filter(
+        (F.col("tok_begin") == 0)
+        | (F.col("tok_begin") + F.lit(overlap) < F.col("_n"))
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        "tok_begin",
+        F.least(
+            F.lit(chunk_tokens), F.col("_n") - F.col("tok_begin")
+        ).alias("n_tokens"),
+        F.array_join(
+            F.slice("_toks", F.col("tok_begin") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )
+
+
+def build_vocab(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus token-frequency table (the vocabulary step of a tokenizer
+    build): explode whitespace-lowered tokens, count per token, keep
+    tokens with count >= min_count, optionally the top_k most frequent
+    (ties broken by token for determinism).
+
+    Returns DataFrame[token, count] — sorted only when top_k is set.
+
+    Scale posture: the canonical word count — one shuffle with map-side
+    partial aggregation; top_k compiles to TakeOrdered (per-partition
+    heap + driver merge of k rows), never a full sort of the vocabulary."""
+    counts = (
+        documents.select(F.explode(_tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("count") >= min_count)
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.col("count").desc(), F.col("token")
+        ).limit(top_k)
+    return counts
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — the mixture-weighting step
+    of a training-data pipeline (e.g. downsample boilerplate domains,
+    keep all rare-language rows). A row is kept when
+    ``pmod(xxhash64(id, seed), 1_000_000) < rate * 1_000_000`` for its
+    stratum's rate, so the decision is a pure function of (id, seed):
+    re-runs, retries, and different cluster sizes select the SAME rows —
+    unlike df.sample, whose per-partition RNG changes with partitioning.
+
+    Scale posture: a narrow filter, zero shuffle; the rate lookup is a
+    when-chain over the (query-sized) rates dict, not a join."""
+    expr = None
+    for k, r in rates.items():
+        cond = F.col(stratum_col) == k
+        expr = F.when(cond, F.lit(float(r))) if expr is None else expr.when(
+            cond, F.lit(float(r))
+        )
+    rate = expr.otherwise(F.lit(float(default_rate))) if expr is not None else F.lit(
+        float(default_rate)
+    )
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    return df.filter(bucket < (rate * F.lit(1_000_000.0)).cast("bigint"))

@@ -1242,6 +1242,7 @@ class _SelectQuery:
     aggs: tuple = ()  # tuple[_Agg, ...]
     group_by: tuple = ()  # grouping names; 'this' covers $this/?this
     having: str | None = None
+    distinct: bool = False  # SELECT DISTINCT (REDUCED treated the same)
 
 
 _AGG_PROJ_RE = re.compile(
@@ -1271,7 +1272,8 @@ def parse_select_query(select: str) -> _SelectQuery:
     aggregate form ``SELECT $this (COUNT(?v) AS ?n) … GROUP BY $this
     [?g …] HAVING (expr)``; ValueError on anything outside."""
     m = re.match(
-        r"\s*SELECT\s+(?P<proj>.+?)\s+WHERE\s*\{(?P<body>.*)\}"
+        r"\s*SELECT\s+(?:(?P<dist>DISTINCT|REDUCED)\s+)?"
+        r"(?P<proj>.+?)\s+WHERE\s*\{(?P<body>.*)\}"
         r"\s*(?P<tail>(?:GROUP\s+BY|HAVING)\b.*)?$",
         select,
         re.S | re.I,
@@ -1360,7 +1362,12 @@ def parse_select_query(select: str) -> _SelectQuery:
     ):
         raise ValueError("sh:sparql select has no graph pattern")
     return _SelectQuery(
-        tuple(proj), block, tuple(aggs), tuple(group_by), having
+        tuple(proj),
+        block,
+        tuple(aggs),
+        tuple(group_by),
+        having,
+        bool(m.group("dist")),
     )
 
 
@@ -2183,6 +2190,10 @@ def _subselect_join(
         for p in ("value", "kind", "datatype", "lang")
     ]
     inner = inner.select(*proj_cols)
+    if q.distinct:
+        # SELECT DISTINCT collapses the solution multiset BEFORE the
+        # join, so inner duplicates cannot multiply outer solutions
+        inner = inner.distinct()
     if key_cols:
         bound = bound.join(inner, on=key_cols, how="inner")
     else:

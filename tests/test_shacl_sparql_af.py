@@ -1484,6 +1484,40 @@ def test_subquery_inner_vars_do_not_escape(spark):
         )
 
 
+def test_subquery_select_distinct_collapses_multiplicity(spark):
+    """Without DISTINCT the inner multiset (9,9,3) multiplies the outer
+    count to 3; DISTINCT collapses it to (9,3) -> count 2. A top-level
+    SELECT DISTINCT also parses (reports dedupe anyway)."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "score", lit_typed("9", XSD_INTEGER)),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "score", lit_typed("9", XSD_INTEGER)),
+            ("urn:c", RDF_TYPE, iri(EX + "Person")),
+            ("urn:c", EX + "score", lit_typed("3", XSD_INTEGER)),
+        ],
+    )
+
+    def q(distinct, n):
+        return (
+            "SELECT DISTINCT $this (COUNT(?s) AS ?n) WHERE { "
+            f"$this <{EX}score> ?x . "
+            f"{{ SELECT {distinct}?s WHERE {{ ?p <{EX}score> ?s }} }} }} "
+            f"GROUP BY $this HAVING (?n = {n})"
+        )
+
+    res = validate(
+        spark, data, _af_shapes(spark, q("DISTINCT ", 2)), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:a", "urn:b", "urn:c"}
+    res = validate(
+        spark, data, _af_shapes(spark, q("", 3)), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:a", "urn:b", "urn:c"}
+
+
 def test_subquery_inside_union_raises(spark):
     select = (
         "SELECT $this WHERE { "

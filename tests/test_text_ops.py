@@ -353,3 +353,95 @@ def test_decontaminate_plan_has_no_cartesian(spark):
     docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     plan = decontaminate(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- chunking / vocabulary / stratified sampling ----
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from cmem_plugin_pyshacl_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))  # t0..t9
+    docs = spark.createDataFrame([(1, text), (2, "solo")], "doc_id long, text string")
+    rows = (
+        chunk_documents(docs, chunk_tokens=4, overlap=2)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    # stride 2: starts 0,2,4,6 survive; start 8 adds only the 2-token
+    # overlap tail and is dropped
+    assert [(r.chunk_id, r.tok_begin, r.n_tokens, r.chunk_text) for r in d1] == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 2, 4, "t2 t3 t4 t5"),
+        (2, 4, 4, "t4 t5 t6 t7"),
+        (3, 6, 4, "t6 t7 t8 t9"),
+    ]
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert [(r.chunk_id, r.n_tokens, r.chunk_text) for r in d2] == [(0, 1, "solo")]
+    # reconstruction invariant: dropping each chunk's overlap prefix
+    # (after the first) re-concatenates to the original token stream
+    joined = " ".join(
+        r.chunk_text if r.chunk_id == 0 else " ".join(r.chunk_text.split()[2:])
+        for r in d1
+    )
+    assert joined == text
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from cmem_plugin_pyshacl_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_build_vocab_counts_mincount_topk(spark):
+    from cmem_plugin_pyshacl_spark.operators.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c A"), (2, "b a  d")], "doc_id long, text string"
+    )
+    counts = {r.token: r["count"] for r in build_vocab(docs).collect()}
+    assert counts == {"a": 4, "b": 2, "c": 1, "d": 1}  # lowered, ws-split
+    assert {r.token for r in build_vocab(docs, min_count=2).collect()} == {"a", "b"}
+    top = build_vocab(docs, top_k=3).collect()
+    assert [(r.token, r["count"]) for r in top] == [("a", 4), ("b", 2), ("c", 1)]
+    # top_k compiles to TakeOrdered, not a full sort+exchange
+    plan = (
+        build_vocab(docs, top_k=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_stratified_deterministic_and_rated(spark):
+    from cmem_plugin_pyshacl_spark.operators.text import sample_stratified
+
+    df = spark.createDataFrame(
+        [(i, "big" if i % 2 == 0 else "rare") for i in range(2000)],
+        "id long, stratum string",
+    )
+    rates = {"big": 0.25, "rare": 1.0}
+    kept = sample_stratified(df, rates, "stratum", "id").collect()
+    rare = [r for r in kept if r.stratum == "rare"]
+    big = [r for r in kept if r.stratum == "big"]
+    assert len(rare) == 1000  # rate 1.0 keeps everything
+    assert 150 <= len(big) <= 350  # ~250 expected at rate 0.25
+    # deterministic: same (id, seed) -> identical selection across runs
+    kept2 = {r.id for r in sample_stratified(df, rates, "stratum", "id").collect()}
+    assert kept2 == {r.id for r in kept}
+    # different seed -> different (but similarly sized) selection
+    kept3 = {
+        r.id
+        for r in sample_stratified(df, rates, "stratum", "id", seed=7).collect()
+    }
+    assert kept3 != kept2
+    # unknown stratum follows default_rate
+    extra = spark.createDataFrame([(99999, "other")], "id long, stratum string")
+    assert sample_stratified(extra, rates, "stratum", "id").count() == 0
+    assert (
+        sample_stratified(extra, rates, "stratum", "id", default_rate=1.0).count()
+        == 1
+    )
