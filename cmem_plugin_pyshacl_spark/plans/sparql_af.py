@@ -2482,9 +2482,14 @@ def evaluate_sparql_constraint(
         F.col("part_id").alias("part_id"),
         value_kind.alias("value_kind"),
         value_dt.alias("value_datatype"),
-    ).dropDuplicates(
-        ["focusNode", "value", "sourceShape"]
-    )
+    ).dropDuplicates()
+    # all-column dedupe, not a (focus, value, shape) subset: every other
+    # column is constant per constraint or functionally dependent on the
+    # focus node, EXCEPT value_kind/value_datatype — two solutions whose
+    # values share a lexical form but differ as RDF terms are distinct
+    # results (a subset dedupe would first() one away arbitrarily), and
+    # a keys-only distinct stays in HashAggregate instead of the
+    # SortAggregate that first()-over-strings forces
 
 
 def evaluate_ask_constraint(
