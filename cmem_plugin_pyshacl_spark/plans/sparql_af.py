@@ -50,8 +50,11 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     by full RDF term; HAVING takes the full FILTER expression grammar
     plus inline aggregate calls; constraint mode requires GROUP BY
     $this at the top level; a GROUP-BY-less aggregate is legal inside a
-    subquery (one implicit whole-result group). ORDER BY / LIMIT remain
-    unsupported.
+    subquery (one implicit whole-result group). ORDER BY ?v / ASC(?v) /
+    DESC(?v) and LIMIT n are supported (LIMIT requires ORDER BY for
+    determinism; sort keys order numerically when the value parses,
+    lexically otherwise; LIMIT compiles to TakeOrderedAndProject).
+    IF(cond, a, b) and COALESCE(...) work in FILTER and BIND.
   * subqueries ``{ SELECT … [GROUP BY … HAVING …] }`` — evaluated
     bottom-up (seeded per focus node only when they mention the
     pre-bound $this), projected to their SELECT list (inner helper
@@ -852,6 +855,7 @@ def evaluate_target_select(
             raise ValueError(
                 "an aggregate sh:SPARQLTarget select must GROUP BY ?this"
             )
+    bound = _apply_order_limit(bound, bound_vars, q, has_this=False)
     return bound.select(F.col("this__value").alias("focus")).distinct()
 
 
@@ -1243,6 +1247,8 @@ class _SelectQuery:
     group_by: tuple = ()  # grouping names; 'this' covers $this/?this
     having: str | None = None
     distinct: bool = False  # SELECT DISTINCT (REDUCED treated the same)
+    order_by: tuple = ()  # tuple[(var: str, desc: bool), ...]
+    limit: int | None = None  # requires order_by (determinism)
 
 
 _AGG_PROJ_RE = re.compile(
@@ -1274,7 +1280,7 @@ def parse_select_query(select: str) -> _SelectQuery:
     m = re.match(
         r"\s*SELECT\s+(?:(?P<dist>DISTINCT|REDUCED)\s+)?"
         r"(?P<proj>.+?)\s+WHERE\s*\{(?P<body>.*)\}"
-        r"\s*(?P<tail>(?:GROUP\s+BY|HAVING)\b.*)?$",
+        r"\s*(?P<tail>(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b.*)?$",
         select,
         re.S | re.I,
     )
@@ -1308,9 +1314,11 @@ def parse_select_query(select: str) -> _SelectQuery:
             continue
         raise ValueError(f"unsupported projection term near {s[i:i+30]!r}")
 
-    # trailing GROUP BY / HAVING
+    # trailing GROUP BY / HAVING / ORDER BY / LIMIT
     group_by: list[str] = []
     having: str | None = None
+    order_by: list[tuple[str, bool]] = []
+    limit: int | None = None
     tail = (m.group("tail") or "").strip()
     if tail:
         gm = re.match(r"GROUP\s+BY\s+", tail, re.I)
@@ -1325,20 +1333,52 @@ def parse_select_query(select: str) -> _SelectQuery:
             if not group_by:
                 raise ValueError("GROUP BY lists no variables")
             tail = tail[j:].strip()
-        if tail:
-            hm = re.match(r"HAVING\s*", tail, re.I)
-            if not hm or hm.end() >= len(tail) or tail[hm.end()] != "(":
-                raise ValueError(
-                    f"unsupported SELECT tail near {tail[:40]!r} "
-                    "(expected GROUP BY vars / HAVING (expr))"
-                )
+        hm = re.match(r"HAVING\s*", tail, re.I) if tail else None
+        if hm:
             j = hm.end()
+            if j >= len(tail) or tail[j] != "(":
+                raise ValueError("HAVING requires a parenthesized expression")
             k = _delim_end(tail, j, "(", ")")
             having = tail[j + 1 : k]
-            if tail[k + 1 :].strip():
-                raise ValueError(
-                    f"unsupported text after HAVING: {tail[k+1:][:40]!r}"
+            tail = tail[k + 1 :].strip()
+        om = re.match(r"ORDER\s+BY\s+", tail, re.I) if tail else None
+        if om:
+            j = om.end()
+            while True:
+                mm = re.match(
+                    r"\s*(ASC|DESC)\s*\(\s*[$?]([A-Za-z_]\w*)\s*\)",
+                    tail[j:],
+                    re.I,
                 )
+                if mm:
+                    order_by.append(
+                        (mm.group(2), mm.group(1).upper() == "DESC")
+                    )
+                    j += mm.end()
+                    continue
+                mv = re.match(r"\s*[$?]([A-Za-z_]\w*)", tail[j:])
+                if mv:
+                    order_by.append((mv.group(1), False))
+                    j += mv.end()
+                    continue
+                break
+            if not order_by:
+                raise ValueError("ORDER BY lists no sort keys")
+            tail = tail[j:].strip()
+        lm = re.match(r"LIMIT\s+(\d+)", tail, re.I) if tail else None
+        if lm:
+            limit = int(lm.group(1))
+            if not order_by:
+                raise ValueError(
+                    "LIMIT without ORDER BY is nondeterministic — "
+                    "outside the subset"
+                )
+            tail = tail[lm.end() :].strip()
+        if tail:
+            raise ValueError(
+                f"unsupported SELECT tail near {tail[:40]!r} (expected "
+                "GROUP BY / HAVING (expr) / ORDER BY / LIMIT n)"
+            )
 
     # a GROUP-BY-less aggregate query is one implicit whole-result group
     # (legal in subqueries; top-level constraint/target evaluation still
@@ -1368,6 +1408,8 @@ def parse_select_query(select: str) -> _SelectQuery:
         tuple(group_by),
         having,
         bool(m.group("dist")),
+        tuple(order_by),
+        limit,
     )
 
 
@@ -1654,6 +1696,45 @@ class _FilterParser:
                 val, dt = F.lower(args[0].value), XSD_STRING
             return _Val(
                 val, F.lit(KIND_LITERAL), F.lit(dt), F.lit(None).cast("string")
+            )
+        if kind == "name" and text.lower() == "if":
+            # IF(boolean, then, else) — the condition is a full boolean
+            # expression; kind/datatype/lang follow the chosen branch
+            self._expect("(")
+            cond = self._or()
+            self._expect(",")
+            a = self._value()
+            self._expect(",")
+            b = self._value()
+            self._expect(")")
+            return _Val(
+                F.when(cond, a.value).otherwise(b.value),
+                F.when(cond, a.kind).otherwise(b.kind),
+                F.when(cond, a.datatype).otherwise(b.datatype),
+                F.when(cond, a.lang).otherwise(b.lang),
+            )
+        if kind == "name" and text.lower() == "coalesce":
+            # first bound (non-NULL) argument wins; every term column
+            # follows the winning argument
+            self._expect("(")
+            args = [self._value()]
+            while self._accept(","):
+                args.append(self._value())
+            self._expect(")")
+
+            def pick(field: str) -> Column:
+                expr = None
+                for a in args:
+                    c = a.value.isNotNull()
+                    expr = (
+                        F.when(c, getattr(a, field))
+                        if expr is None
+                        else expr.when(c, getattr(a, field))
+                    )
+                return expr
+
+            return _Val(
+                pick("value"), pick("kind"), pick("datatype"), pick("lang")
             )
         if kind == "name" and text.lower() in _F_VALUE_FUNCS:
             fn = text.lower()
@@ -2133,6 +2214,38 @@ def _minus_join(
     return bound.join(matched, on=key_cols, how="left_anti")
 
 
+def _apply_order_limit(
+    frame: DataFrame,
+    vars_available: set[str],
+    q: _SelectQuery,
+    has_this: bool = True,
+) -> DataFrame:
+    """ORDER BY + LIMIT over a solution frame. Each sort key orders
+    numerically when the value parses as a number, lexically otherwise
+    (two physical sort columns per key). ORDER BY without LIMIT is a
+    no-op downstream (every consumer is unordered) but validates its
+    keys; LIMIT compiles to TakeOrderedAndProject — a per-partition
+    top-k heap plus a k-row driver merge, never a full sort shuffle."""
+    if not q.order_by and q.limit is None:
+        return frame
+    sort_cols: list[Column] = []
+    for v, desc in q.order_by:
+        if v == "this" and has_this and "this" in frame.columns:
+            base = F.col("this")
+        elif v in vars_available:
+            base = F.col(f"{v}__value")
+        else:
+            raise ValueError(
+                f"ORDER BY variable ?{v} is not visible at this point"
+            )
+        for c in (base.try_cast("double"), base):
+            sort_cols.append(c.desc() if desc else c.asc())
+    out = frame.orderBy(*sort_cols)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
 def _subselect_join(
     data: DataFrame,
     bound: DataFrame,
@@ -2194,6 +2307,7 @@ def _subselect_join(
         # SELECT DISTINCT collapses the solution multiset BEFORE the
         # join, so inner duplicates cannot multiply outer solutions
         inner = inner.distinct()
+    inner = _apply_order_limit(inner, proj_set, q, mentions_this)
     if key_cols:
         bound = bound.join(inner, on=key_cols, how="inner")
     else:
@@ -2456,6 +2570,7 @@ def evaluate_sparql_constraint(
     bound, bound_vars = eval_bgp(data, focus, block)
     if q.aggs or q.group_by or q.having:
         bound, bound_vars = _apply_aggregation(bound, bound_vars, q)
+    bound = _apply_order_limit(bound, bound_vars, q)
 
     for v in proj:
         if v not in bound_vars:

@@ -1056,6 +1056,38 @@ def test_path_negated_set_under_closure(spark):
     }
 
 
+def test_if_in_bind_and_filter(spark):
+    """BIND(IF(cond, a, b) AS ?v): branch-following value; usable as the
+    reported sh:value."""
+    select = (
+        "SELECT $this ?cat WHERE { "
+        f"$this <{EX}age> ?age . "
+        'BIND(IF(?age < 18, "minor", "adult") AS ?cat) . '
+        'FILTER (?cat = "minor") }'
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:alice", "minor")}
+
+
+def test_coalesce_with_optional_unbound(spark):
+    """COALESCE falls through an OPTIONAL-unbound variable to the
+    fallback literal — the classic default-value idiom."""
+    select = (
+        "SELECT $this ?v WHERE { "
+        f"$this a <{EX}Person> . "
+        f"OPTIONAL {{ $this <{EX}age> ?age }} . "
+        'BIND(COALESCE(?age, "none") AS ?v) . '
+        'FILTER (?v = "none") }'
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    # carol has no age -> fallback fires only for her
+    assert {(r.focusNode, r.value) for r in res} == {("urn:carol", "none")}
+
+
 # ---- closure path modifiers (* + ?) ----
 
 
@@ -1376,9 +1408,9 @@ def test_agg_errors(spark):
         # DISTINCT outside COUNT
         "SELECT $this (SUM(DISTINCT ?e) AS ?n) WHERE { "
         f"$this <{EX}email> ?e }} GROUP BY $this",
-        # trailing garbage
+        # trailing garbage (OFFSET is outside the subset)
         "SELECT $this (COUNT(?e) AS ?n) WHERE { "
-        f"$this <{EX}email> ?e }} GROUP BY $this ORDER BY ?n",
+        f"$this <{EX}email> ?e }} GROUP BY $this ORDER BY ?n LIMIT 1 OFFSET 5",
     ):
         with pytest.raises(ValueError):
             validate(spark, data, _af_shapes(spark, bad), advanced=True)
@@ -1516,6 +1548,48 @@ def test_subquery_select_distinct_collapses_multiplicity(spark):
         spark, data, _af_shapes(spark, q("", 3)), advanced=True
     ).collect()
     assert {r.focusNode for r in res} == {"urn:a", "urn:b", "urn:c"}
+
+
+def test_subquery_order_by_limit_topk(spark):
+    """{ SELECT ?s ... ORDER BY DESC(?s) LIMIT 2 }: numeric-aware top-k
+    of distinct scores, joined back on the shared variable."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "score", lit_typed("9", XSD_INTEGER)),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "score", lit_typed("30", XSD_INTEGER)),
+            ("urn:c", RDF_TYPE, iri(EX + "Person")),
+            ("urn:c", EX + "score", lit_typed("4", XSD_INTEGER)),
+        ],
+    )
+    # lexical ordering would rank "9" above "30"; numeric-aware must not
+    select = (
+        "SELECT $this ?s WHERE { "
+        f"$this <{EX}score> ?s . "
+        f"{{ SELECT DISTINCT ?s WHERE {{ ?p <{EX}score> ?s }} "
+        "ORDER BY DESC(?s) LIMIT 2 } }"
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:b", "30"),
+        ("urn:a", "9"),
+    }
+
+
+def test_order_by_limit_errors(spark):
+    data = _people(spark)
+    for bad in (
+        # LIMIT without ORDER BY
+        f"SELECT $this ?a WHERE {{ $this <{EX}age> ?a }} LIMIT 1",
+        # ORDER BY over an invisible variable
+        f"SELECT $this ?a WHERE {{ $this <{EX}age> ?a }} ORDER BY ?nope LIMIT 1",
+    ):
+        with pytest.raises(ValueError):
+            validate(spark, data, _af_shapes(spark, bad), advanced=True)
 
 
 def test_subquery_inside_union_raises(spark):
