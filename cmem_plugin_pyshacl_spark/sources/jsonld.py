@@ -1,0 +1,230 @@
+"""JSON-LD source + sink over the expanded, newline-delimited form.
+
+Reference surface: the eccenca plugin moves whole graphs through rdflib,
+whose parsers include JSON-LD (cmem-plugin-pyshacl delegates all graph
+I/O that way; plugin_pyshacl.py:560-585 shows the Turtle/NT POST path
+this module generalizes). Spark-first re-expression: ONE EXPANDED NODE
+OBJECT PER LINE. Unlike a whole-document JSON-LD file (one outer array —
+a single unsplittable record), NDJSON splits on line boundaries exactly
+like N-Triples, so a 100-TB corpus reads as one distributed text scan
+with per-line parallel parsing; @context resolution is an expansion-time
+(driver/ETL) concern that never touches the cluster.
+
+Reader subset (anything outside raises with the offending line — the
+same fail-loudly contract as validate()):
+
+  * node objects with an absolute-IRI ``@id``; ``@type`` as string or
+    list of strings;
+  * every other key is a predicate IRI whose value is a list (or single
+    instance) of: value objects ``{"@value": scalar[, "@type": dt]
+    [, "@language": lang]}``, node references ``{"@id": iri}``, or bare
+    JSON scalars (native typing: bool -> xsd:boolean, int ->
+    xsd:integer, float -> xsd:double, str -> plain literal);
+  * ``@list``, ``@graph``, ``@reverse``, nested node objects, and
+    blank-node labels (``_:…``) are outside the subset.
+
+The reader is an Arrow-batched mapInPandas — JSON-LD's heterogeneous
+value objects defeat a fixed from_json schema (a bare 7 and a
+{"@value": 7} in the same column), and stdlib-json-per-line is exactly
+the per-partition work mapInPandas exists for. The WRITER is pure
+JVM-side Column expressions: per-term structs -> collect_list -> map ->
+to_json (ignoreNullFields omits the unused @-keys), one shuffle on the
+subject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..data_model import (
+    KIND_IRI,
+    KIND_LITERAL,
+    RDF_TYPE,
+    TRIPLES_SCHEMA,
+    XSD,
+    XSD_STRING,
+)
+
+_XSD_BOOLEAN = XSD + "boolean"
+_XSD_INTEGER = XSD + "integer"
+_XSD_DOUBLE = XSD + "double"
+
+
+def _node_rows(obj: dict, graph, part_id: int) -> list[tuple]:
+    if not isinstance(obj, dict):
+        raise ValueError(f"expected a JSON-LD node object, got {type(obj)}")
+    for kw in ("@graph", "@list", "@reverse"):
+        if kw in obj:
+            raise ValueError(f"{kw} is outside the NDJSON-expanded subset")
+    subj = obj.get("@id")
+    if not isinstance(subj, str) or not subj:
+        raise ValueError("node object without @id")
+    if subj.startswith("_:"):
+        raise ValueError(
+            "blank-node @id is outside the subset (skolemize upstream)"
+        )
+    rows: list[tuple] = []
+
+    def _scalar(v) -> tuple[str, str]:
+        # JSON-native typing for bare scalars
+        if isinstance(v, bool):
+            return ("true" if v else "false", _XSD_BOOLEAN)
+        if isinstance(v, int):
+            return (str(v), _XSD_INTEGER)
+        if isinstance(v, float):
+            return (repr(v), _XSD_DOUBLE)
+        if isinstance(v, str):
+            # plain literal: datatype None, the relation's minimal form —
+            # term-identical to xsd:string under RDF 1.1, and the writer
+            # omits @type for both, so the pair round-trips
+            return (v, None)
+        raise ValueError(f"unsupported JSON scalar {v!r}")
+
+    for key, vals in obj.items():
+        if key == "@id":
+            continue
+        if key == "@type":
+            types = vals if isinstance(vals, list) else [vals]
+            for t in types:
+                if not isinstance(t, str):
+                    raise ValueError(f"@type entry {t!r} is not an IRI")
+                rows.append(
+                    (subj, RDF_TYPE, KIND_IRI, t, None, None, graph, part_id)
+                )
+            continue
+        if key.startswith("@"):
+            raise ValueError(f"keyword {key} is outside the subset")
+        if not isinstance(vals, list):
+            vals = [vals]
+        for v in vals:
+            if isinstance(v, dict):
+                if "@list" in v:
+                    raise ValueError("@list is outside the subset")
+                if "@value" in v:
+                    lex, dt = _scalar(v["@value"])
+                    lang = v.get("@language")
+                    if "@type" in v:
+                        dt = v["@type"]
+                    if lang is not None:
+                        dt = None
+                    rows.append(
+                        (subj, key, KIND_LITERAL, lex, dt, lang, graph, part_id)
+                    )
+                elif "@id" in v:
+                    ref = v["@id"]
+                    if not isinstance(ref, str) or ref.startswith("_:"):
+                        raise ValueError(f"unsupported node reference {ref!r}")
+                    rows.append(
+                        (subj, key, KIND_IRI, ref, None, None, graph, part_id)
+                    )
+                else:
+                    raise ValueError(
+                        "nested node objects are outside the subset "
+                        f"(keys {sorted(v)})"
+                    )
+            else:
+                lex, dt = _scalar(v)
+                rows.append(
+                    (subj, key, KIND_LITERAL, lex, dt, None, graph, part_id)
+                )
+    return rows
+
+
+def from_jsonld(
+    lines: DataFrame,
+    line_col: str = "line",
+    graph: str | None = None,
+    part_id: int = 0,
+) -> DataFrame:
+    """Parse NDJSON expanded JSON-LD lines into the TRIPLES_SCHEMA
+    relation — the source twin of ``to_jsonld`` (round-trips exactly on
+    its output). Blank lines skip; anything outside the documented
+    subset raises with the offending content."""
+    cols = [line_col]
+
+    def _parse(batches):
+        import json
+
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for line in pdf[line_col]:
+                if line is None or not line.strip():
+                    continue
+                try:
+                    obj = json.loads(line)
+                except ValueError as e:
+                    raise ValueError(
+                        f"invalid JSON line {line[:80]!r}: {e}"
+                    ) from e
+                out.append(_node_rows(obj, graph, part_id))
+            yield pd.DataFrame(
+                [r for rows in out for r in rows],
+                columns=[f.name for f in TRIPLES_SCHEMA.fields],
+            )
+
+    return lines.select(*cols).mapInPandas(_parse, schema=TRIPLES_SCHEMA)
+
+
+def to_jsonld(df: DataFrame) -> DataFrame:
+    """Serialize a triples relation to NDJSON expanded JSON-LD — one
+    ``{"@id": …, "<pred>": [value objects…]}`` line per subject. Pure
+    JVM-side plan: per-term struct -> collect_list per (s, p) ->
+    map_from_entries per s -> to_json (null @-fields omitted), then the
+    @id is spliced in via a to_json-escaped prefix. One shuffle on the
+    subject; rdf:type stays a plain predicate with node references,
+    which expanded JSON-LD accepts and the reader maps back to
+    rdf:type."""
+    term = F.when(
+        F.col("o_kind") == KIND_IRI,
+        F.struct(
+            F.col("o_value").alias("@id"),
+            F.lit(None).cast("string").alias("@value"),
+            F.lit(None).cast("string").alias("@type"),
+            F.lit(None).cast("string").alias("@language"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit(None).cast("string").alias("@id"),
+            F.col("o_value").alias("@value"),
+            # plain xsd:string stays implicit, matching the reader default
+            F.when(
+                F.col("o_lang").isNull()
+                & (F.col("o_datatype") != XSD_STRING),
+                F.col("o_datatype"),
+            ).alias("@type"),
+            F.col("o_lang").alias("@language"),
+        )
+    )
+    per_pred = (
+        df.select("s", "p", term.alias("_t"))
+        .groupBy("s", "p")
+        .agg(F.collect_list("_t").alias("_vals"))
+    )
+    per_subj = per_pred.groupBy("s").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("p"), F.col("_vals")))
+        ).alias("_props")
+    )
+    per_subj = per_subj.withColumn(
+        "_idj", F.to_json(F.struct(F.col("s").alias("@id")))
+    )
+    return per_subj.select(
+        F.concat(
+            F.expr("substring(_idj, 1, length(_idj) - 1)"),
+            F.lit(","),
+            F.expr("substring(to_json(_props), 2)"),
+        ).alias("line")
+    )
+
+
+def write_jsonld(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Write NDJSON expanded JSON-LD text files; ``single_file`` trades
+    parallel writers for the one-document convenience (same trade as the
+    N-Triples sink's one-file POST form)."""
+    out = to_jsonld(df)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)
