@@ -54,7 +54,11 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     DESC(?v) and LIMIT n are supported (LIMIT requires ORDER BY for
     determinism; sort keys order numerically when the value parses,
     lexically otherwise; LIMIT compiles to TakeOrderedAndProject).
-    IF(cond, a, b) and COALESCE(...) work in FILTER and BIND.
+    IF(cond, a, b) and COALESCE(...) work in FILTER and BIND, as does
+    numeric arithmetic (+ - * /, unary minus, bracketted
+    sub-expressions; evaluated in double via try_cast, so a non-numeric
+    operand NULLs the result — SPARQL's type-error behavior — and
+    integral results render without a trailing .0).
   * subqueries ``{ SELECT … [GROUP BY … HAVING …] }`` — evaluated
     bottom-up (seeded per focus node only when they mention the
     pre-bound $this), projected to their SELECT list (inner helper
@@ -1471,7 +1475,7 @@ _F_TOKEN_RE = re.compile(
     | (?P<iri><[^<>\s"{}]*>)
     | (?P<num>[0-9]+(?:\.[0-9]+)?)
     | (?P<var>[?$][A-Za-z_]\w*)
-    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|\(|\)|,)
+    | (?P<op>&&|\|\||!=|<=|>=|=|<|>|!|\(|\)|,|\+|-|\*|/)
     | (?P<name>[A-Za-z_]\w*)
     )""",
     re.X,
@@ -1565,7 +1569,7 @@ class _FilterParser:
     def parse_value(self) -> "_Val":
         """Entry point for BIND(expr AS ?var): one term-valued expression
         consuming the whole input."""
-        v = self._value()
+        v = self._additive()
         if self.i != len(self.toks):
             raise ValueError(f"unsupported BIND expression {self.raw!r}")
         return v
@@ -1590,13 +1594,21 @@ class _FilterParser:
     def _rel(self) -> Column:
         kind, text = self._peek()
         if text == "(":
-            self.i += 1
-            e = self._or()
-            self._expect(")")
-            return e
+            # a paren here is usually a boolean group, but SPARQL also
+            # allows a bracketted NUMERIC expression as a comparison
+            # operand — try the boolean route, backtrack to arithmetic
+            save = self.i
+            try:
+                self.i += 1
+                e = self._or()
+                self._expect(")")
+                return e
+            except ValueError:
+                self.i = save
+        kind, text = self._peek()
         if kind == "name" and text.lower() in _F_BOOL_FUNCS:
             return self._bool_func(text.lower())
-        a = self._value()
+        a = self._additive()
         op = self._take()
         if op[0] == "name" and op[1].upper() == "IN":
             return self._in_list(a, negated=False)
@@ -1611,7 +1623,7 @@ class _FilterParser:
             raise ValueError(
                 f"expected comparison operator in FILTER expression {self.raw!r}"
             )
-        b = self._value()
+        b = self._additive()
         return _cmp_cols(a.value, b.value, op[1])
 
     def _in_list(self, a: _Val, negated: bool) -> Column:
@@ -1620,11 +1632,58 @@ class _FilterParser:
         self._expect("(")
         cond: Column = F.lit(False)
         if self._peek()[1] != ")":
-            cond = _cmp_cols(a.value, self._value().value, "=")
+            cond = _cmp_cols(a.value, self._additive().value, "=")
             while self._accept(","):
-                cond = cond | _cmp_cols(a.value, self._value().value, "=")
+                cond = cond | _cmp_cols(a.value, self._additive().value, "=")
         self._expect(")")
         return ~cond if negated else cond
+
+    # -- numeric arithmetic (SPARQL §17.3 operator mapping, evaluated in
+    # double via try_cast — a non-numeric operand turns the result NULL,
+    # SPARQL's type-error behavior; integral results render without .0)
+    @staticmethod
+    def _num_val(col: Column) -> _Val:
+        shown = F.when(
+            col.isNotNull() & (col == F.floor(col)),
+            col.cast("bigint").cast("string"),
+        ).otherwise(col.cast("string"))
+        return _Val(
+            shown,
+            F.when(shown.isNotNull(), F.lit(KIND_LITERAL)),
+            F.when(shown.isNotNull(), F.lit(XSD + "double")),
+            F.lit(None).cast("string"),
+        )
+
+    def _additive(self) -> _Val:
+        a = self._multiplicative()
+        while self._peek() in (("op", "+"), ("op", "-")):
+            op = self._take()[1]
+            b = self._multiplicative()
+            an, bn = a.value.try_cast("double"), b.value.try_cast("double")
+            a = self._num_val(an + bn if op == "+" else an - bn)
+        return a
+
+    def _multiplicative(self) -> _Val:
+        a = self._unary()
+        while self._peek() in (("op", "*"), ("op", "/")):
+            op = self._take()[1]
+            b = self._unary()
+            an, bn = a.value.try_cast("double"), b.value.try_cast("double")
+            a = self._num_val(an * bn if op == "*" else an / bn)
+        return a
+
+    def _unary(self) -> _Val:
+        if self._peek() == ("op", "-"):
+            self.i += 1
+            a = self._unary()
+            return self._num_val(-a.value.try_cast("double"))
+        if self._peek() == ("op", "("):
+            # bracketted numeric sub-expression
+            self.i += 1
+            a = self._additive()
+            self._expect(")")
+            return a
+        return self._value()
 
     # -- term-valued expressions
     def _var_val(self, tok: str) -> _Val:
@@ -1677,9 +1736,9 @@ class _FilterParser:
         ):
             fn = text.lower()
             self._expect("(")
-            args = [self._value()]
+            args = [self._additive()]
             while self._accept(","):
-                args.append(self._value())
+                args.append(self._additive())
             self._expect(")")
             if fn == "concat":
                 val, dt = F.concat(*(a.value for a in args)), XSD_STRING
@@ -1703,9 +1762,9 @@ class _FilterParser:
             self._expect("(")
             cond = self._or()
             self._expect(",")
-            a = self._value()
+            a = self._additive()
             self._expect(",")
-            b = self._value()
+            b = self._additive()
             self._expect(")")
             return _Val(
                 F.when(cond, a.value).otherwise(b.value),
@@ -1717,9 +1776,9 @@ class _FilterParser:
             # first bound (non-NULL) argument wins; every term column
             # follows the winning argument
             self._expect("(")
-            args = [self._value()]
+            args = [self._additive()]
             while self._accept(","):
-                args.append(self._value())
+                args.append(self._additive())
             self._expect(")")
 
             def pick(field: str) -> Column:
@@ -1739,7 +1798,7 @@ class _FilterParser:
         if kind == "name" and text.lower() in _F_VALUE_FUNCS:
             fn = text.lower()
             self._expect("(")
-            inner = self._value()
+            inner = self._additive()
             self._expect(")")
             if fn == "str":
                 return _Val(

@@ -1088,6 +1088,49 @@ def test_coalesce_with_optional_unbound(spark):
     assert {(r.focusNode, r.value) for r in res} == {("urn:carol", "none")}
 
 
+def test_arithmetic_in_filter_and_bind(spark):
+    """+ - * / with precedence and bracketted sub-expressions; integral
+    results render without .0 (BIND(?age * 2 + 1) -> "35")."""
+    select = (
+        "SELECT $this ?v WHERE { "
+        f"$this <{EX}age> ?age . "
+        "BIND(?age * 2 + 1 AS ?v) . "
+        "FILTER ((?age + 3) / 2 < 11 && -?age < 0) }"
+    )
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    # alice 17: (17+3)/2 = 10 < 11 passes; bob 42: 22.5 fails
+    assert {(r.focusNode, r.value) for r in res} == {("urn:alice", "35")}
+
+
+def test_arithmetic_with_aggregate_proportion(spark):
+    """The proportion idiom: HAVING (COUNT(?e) * 2 > 3)."""
+    select = (
+        "SELECT $this WHERE { "
+        f"$this <{EX}email> ?e }} GROUP BY $this "
+        "HAVING (COUNT(?e) * 2 > 3)"
+    )
+    res = validate(
+        spark, _emails(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:a"}  # 2 emails * 2 = 4 > 3
+
+
+def test_arithmetic_non_numeric_nulls_out(spark):
+    """A non-numeric operand turns the arithmetic result NULL, so the
+    comparison is not satisfied (SPARQL type-error semantics)."""
+    select = (
+        "SELECT $this WHERE { "
+        f"$this <{EX}v> ?v . FILTER (?v + 1 > 0) }}"
+    )
+    res = validate(
+        spark, _mixed_terms(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    # only urn:b carries the numeric "5"^^xsd:integer value
+    assert {r.focusNode for r in res} == {"urn:b"}
+
+
 # ---- closure path modifiers (* + ?) ----
 
 
