@@ -1732,7 +1732,8 @@ class _FilterParser:
                 F.lit(None).cast("string"),
             )
         if kind == "name" and text.lower() in (
-            "strlen", "ucase", "lcase", "concat", "abs",
+            "strlen", "ucase", "lcase", "concat", "abs", "round", "ceil",
+            "floor", "substr", "strbefore", "strafter", "replace",
         ):
             fn = text.lower()
             self._expect("(")
@@ -1740,8 +1741,44 @@ class _FilterParser:
             while self._accept(","):
                 args.append(self._additive())
             self._expect(")")
+            n_req = {"substr": (2, 3), "strbefore": (2, 2),
+                     "strafter": (2, 2), "replace": (3, 3)}.get(fn)
+            if n_req and not (n_req[0] <= len(args) <= n_req[1]):
+                raise ValueError(f"{fn}() takes {n_req[0]}-{n_req[1]} arguments")
             if fn == "concat":
                 val, dt = F.concat(*(a.value for a in args)), XSD_STRING
+            elif fn == "substr":
+                # SPARQL SUBSTR is 1-based like Spark substring
+                length = (
+                    args[2].value.try_cast("int")
+                    if len(args) == 3
+                    else F.length(args[0].value)
+                )
+                val = args[0].value.substr(
+                    args[1].value.try_cast("int"), length
+                )
+                dt = XSD_STRING
+            elif fn == "strbefore":
+                # empty string when the needle does not occur (SPARQL)
+                pos = F.instr(args[0].value, args[1].value)
+                val = F.when(pos > 0, args[0].value.substr(F.lit(1), pos - 1)).otherwise(F.lit(""))
+                dt = XSD_STRING
+            elif fn == "strafter":
+                pos = F.instr(args[0].value, args[1].value)
+                val = F.when(
+                    pos > 0,
+                    args[0].value.substr(
+                        pos + F.length(args[1].value),
+                        F.length(args[0].value),
+                    ),
+                ).otherwise(F.lit(""))
+                dt = XSD_STRING
+            elif fn == "replace":
+                # pattern is a regex, as in SPARQL (fn:replace)
+                val = F.regexp_replace(
+                    args[0].value, args[1].value, args[2].value
+                )
+                dt = XSD_STRING
             elif len(args) != 1:
                 raise ValueError(f"{fn}() takes exactly one argument")
             elif fn == "strlen":
@@ -1749,6 +1786,14 @@ class _FilterParser:
             elif fn == "abs":
                 val = F.abs(args[0].value.try_cast("double")).cast("string")
                 dt = XSD + "decimal"
+            elif fn in ("round", "ceil", "floor"):
+                num = args[0].value.try_cast("double")
+                rounded = {
+                    "round": F.round(num, 0),
+                    "ceil": F.ceil(num).cast("double"),
+                    "floor": F.floor(num).cast("double"),
+                }[fn]
+                return self._num_val(rounded)
             elif fn == "ucase":
                 val, dt = F.upper(args[0].value), XSD_STRING
             else:

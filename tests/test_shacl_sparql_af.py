@@ -9,6 +9,7 @@ from cmem_plugin_pyshacl_spark.data_model import (
     EX,
     RDF_TYPE,
     SH,
+    XSD,
     XSD_INTEGER,
     iri,
     lit_typed,
@@ -1129,6 +1130,40 @@ def test_arithmetic_non_numeric_nulls_out(spark):
     ).collect()
     # only urn:b carries the numeric "5"^^xsd:integer value
     assert {r.focusNode for r in res} == {"urn:b"}
+
+
+def test_string_and_rounding_builtins(spark):
+    """SUBSTR/STRBEFORE/STRAFTER/REPLACE and ROUND/CEIL/FLOOR."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "v", lit_typed("foo:bar")),
+            ("urn:a", EX + "n", lit_typed("2.6", XSD + "decimal")),
+        ],
+    )
+
+    def hits(expr):
+        select = (
+            "SELECT $this WHERE { "
+            f"$this <{EX}v> ?v . $this <{EX}n> ?n . FILTER ({expr}) }}"
+        )
+        return {
+            r.focusNode
+            for r in validate(
+                spark, data, _af_shapes(spark, select), advanced=True
+            ).collect()
+        }
+
+    assert hits('SUBSTR(?v, 1, 3) = "foo"') == {"urn:a"}
+    assert hits('SUBSTR(?v, 5) = "bar"') == {"urn:a"}
+    assert hits('STRBEFORE(?v, ":") = "foo"') == {"urn:a"}
+    assert hits('STRAFTER(?v, ":") = "bar"') == {"urn:a"}
+    assert hits('STRBEFORE(?v, "@") = ""') == {"urn:a"}  # absent needle
+    assert hits('STRAFTER(?v, "") = ?v') == {"urn:a"}  # empty needle
+    assert hits('REPLACE(?v, "[aeiou]", "_") = "f__:b_r"') == {"urn:a"}
+    assert hits("ROUND(?n) = 3 && CEIL(?n) = 3 && FLOOR(?n) = 2") == {"urn:a"}
+    assert hits("FLOOR(?v) = 0") == set()  # non-numeric -> NULL -> no hit
 
 
 # ---- closure path modifiers (* + ?) ----
