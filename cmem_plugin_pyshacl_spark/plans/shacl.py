@@ -2706,11 +2706,13 @@ def validate(
                         SH + "optional",
                         SH + "validator",
                         SH + "nodeValidator",
+                        SH + "propertyValidator",
+                        SH + "property",
                     ]
                 )
                 | (F.col("p") == RDF_TYPE)
             )
-            .select("s", "p", "o_value")
+            .select("s", "p", "o_value", "o_kind")
             .collect()
         )
         sparql_map = compile_sparql_constraints(af_rows)
@@ -2722,12 +2724,14 @@ def validate(
         for scs in sparql_map.values():
             for sc in scs:
                 blk = (
-                    parse_ask(sc.ask)
+                    parse_ask(sc.ask, allow_pattern_free=sc.path is not None)
                     if sc.ask is not None
                     else parse_select(sc.select)[1]
                 )
                 ps, has_neg = pattern_predicates(blk)
                 sparql_preds.update(ps)
+                if sc.path:
+                    sparql_preds.add(sc.path)
                 sparql_unsliceable = sparql_unsliceable or has_neg
         for sels in starget_map.values():
             for sel in sels:
@@ -2833,14 +2837,17 @@ def validate(
             for sc in sparql_map.get(shape.shape_id, []):
                 from .sparql_af import (
                     evaluate_ask_constraint,
+                    evaluate_property_ask_constraint,
                     evaluate_sparql_constraint,
                 )
 
-                result_dfs.append(
-                    evaluate_ask_constraint(spark, eval_data, focus, sc)
-                    if sc.ask is not None
-                    else evaluate_sparql_constraint(spark, eval_data, focus, sc)
-                )
+                if sc.ask is not None and sc.path is not None:
+                    fn = evaluate_property_ask_constraint
+                elif sc.ask is not None:
+                    fn = evaluate_ask_constraint
+                else:
+                    fn = evaluate_sparql_constraint
+                result_dfs.append(fn(spark, eval_data, focus, sc))
 
         if not result_dfs:
             results = spark.createDataFrame([], schema=RESULT_SCHEMA)

@@ -137,6 +137,12 @@ class SparqlConstraint:
     # empty and conformance means the ASK pattern has >=1 solution for
     # the focus node ($this pre-bound); no solution -> one violation.
     ask: str | None = None
+    # property-shape application (SHACL-AF §6.2: sh:propertyValidator /
+    # $PATH / $value): the property shape's simple sh:path IRI. When set,
+    # results carry it as resultPath, SELECT validators had $PATH
+    # substituted textually, and ASK validators evaluate per (focus,
+    # value-of-path) pair with ?value pre-bound.
+    path: str | None = None
 
 
 @dataclass(frozen=True)
@@ -682,11 +688,17 @@ def compile_custom_components(
     as sourceConstraintComponent and the shape as sourceShape. Validators
     are SELECT-based (sh:validator / sh:nodeValidator with sh:select —
     each solution is a violation) or ASK-based (sh:ask — the focus node
-    conforms iff the pre-bound pattern has a solution, SHACL-AF §6.2.2);
-    property-shape application ($value binding) is outside the subset
-    and raises. Parameter values live on shape subjects
-    under arbitrary predicates, so they are collected in a second tiny
-    pass restricted to exactly the declared parameter paths."""
+    conforms iff the pre-bound pattern has a solution, SHACL-AF §6.2.2).
+
+    A PROPERTY SHAPE (subject carrying sh:path) applies the component
+    per value of its path under the OWNING node shape:
+    sh:propertyValidator is preferred (sh:validator the fallback),
+    ``$PATH`` substitutes textually with the path IRI in SELECT bodies,
+    and ASK validators evaluate per (focus, value) pair with
+    ``?value``/``$value`` pre-bound; complex sh:path stays outside the
+    subset. Parameter values live on shape subjects under arbitrary
+    predicates, so they are collected in a second tiny pass restricted
+    to exactly the declared parameter paths."""
     by_subject = index_rows(shapes_rows)
     comps: list[tuple[str, list[tuple[str, bool]], str, str | None]] = []
     for subj, preds in by_subject.items():
@@ -705,11 +717,37 @@ def compile_custom_components(
                 r.o_value == "true" for r in pprops.get(SH + "optional", [])
             )
             params.append((paths[0].o_value, optional))
-        vrefs = (
-            preds.get(SH + "validator", [])
-            or preds.get(SH + "nodeValidator", [])
+        def _validator_body(refs):
+            """(body, is_ask, message) of the first executable validator
+            reference, or None."""
+            if not refs:
+                return None
+            vnode = refs[0].o_value
+            vprops = by_subject.get(vnode, {})
+            selects = vprops.get(SH + "select", [])
+            asks = vprops.get(SH + "ask", [])
+            if not selects and not asks:
+                raise ValueError(
+                    f"validator {vnode} of component {subj} has neither "
+                    "sh:select nor sh:ask"
+                )
+            msgs = vprops.get(SH + "message", [])
+            body = (selects or asks)[0].o_value
+            body = expand_prefixes(body, declared_prefixes(by_subject, vnode))
+            return (
+                body,
+                bool(asks) and not selects,
+                msgs[0].o_value if msgs else None,
+            )
+
+        node_v = _validator_body(
+            preds.get(SH + "validator", []) or preds.get(SH + "nodeValidator", [])
         )
-        if not params or not vrefs:
+        prop_v = _validator_body(
+            preds.get(SH + "propertyValidator", [])
+            or preds.get(SH + "validator", [])
+        )
+        if not params or (node_v is None and prop_v is None):
             # vocabulary-style declaration (e.g. the SHACL namespace's own
             # core components) — nothing to execute, not an error
             import logging
@@ -720,26 +758,17 @@ def compile_custom_components(
                 "sh:parameter" if not params else "executable validator",
             )
             continue
-        vnode = vrefs[0].o_value
-        vprops = by_subject.get(vnode, {})
-        selects = vprops.get(SH + "select", [])
-        asks = vprops.get(SH + "ask", [])
-        if not selects and not asks:
-            raise ValueError(
-                f"validator {vnode} of component {subj} has neither "
-                "sh:select nor sh:ask"
-            )
-        msgs = vprops.get(SH + "message", [])
-        body = (selects or asks)[0].o_value
-        body = expand_prefixes(body, declared_prefixes(by_subject, vnode))
-        comps.append(
-            (subj, params, body, msgs[0].o_value if msgs else None,
-             bool(asks) and not selects)
-        )
+        comps.append((subj, params, node_v, prop_v))
     if not comps:
         return {}
 
-    param_paths = sorted({p for _c, ps, _s, _m, _a in comps for p, _o in ps})
+    # property-shape subjects apply under their OWNING node shape
+    prop_parent: dict[str, str] = {}
+    for s2, preds2 in by_subject.items():
+        for ref in preds2.get(SH + "property", []):
+            prop_parent[ref.o_value] = s2
+
+    param_paths = sorted({p for _c, ps, _nv, _pv in comps for p, _o in ps})
     val_rows = (
         shapes_triples.filter(F.col("p").isin(param_paths))
         .select("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")
@@ -750,22 +779,49 @@ def compile_custom_components(
         vals.setdefault((r.s, r.p), []).append(r)
 
     out: dict[str, list[SparqlConstraint]] = {}
-    for comp_iri, params, select, message, is_ask in comps:
+    for comp_iri, params, node_v, prop_v in comps:
         path_set = {p for p, _o in params}
         shape_subjs = sorted({s for (s, p) in vals if p in path_set})
         for subj in shape_subjs:
+            subj_props = by_subject.get(subj, {})
+            path_rows = subj_props.get(SH + "path", [])
+            prop_path: str | None = None
+            owner = subj
+            if path_rows:
+                # property-shape application: the component validates each
+                # value of the shape's path (SHACL-AF §6.2)
+                prow = path_rows[0]
+                if prow.o_kind != KIND_IRI:
+                    raise ValueError(
+                        f"property shape {subj} with a custom component "
+                        "has a complex sh:path — outside the subset"
+                    )
+                prop_path = prow.o_value
+                owner = prop_parent.get(subj, "")
+                if not owner:
+                    continue  # dangling property shape — never applied
+            v = prop_v if prop_path else node_v
+            if v is None:
+                raise ValueError(
+                    f"component {comp_iri} declares no "
+                    f"{'property' if prop_path else 'node'} validator "
+                    f"for shape {subj}"
+                )
+            select, is_ask, message = v
+            if prop_path:
+                select = re.sub(r"[?$]PATH\b", f"<{prop_path}>", select)
             per_param: list[list] = []
             complete = True
             for path, optional in params:
-                v = vals.get((subj, path), [])
-                if not v:
+                pv = vals.get((subj, path), [])
+                if not pv:
                     if optional:
                         per_param.append([None])
                     else:
                         complete = False
                         break
                 else:
-                    per_param.append(sorted(v, key=lambda r: r.o_value))
+                    per_param.append(sorted(pv, key=lambda r: r.o_value))
             if not complete:
                 continue
             for combo in itertools.product(*per_param):
@@ -778,15 +834,16 @@ def compile_custom_components(
                     sel = _substitute_param(sel, var, rendered, row.o_value)
                     if msg:
                         msg = _substitute_param(msg, var, rendered, row.o_value)
-                out.setdefault(subj, []).append(
+                out.setdefault(owner, []).append(
                     SparqlConstraint(
-                        node_shape=subj,
+                        node_shape=owner,
                         constraint_id=subj,
                         select="" if is_ask else sel,
                         message=msg,
                         severity=SH + "Violation",
                         component=comp_iri,
                         ask=sel if is_ask else None,
+                        path=prop_path,
                     )
                 )
     return out
@@ -1423,9 +1480,12 @@ def parse_select(select: str) -> tuple[list[str], _Block]:
     return list(q.proj), q.block
 
 
-def parse_ask(ask: str) -> _Block:
+def parse_ask(ask: str, allow_pattern_free: bool = False) -> _Block:
     """Parse the sh:ask validator subset: ``ASK { <group> }`` with the same
-    group grammar as parse_select's WHERE body."""
+    group grammar as parse_select's WHERE body. ``allow_pattern_free``
+    admits a FILTER-only body — the usual shape of a property ASK
+    validator, whose ?value/$this come pre-bound rather than from
+    patterns."""
     m = re.match(r"\s*ASK\s*(?:WHERE\s*)?\{(?P<body>.*)\}\s*$", ask, re.S | re.I)
     if not m:
         raise ValueError("unsupported sh:ask (expected ASK { ... })")
@@ -1437,6 +1497,7 @@ def parse_ask(ask: str) -> _Block:
         and not block.alternatives
         and not block.groups
         and not block.subselects
+        and not (allow_pattern_free and (block.filters or block.binds))
     ):
         raise ValueError("sh:ask has no graph pattern")
     return block
@@ -2692,7 +2753,7 @@ def evaluate_sparql_constraint(
     msg = sc.message or f"SPARQL constraint {sc.constraint_id} produced a solution"
     return bound.select(
         F.col("this").alias("focusNode"),
-        F.lit(None).cast("string").alias("resultPath"),
+        F.lit(sc.path).cast("string").alias("resultPath"),
         value_col.alias("value"),
         F.lit(sc.constraint_id).alias("sourceShape"),
         F.lit(sc.component).alias("sourceConstraintComponent"),
@@ -2709,6 +2770,66 @@ def evaluate_sparql_constraint(
     # results (a subset dedupe would first() one away arbitrarily), and
     # a keys-only distinct stays in HashAggregate instead of the
     # SortAggregate that first()-over-strings forces
+
+
+def evaluate_property_ask_constraint(
+    spark: SparkSession,
+    data: DataFrame,
+    focus: DataFrame,
+    sc: SparqlConstraint,
+) -> DataFrame:
+    """ASK propertyValidator (SHACL-AF §6.2.2 applied to a property
+    shape): every (focus, value-of-path) pair must satisfy the ASK
+    pattern with ``?value``/``$value`` PRE-BOUND to the pair's value
+    term; a pair with no solution is one violation carrying the path as
+    resultPath.
+
+    Scale posture: the pair set is one `p == path` slice joined to the
+    focus set; the ASK body evaluates once over the whole pair frame
+    (the pre-bound ?value is just extra bound columns), and failing
+    pairs drop out via a single anti join on a null-safe pair key."""
+    body = re.sub(r"\$value\b", "?value", sc.ask or "")
+    block = parse_ask(body, allow_pattern_free=True)
+    pair_key = F.concat_ws(
+        "\x1f",
+        F.col("this"),
+        F.coalesce(F.col("value__value"), F.lit("\x00")),
+        F.coalesce(F.col("value__kind"), F.lit("\x00")),
+        F.coalesce(F.col("value__datatype"), F.lit("\x00")),
+        F.coalesce(F.col("value__lang"), F.lit("\x00")),
+    )
+    pairs = (
+        data.filter(F.col("p") == sc.path)
+        .select(
+            F.col("s").alias("this"),
+            F.col("o_value").alias("value__value"),
+            F.col("o_kind").alias("value__kind"),
+            F.col("o_datatype").alias("value__datatype"),
+            F.col("o_lang").alias("value__lang"),
+        )
+        .join(focus.select(F.col("focus").alias("this"), "part_id"), on="this")
+        .withColumn("_pvk", pair_key)
+    )
+    bound_vars = {"value"}
+    ok = (
+        _apply_block(data, pairs, bound_vars, block, "pv")
+        .select("_pvk")
+        .distinct()
+    )
+    failing = pairs.join(ok, on="_pvk", how="left_anti")
+    msg = sc.message or f"ASK validator of {sc.component} returned false"
+    return failing.select(
+        F.col("this").alias("focusNode"),
+        F.lit(sc.path).alias("resultPath"),
+        F.col("value__value").alias("value"),
+        F.lit(sc.constraint_id).alias("sourceShape"),
+        F.lit(sc.component).alias("sourceConstraintComponent"),
+        F.lit(msg).alias("resultMessage"),
+        F.lit(sc.severity).alias("resultSeverity"),
+        F.col("part_id").alias("part_id"),
+        F.col("value__kind").alias("value_kind"),
+        F.col("value__datatype").alias("value_datatype"),
+    )
 
 
 def evaluate_ask_constraint(

@@ -761,7 +761,7 @@ def test_filter_sameterm_full_term_identity(spark):
 def test_filter_unsupported_expressions_raise(spark):
     data = _mixed_terms(spark)
     for bad in (
-        "ROUND(?v) > 3",           # unsupported function
+        'MD5(?v) = "x"',           # unsupported function
         "?v = ",                   # dangling comparison
         "(?v = \"x\"",             # unbalanced paren
         "bound(?nope)",            # unbound variable
@@ -839,6 +839,90 @@ def test_bind_constant_and_rebind_raises(spark):
                 "SELECT $this WHERE { "
                 f"$this <{EX}v> ?v . BIND (str(?v) AS ?v) }}",
             ),
+            advanced=True,
+        )
+
+
+def _prop_component_rows(validator_pred, validator_body, body_pred):
+    return [
+        ("urn:comp", RDF_TYPE, iri(SH + "ConstraintComponent")),
+        ("urn:comp", SH + "parameter", iri("urn:comp/p1")),
+        ("urn:comp/p1", SH + "path", iri(EX + "maxLen")),
+        ("urn:comp", validator_pred, iri("urn:comp/v")),
+        ("urn:comp/v", body_pred, lit_typed(validator_body)),
+        ("urn:comp/v", SH + "message", lit_typed("too long")),
+        (EX + "NS", RDF_TYPE, iri(SH + "NodeShape")),
+        (EX + "NS", SH + "targetClass", iri(EX + "Person")),
+        (EX + "NS", SH + "property", iri(EX + "NS/p")),
+        (EX + "NS/p", SH + "path", iri(EX + "name")),
+        (EX + "NS/p", EX + "maxLen", lit_typed("3", XSD_INTEGER)),
+    ]
+
+
+def _named_people(spark):
+    return triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "name", lit_typed("ok")),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "name", lit_typed("waytoolong")),
+            ("urn:b", EX + "name", lit_typed("al")),
+        ],
+    )
+
+
+def test_custom_component_property_validator_select(spark):
+    """sh:propertyValidator with $PATH substitution: the component
+    validates each value of the property shape's path; violations carry
+    the path as resultPath."""
+    select = (
+        "SELECT $this ?value WHERE { "
+        "$this $PATH ?value . FILTER (STRLEN(?value) > $maxLen) }"
+    )
+    shapes = triples_from_rows(
+        spark,
+        _prop_component_rows(SH + "propertyValidator", select, SH + "select"),
+    )
+    res = validate(spark, _named_people(spark), shapes, advanced=True).collect()
+    assert {(r.focusNode, r.value, r.resultPath) for r in res} == {
+        ("urn:b", "waytoolong", EX + "name"),
+    }
+    assert res[0].sourceConstraintComponent == "urn:comp"
+    assert res[0].sourceShape == EX + "NS/p"
+    assert res[0].resultMessage == "too long"
+
+
+def test_custom_component_property_validator_ask(spark):
+    """ASK propertyValidator: a FILTER-only body over the pre-bound
+    ?value — each failing (focus, value) pair is one violation."""
+    shapes = triples_from_rows(
+        spark,
+        _prop_component_rows(
+            SH + "propertyValidator",
+            "ASK { FILTER (STRLEN(?value) <= $maxLen) }",
+            SH + "ask",
+        ),
+    )
+    res = validate(spark, _named_people(spark), shapes, advanced=True).collect()
+    assert {(r.focusNode, r.value, r.resultPath) for r in res} == {
+        ("urn:b", "waytoolong", EX + "name"),
+    }
+
+
+def test_custom_component_property_complex_path_raises(spark):
+    select = "SELECT $this ?value WHERE { $this $PATH ?value }"
+    rows = _prop_component_rows(SH + "propertyValidator", select, SH + "select")
+    # replace the simple path with a bnode (complex path marker)
+    rows = [
+        (s, p, ("b0", "bnode", None, None))
+        if (s, p) == (EX + "NS/p", SH + "path")
+        else (s, p, o)
+        for s, p, o in rows
+    ]
+    with pytest.raises(ValueError, match="complex sh:path"):
+        validate(
+            spark, _named_people(spark), triples_from_rows(spark, rows),
             advanced=True,
         )
 
