@@ -1862,6 +1862,27 @@ class _FilterParser:
             return _Val(
                 val, F.lit(KIND_LITERAL), F.lit(dt), F.lit(None).cast("string")
             )
+        if kind == "name" and text.lower() in (
+            "year", "month", "day", "hours", "minutes", "seconds",
+        ):
+            # SPARQL §17.4.5 dateTime accessors over the lexical form
+            # (try_to_timestamp: a non-dateTime operand NULLs the result;
+            # SECONDS loses the fractional part — xsd:integer here)
+            fn = text.lower()
+            self._expect("(")
+            inner = self._additive()
+            self._expect(")")
+            ts = F.try_to_timestamp(inner.value)
+            part = {
+                "year": F.year, "month": F.month, "day": F.dayofmonth,
+                "hours": F.hour, "minutes": F.minute, "seconds": F.second,
+            }[fn](ts)
+            return _Val(
+                part.cast("string"),
+                F.when(part.isNotNull(), F.lit(KIND_LITERAL)),
+                F.when(part.isNotNull(), F.lit(XSD + "integer")),
+                F.lit(None).cast("string"),
+            )
         if kind == "name" and text.lower() == "if":
             # IF(boolean, then, else) — the condition is a full boolean
             # expression; kind/datatype/lang follow the chosen branch

@@ -1250,6 +1250,33 @@ def test_string_and_rounding_builtins(spark):
     assert hits("FLOOR(?v) = 0") == set()  # non-numeric -> NULL -> no hit
 
 
+def test_datetime_accessors(spark):
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            (
+                "urn:a",
+                EX + "ts",
+                lit_typed("2024-03-05T10:20:30", XSD + "dateTime"),
+            ),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "ts", lit_typed("not a date")),
+        ],
+    )
+    select = (
+        "SELECT $this WHERE { "
+        f"$this <{EX}ts> ?d . "
+        "FILTER (YEAR(?d) = 2024 && MONTH(?d) = 3 && DAY(?d) = 5 "
+        "&& HOURS(?d) = 10 && MINUTES(?d) = 20 && SECONDS(?d) = 30) }"
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    # urn:b's malformed value NULLs out of every accessor
+    assert {r.focusNode for r in res} == {"urn:a"}
+
+
 # ---- closure path modifiers (* + ?) ----
 
 
