@@ -1863,6 +1863,33 @@ class _FilterParser:
                 val, F.lit(KIND_LITERAL), F.lit(dt), F.lit(None).cast("string")
             )
         if kind == "name" and text.lower() in (
+            "md5", "sha1", "sha256", "sha384", "sha512", "encode_for_uri",
+        ):
+            fn = text.lower()
+            self._expect("(")
+            inner = self._additive()
+            self._expect(")")
+            if fn == "encode_for_uri":
+                # SPARQL percent-encodes everything but unreserved chars;
+                # url_encode is form-encoding, so re-map its three
+                # divergences (space as +, ~ encoded, * kept)
+                enc = F.url_encode(inner.value)
+                enc = F.regexp_replace(enc, r"\+", "%20")
+                enc = F.regexp_replace(enc, "%7E", "~")
+                val = F.regexp_replace(enc, r"\*", "%2A")
+            elif fn == "md5":
+                val = F.md5(inner.value)
+            elif fn == "sha1":
+                val = F.sha1(inner.value)
+            else:
+                val = F.sha2(inner.value, int(fn[3:]))
+            return _Val(
+                val,
+                F.lit(KIND_LITERAL),
+                F.lit(XSD_STRING),
+                F.lit(None).cast("string"),
+            )
+        if kind == "name" and text.lower() in (
             "year", "month", "day", "hours", "minutes", "seconds",
         ):
             # SPARQL §17.4.5 dateTime accessors over the lexical form

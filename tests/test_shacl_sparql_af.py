@@ -761,7 +761,7 @@ def test_filter_sameterm_full_term_identity(spark):
 def test_filter_unsupported_expressions_raise(spark):
     data = _mixed_terms(spark)
     for bad in (
-        'MD5(?v) = "x"',           # unsupported function
+        "NOW() > 3",               # unsupported function
         "?v = ",                   # dangling comparison
         "(?v = \"x\"",             # unbalanced paren
         "bound(?nope)",            # unbound variable
@@ -1248,6 +1248,30 @@ def test_string_and_rounding_builtins(spark):
     assert hits('REPLACE(?v, "[aeiou]", "_") = "f__:b_r"') == {"urn:a"}
     assert hits("ROUND(?n) = 3 && CEIL(?n) = 3 && FLOOR(?n) = 2") == {"urn:a"}
     assert hits("FLOOR(?v) = 0") == set()  # non-numeric -> NULL -> no hit
+
+
+def test_hash_and_uri_builtins(spark):
+    import hashlib
+
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "v", lit_typed("Hello World~*")),
+        ],
+    )
+    md5 = hashlib.md5(b"Hello World~*").hexdigest()
+    sha256 = hashlib.sha256(b"Hello World~*").hexdigest()
+    select = (
+        "SELECT $this WHERE { "
+        f"$this <{EX}v> ?v . "
+        f'FILTER (MD5(?v) = "{md5}" && SHA256(?v) = "{sha256}" '
+        '&& ENCODE_FOR_URI(?v) = "Hello%20World~%2A") }'
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:a"}
 
 
 def test_datetime_accessors(spark):
