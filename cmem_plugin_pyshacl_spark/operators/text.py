@@ -311,9 +311,18 @@ def chunk_documents(
     if overlap < 0 or chunk_tokens <= overlap:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    base = documents.select(
-        F.col(id_col), _tokens(text_col).alias("_toks")
-    ).withColumn("_n", F.size("_toks"))
+    # split(trim(''), '\s+') yields [''] (and other whitespace-only text
+    # yields several empty strings — trim strips only spaces, not tabs),
+    # so drop empty tokens and zero-token documents explicitly, matching
+    # build_vocab's empty-token filter: no phantom chunks
+    base = (
+        documents.select(
+            F.col(id_col),
+            F.filter(_tokens(text_col), lambda t: t != "").alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+    )
     out = base.select(
         id_col,
         "_toks",

@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import contextvars
 import logging
+import re
 import weakref
 from dataclasses import dataclass, field
 
@@ -2723,8 +2724,15 @@ def validate(
 
         for scs in sparql_map.values():
             for sc in scs:
+                # property ASK validators may pre-bind $value in triple
+                # patterns; the evaluator substitutes $value->?value before
+                # parsing, so this collection-time parse must match or a
+                # supported body would raise here
                 blk = (
-                    parse_ask(sc.ask, allow_pattern_free=sc.path is not None)
+                    parse_ask(
+                        re.sub(r"\$value\b", "?value", sc.ask),
+                        allow_pattern_free=sc.path is not None,
+                    )
                     if sc.ask is not None
                     else parse_select(sc.select)[1]
                 )

@@ -109,6 +109,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..data_model import (
     KIND_BNODE,
@@ -2437,8 +2438,16 @@ def _apply_order_limit(
     numerically when the value parses as a number, lexically otherwise
     (two physical sort columns per key). ORDER BY without LIMIT is a
     no-op downstream (every consumer is unordered) but validates its
-    keys; LIMIT compiles to TakeOrderedAndProject — a per-partition
-    top-k heap plus a k-row driver merge, never a full sort shuffle."""
+    keys.
+
+    In a ``$this``-pre-bound context (has_this) the query is conceptually
+    evaluated once PER focus node (SHACL-AF pre-binding, pySHACL
+    behavior), so ``LIMIT k`` is a per-focus top-k — a global limit would
+    keep one focus node's solutions and silently drop every other focus
+    node's violations. Compiled as a row_number window partitioned by
+    ``this`` (one shuffle on the focus key, no global sort). Only
+    focus-free frames (target selects, non-$this subqueries) take the
+    global TakeOrderedAndProject path."""
     if not q.order_by and q.limit is None:
         return frame
     sort_cols: list[Column] = []
@@ -2453,7 +2462,22 @@ def _apply_order_limit(
             )
         for c in (base.try_cast("double"), base):
             sort_cols.append(c.desc() if desc else c.asc())
-    out = frame.orderBy(*sort_cols)
+    if q.limit is not None and has_this and "this" in frame.columns:
+        # deterministic tie-break over the remaining solution columns so
+        # re-runs (and resume) pick the same k rows when sort keys tie
+        tie = [
+            F.col(c).asc()
+            for c in sorted(frame.columns)
+            if c != "this" and c.endswith("__value")
+        ]
+        order = (sort_cols + tie) or [F.lit(1)]
+        w = Window.partitionBy("this").orderBy(*order)
+        return (
+            frame.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= q.limit)
+            .drop("__rn")
+        )
+    out = frame.orderBy(*sort_cols) if sort_cols else frame
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

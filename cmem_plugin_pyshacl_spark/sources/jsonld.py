@@ -73,6 +73,15 @@ def _node_rows(obj: dict, graph, part_id: int) -> list[tuple]:
         if isinstance(v, int):
             return (str(v), _XSD_INTEGER)
         if isinstance(v, float):
+            # stdlib json.loads accepts the non-standard NaN/Infinity
+            # tokens; repr() would yield 'nan'/'inf', which are NOT valid
+            # xsd:double lexical forms — map to the XSD ones (NaN/INF/-INF)
+            if v != v:
+                return ("NaN", _XSD_DOUBLE)
+            if v == float("inf"):
+                return ("INF", _XSD_DOUBLE)
+            if v == float("-inf"):
+                return ("-INF", _XSD_DOUBLE)
             return (repr(v), _XSD_DOUBLE)
         if isinstance(v, str):
             # plain literal: datatype None, the relation's minimal form —

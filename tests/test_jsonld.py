@@ -84,6 +84,20 @@ def test_jsonld_reader_bare_scalars_and_type_keyword(spark):
     assert ("urn:x", EX + "one", "literal", "v", None, None) in got
 
 
+def test_jsonld_reader_nonfinite_floats_use_xsd_lexical_forms(spark):
+    """stdlib json.loads accepts the non-standard NaN/Infinity tokens;
+    the reader must emit the XSD double lexical forms (NaN/INF/-INF),
+    never repr()'s 'nan'/'inf'/'-inf'."""
+    lines = spark.createDataFrame(
+        [('{"@id": "urn:x", "%sp": [NaN, Infinity, -Infinity]}' % EX,)],
+        "line string",
+    )
+    got = _term_set(from_jsonld(lines))
+    assert ("urn:x", EX + "p", "literal", "NaN", XSD + "double", None) in got
+    assert ("urn:x", EX + "p", "literal", "INF", XSD + "double", None) in got
+    assert ("urn:x", EX + "p", "literal", "-INF", XSD + "double", None) in got
+
+
 def test_jsonld_reader_subset_errors(spark):
     for bad, msg in (
         ({"@id": "urn:x", "@graph": []}, "@graph"),

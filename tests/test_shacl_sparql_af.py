@@ -1843,3 +1843,146 @@ def test_sparql_target_aggregate(spark):
     )
     res = validate(spark, data, shapes, advanced=True).collect()
     assert {r.focusNode for r in res} == {"urn:a"}
+
+
+# ---- round 4: $this pre-binding semantics for ORDER BY / LIMIT ----
+
+
+def _scored(spark):
+    return triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "score", lit_typed("9", XSD_INTEGER)),
+            ("urn:a", EX + "score", lit_typed("30", XSD_INTEGER)),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "score", lit_typed("4", XSD_INTEGER)),
+            ("urn:b", EX + "score", lit_typed("7", XSD_INTEGER)),
+            ("urn:c", RDF_TYPE, iri(EX + "Person")),
+            ("urn:c", EX + "score", lit_typed("100", XSD_INTEGER)),
+        ],
+    )
+
+
+def test_order_limit_is_per_focus_node(spark):
+    """pySHACL evaluates sh:sparql once PER focus node with $this
+    pre-bound, so ORDER BY DESC(?s) LIMIT 1 reports the top solution of
+    EVERY focus node — a global limit would keep one focus node's row
+    and silently drop every other focus node's violations."""
+    select = (
+        "SELECT $this ?s WHERE { "
+        f"$this <{EX}score> ?s }} ORDER BY DESC(?s) LIMIT 1"
+    )
+    res = validate(
+        spark, _scored(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:a", "30"),
+        ("urn:b", "7"),
+        ("urn:c", "100"),
+    }
+
+
+def test_order_limit_per_focus_after_aggregation(spark):
+    """GROUP BY $this ORDER BY DESC(?n) LIMIT 1: after the per-focus
+    aggregation each focus has one row — per-focus LIMIT keeps them all
+    (the ADVICE under-reporting scenario)."""
+    select = (
+        "SELECT $this (COUNT(?s) AS ?n) WHERE { "
+        f"$this <{EX}score> ?s }} GROUP BY $this "
+        "ORDER BY DESC(?n) LIMIT 1"
+    )
+    res = validate(
+        spark, _scored(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:a", "2"),
+        ("urn:b", "2"),
+        ("urn:c", "1"),
+    }
+
+
+def test_subquery_limit_per_focus_when_this_bound(spark):
+    """A $this-mentioning subquery with ORDER BY/LIMIT is a per-focus
+    top-k (seeded per focus, limited per focus), not one global cut."""
+    select = (
+        "SELECT $this ?s WHERE { "
+        f"$this a <{EX}Person> . "
+        f"{{ SELECT ?s WHERE {{ $this <{EX}score> ?s }} "
+        "ORDER BY DESC(?s) LIMIT 1 } }"
+    )
+    res = validate(
+        spark, _scored(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:a", "30"),
+        ("urn:b", "7"),
+        ("urn:c", "100"),
+    }
+
+
+def test_subquery_limit_stays_global_without_this(spark):
+    """A focus-free subquery evaluates bottom-up ONCE over the graph —
+    its LIMIT is a global top-k shared by all focus nodes (standard
+    SPARQL 1.1 bottom-up subquery semantics, unchanged by pre-binding)."""
+    select = (
+        "SELECT $this ?s WHERE { "
+        f"$this <{EX}score> ?s . "
+        f"{{ SELECT DISTINCT ?s WHERE {{ ?p <{EX}score> ?s }} "
+        "ORDER BY DESC(?s) LIMIT 2 } }"
+    )
+    res = validate(
+        spark, _scored(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    # global top-2 distinct scores are 100 and 30
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:c", "100"),
+        ("urn:a", "30"),
+    }
+
+
+def test_property_ask_validator_value_in_pattern(spark):
+    """ASK propertyValidator whose body uses $value in a TRIPLE PATTERN
+    (not just a FILTER): each value node must carry the status required
+    by the component parameter. Regression: the collection-time parse in
+    validate() must apply the same $value->?value substitution as the
+    evaluator, or this supported body raises at compile time."""
+    shapes = triples_from_rows(
+        spark,
+        [
+            ("urn:comp2", RDF_TYPE, iri(SH + "ConstraintComponent")),
+            ("urn:comp2", SH + "parameter", iri("urn:comp2/p1")),
+            ("urn:comp2/p1", SH + "path", iri(EX + "requireStatus")),
+            ("urn:comp2", SH + "propertyValidator", iri("urn:comp2/v")),
+            (
+                "urn:comp2/v",
+                SH + "ask",
+                lit_typed(
+                    f"ASK {{ $value <{EX}status> ?s . "
+                    "FILTER (?s = $requireStatus) }"
+                ),
+            ),
+            ("urn:comp2/v", SH + "message", lit_typed("inactive dept")),
+            (EX + "NS2", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "NS2", SH + "targetClass", iri(EX + "Person")),
+            (EX + "NS2", SH + "property", iri(EX + "NS2/p")),
+            (EX + "NS2/p", SH + "path", iri(EX + "dept")),
+            (EX + "NS2/p", EX + "requireStatus", lit_typed("active")),
+        ],
+    )
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "dept", iri("urn:d1")),
+            ("urn:d1", EX + "status", lit_typed("active")),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "dept", iri("urn:d2")),
+            ("urn:d2", EX + "status", lit_typed("closed")),
+        ],
+    )
+    res = validate(spark, data, shapes, advanced=True).collect()
+    assert {(r.focusNode, r.value, r.resultPath) for r in res} == {
+        ("urn:b", "urn:d2", EX + "dept"),
+    }
+    assert res[0].resultMessage == "inactive dept"

@@ -388,6 +388,21 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert joined == text
 
 
+def test_chunk_documents_empty_and_null_docs_emit_no_chunks(spark):
+    """split(trim(''), '\\s+') yields [''] — an empty/whitespace-only (or
+    NULL) document must produce ZERO chunks, not a phantom ('', 1) row."""
+    from cmem_plugin_pyshacl_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   \t  "), (3, None), (4, "one two")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    assert [(r.doc_id, r.chunk_text, r.n_tokens) for r in rows] == [
+        (4, "one two", 2)
+    ]
+
+
 def test_chunk_documents_rejects_bad_overlap(spark):
     import pytest
 
