@@ -204,6 +204,65 @@ def srp_candidate_pairs(
     return pairs.distinct()
 
 
+def train_ivf_centroids(
+    vectors: list[list[float]],
+    n_centroids: int = 16,
+    seed: int = 42,
+    iters: int = 20,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means (numpy float64) for the IVF coarse
+    quantizer. Training the quantizer on a bounded, driver-side sample is
+    the standard IVF recipe at corpus scale (FAISS trains on a ~1M-vector
+    sample regardless of index size); determinism — seeded init, fixed
+    iteration cap, argmin ties to the lowest cell index — makes the cell
+    assignment reproducible across engines, so an independent SQL oracle
+    can inline these centroids as literals and recompute the assignment."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    if len(X) < n_centroids:
+        raise ValueError("need at least n_centroids training vectors")
+    rng = np.random.RandomState(seed)
+    idx = np.sort(rng.choice(len(X), size=n_centroids, replace=False))
+    C = X[idx].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # ties -> first (lowest) index
+        new_c = np.vstack(
+            [
+                X[assign == j].mean(axis=0) if np.any(assign == j) else C[j]
+                for j in range(n_centroids)
+            ]
+        )
+        if np.array_equal(new_c, C):
+            break
+        C = new_c
+    return [[float(x) for x in row] for row in C]
+
+
+def _sq_dist(vec: Column, center: list[float]) -> Column:
+    lit = F.array(*[F.lit(x) for x in center])
+    return F.aggregate(
+        F.zip_with(vec.cast("array<double>"), lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of (distance, cell) structs, distance rounded to 9 dp before
+    any comparison — same stabilization as srp_bucket, so assignment and
+    probe choice agree across summation orders (re-runs, other engines)."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(_sq_dist(vec, c), 9).alias("d"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -213,57 +272,68 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
-    partitions the corpus into n_centroids cells; each query probes its
-    n_probe nearest cells and re-ranks exactly by cosine inside them.
+    """IVF (inverted-file) approximate top-k: a coarse quantizer partitions
+    the corpus into n_centroids cells; each query probes its n_probe
+    nearest cells and re-ranks exactly by cosine inside them.
 
     The second ANN scale path next to SRP-LSH (lsh_topk): at 100 TB the
-    corpus is scanned once to assign cells (one ML transform, then
+    corpus is scanned once to assign cells (a small array expression —
+    whole-stage codegen, no ML transform needed at assignment time — then
     cell-partitioned storage), and each query touches n_probe/n_centroids
     of the data. The centroid table is tiny and handled driver-side; the
     probe join is a broadcast of (query × n_probe) rows against the
     cell-keyed corpus.
 
+    ``centroids``: precomputed quantizer (see train_ivf_centroids) — the
+    deterministic, oracle-reproducible path. When None, a Spark-ML KMeans
+    is trained on the corpus (convenient, but its k-means|| result can
+    depend on partitioning).
+
     Returns DataFrame[query_id, neighbor_id, cosine, rank].
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    c_base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    c_feat = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(c_feat)
-    assigned = model.transform(c_feat).select(
-        "neighbor_id", "c_vec", F.col("prediction").alias("cell")
-    )
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+        c_feat = c_base.withColumn(
+            "features", array_to_vector(F.col("c_vec").cast("array<double>"))
+        )
+        model = KMeans(
+            k=n_centroids, seed=seed, featuresCol="features"
+        ).fit(c_feat)
+        assigned = model.transform(c_feat).select(
+            "neighbor_id", "c_vec", F.col("prediction").alias("cell")
+        )
+        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    else:
+        n_centroids = len(centroids)
+        assigned = c_base.select(
+            "neighbor_id",
+            "c_vec",
+            F.array_sort(_cell_dists(F.col("c_vec"), centroids))[0][
+                "cell"
+            ].alias("cell"),
+        )
 
     # per-query distance to every centroid (few centroids -> a small array
     # expression), keep the n_probe nearest cells
-    def _sq_dist(vec: Column, center: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(vec.cast("array<double>"), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    dists = F.array(
-        *[
-            F.struct(
-                _sq_dist(F.col("q_vec"), c).alias("d"), F.lit(i).alias("cell")
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
     probes = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
-        .withColumn("_near", F.slice(F.array_sort(dists), 1, n_probe))
+        .withColumn(
+            "_near",
+            F.slice(
+                F.array_sort(_cell_dists(F.col("q_vec"), centroids)),
+                1,
+                n_probe,
+            ),
+        )
         .select(
             "query_id", "q_vec", F.explode(F.col("_near.cell")).alias("cell")
         )

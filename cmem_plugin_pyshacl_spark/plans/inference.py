@@ -1232,9 +1232,10 @@ def consistency_report(
         )
     )
 
-    # --- maxCardinality-0 restrictions and negative property assertions:
-    # schema rows are tiny and collected driver-side (full term preserved
-    # for owl:targetValue); instance checks are one broadcast join each.
+    # --- maxCardinality-0 restrictions: schema rows are tiny (restriction
+    # bnodes in the ontology) and collected driver-side. NPA reifications
+    # are deliberately NOT collected — they are instance-scale assertions
+    # (a graph can carry millions), handled below as pure joins.
     extra = (
         schema_src.filter(
             F.col("p").isin(
@@ -1243,10 +1244,6 @@ def consistency_report(
                     OWL_MAX_QCARD,
                     OWL_ON_PROPERTY,
                     OWL_ON_CLASS,
-                    OWL_SRC_INDIVIDUAL,
-                    OWL_ASSERTION_PROP,
-                    OWL_TGT_INDIVIDUAL,
-                    OWL_TGT_VALUE,
                 ]
             )
         )
@@ -1258,10 +1255,6 @@ def consistency_report(
     on_cls: dict[str, str] = {}
     max0: set[str] = set()
     maxq0: set[str] = set()
-    npa_src: dict[str, str] = {}
-    npa_prop: dict[str, str] = {}
-    npa_tgt_i: dict[str, str] = {}
-    npa_tgt_v: dict[str, tuple[str, str | None, str | None]] = {}
     for r in extra:
         if r.p == OWL_ON_PROPERTY:
             on_prop[r.s] = r.o_value
@@ -1271,14 +1264,6 @@ def consistency_report(
             max0.add(r.s)
         elif r.p == OWL_MAX_QCARD and r.o_value.strip() == "0":
             maxq0.add(r.s)
-        elif r.p == OWL_SRC_INDIVIDUAL:
-            npa_src[r.s] = r.o_value
-        elif r.p == OWL_ASSERTION_PROP:
-            npa_prop[r.s] = r.o_value
-        elif r.p == OWL_TGT_INDIVIDUAL:
-            npa_tgt_i[r.s] = r.o_value
-        elif r.p == OWL_TGT_VALUE:
-            npa_tgt_v[r.s] = (r.o_value, r.o_datatype, r.o_lang)
 
     # cls-maxc1 (+ cls-maxqc2's owl:Thing-qualified case, which is the
     # same rule): any (x p y) while x is typed with the 0-restriction
@@ -1323,44 +1308,64 @@ def consistency_report(
         )
         outs.append(row(hit, F.col("s"), "cls-maxqc2", F.col("restr_p")))
 
-    # prp-npa1 / prp-npa2
-    npa_iri = sorted(
-        (npa_src[k], npa_prop[k], npa_tgt_i[k])
-        for k in npa_src
-        if k in npa_prop and k in npa_tgt_i
+    # prp-npa1 / prp-npa2 — NPA reifications are ASSERTIONS, not schema:
+    # a graph may carry millions, so they never touch the driver. Pivot
+    # the reification rows into one (source, property, target…) row per
+    # NPA node with a conditional aggregate, then equi-join against the
+    # data slice; broadcast is left to Catalyst/AQE's size estimate (the
+    # pivoted frame is small for ontology-held NPAs, data-scale for bulk
+    # reifications — exactly the case a forced broadcast hint would OOM).
+    npa_rows = schema_src.filter(
+        F.col("p").isin(
+            [
+                OWL_SRC_INDIVIDUAL,
+                OWL_ASSERTION_PROP,
+                OWL_TGT_INDIVIDUAL,
+                OWL_TGT_VALUE,
+            ]
+        )
+    ).select("s", "p", "o_value", "o_datatype", "o_lang")
+
+    def _first(pred: str, col: str) -> F.Column:
+        # deterministic pick for malformed multi-valued reifications
+        return F.min(F.when(F.col("p") == pred, F.col(col)))
+
+    npa = npa_rows.groupBy("s").agg(
+        _first(OWL_SRC_INDIVIDUAL, "o_value").alias("ni"),
+        _first(OWL_ASSERTION_PROP, "o_value").alias("np"),
+        _first(OWL_TGT_INDIVIDUAL, "o_value").alias("nj"),
+        _first(OWL_TGT_VALUE, "o_value").alias("nv"),
+        _first(OWL_TGT_VALUE, "o_datatype").alias("nd"),
+        _first(OWL_TGT_VALUE, "o_lang").alias("nl"),
     )
-    if npa_iri:
-        ni = spark.createDataFrame(npa_iri, "ni string, np string, nj string")
-        hit = data.filter(resources).join(
-            F.broadcast(ni),
-            (F.col("s") == F.col("ni"))
-            & (F.col("p") == F.col("np"))
-            & (F.col("o_value") == F.col("nj")),
-            "inner",
-        )
-        outs.append(row(hit, F.col("s"), "prp-npa1", F.col("p")))
-    npa_lit = sorted(
-        (
-            (npa_src[k], npa_prop[k], *npa_tgt_v[k])
-            for k in npa_src
-            if k in npa_prop and k in npa_tgt_v
-        ),
-        key=lambda t: tuple(x or "" for x in t),
+    ni = npa.filter(
+        F.col("ni").isNotNull()
+        & F.col("np").isNotNull()
+        & F.col("nj").isNotNull()
+    ).select("ni", "np", "nj").distinct()
+    hit = data.filter(resources).join(
+        ni,
+        (F.col("s") == F.col("ni"))
+        & (F.col("p") == F.col("np"))
+        & (F.col("o_value") == F.col("nj")),
+        "left_semi",
     )
-    if npa_lit:
-        nv = spark.createDataFrame(
-            npa_lit, "ni string, np string, nv string, nd string, nl string"
-        )
-        hit = data.filter(F.col("o_kind") == KIND_LITERAL).join(
-            F.broadcast(nv),
-            (F.col("s") == F.col("ni"))
-            & (F.col("p") == F.col("np"))
-            & (F.col("o_value") == F.col("nv"))
-            & F.col("o_datatype").eqNullSafe(F.col("nd"))
-            & F.col("o_lang").eqNullSafe(F.col("nl")),
-            "inner",
-        )
-        outs.append(row(hit, F.col("s"), "prp-npa2", F.col("p")))
+    outs.append(row(hit, F.col("s"), "prp-npa1", F.col("p")))
+    nv = npa.filter(
+        F.col("ni").isNotNull()
+        & F.col("np").isNotNull()
+        & F.col("nv").isNotNull()
+    ).select("ni", "np", "nv", "nd", "nl").distinct()
+    hit = data.filter(F.col("o_kind") == KIND_LITERAL).join(
+        nv,
+        (F.col("s") == F.col("ni"))
+        & (F.col("p") == F.col("np"))
+        & (F.col("o_value") == F.col("nv"))
+        & F.col("o_datatype").eqNullSafe(F.col("nd"))
+        & F.col("o_lang").eqNullSafe(F.col("nl")),
+        "left_semi",
+    )
+    outs.append(row(hit, F.col("s"), "prp-npa2", F.col("p")))
 
     # eq-diff1: both predicates are symmetric, so normalize each edge to
     # its sorted endpoint pair before the join — one equi-join catches

@@ -1291,10 +1291,11 @@ def _visible_subselect_proj(block: _Block) -> set[str]:
 
 @dataclass(frozen=True)
 class _Agg:
-    fn: str  # 'count' | 'sum' | 'min' | 'max' | 'avg'
+    fn: str  # 'count' | 'sum' | 'min' | 'max' | 'avg' | 'sample' | 'group_concat'
     var: str | None  # None = COUNT(*)
     distinct: bool
     alias: str
+    sep: str = " "  # GROUP_CONCAT separator (SPARQL default: single space)
 
 
 @dataclass(frozen=True)
@@ -1314,24 +1315,33 @@ class _SelectQuery:
 
 
 _AGG_PROJ_RE = re.compile(
-    r"\(\s*(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<d>DISTINCT\s+)?"
-    r"(?P<arg>\?[A-Za-z_]\w*|\*)\s*\)\s+AS\s+\?(?P<alias>[A-Za-z_]\w*)\s*\)",
+    r"\(\s*(?P<fn>COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)\s*\(\s*"
+    r"(?P<d>DISTINCT\s+)?(?P<arg>\?[A-Za-z_]\w*|\*)\s*"
+    r"(?:;\s*SEPARATOR\s*=\s*\"(?P<sep>(?:[^\"\\]|\\.)*)\"\s*)?"
+    r"\)\s+AS\s+\?(?P<alias>[A-Za-z_]\w*)\s*\)",
     re.I,
 )
 _AGG_CALL_RE = re.compile(
-    r"\b(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<d>DISTINCT\s+)?"
-    r"(?P<arg>\?[A-Za-z_]\w*|\*)\s*\)",
+    r"\b(?P<fn>COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)\s*\(\s*"
+    r"(?P<d>DISTINCT\s+)?(?P<arg>\?[A-Za-z_]\w*|\*)\s*\)",
     re.I,
 )
 
 
 def _mk_agg(mm: re.Match, alias: str) -> _Agg:
     arg = mm.group("arg")
+    sep = mm.groupdict().get("sep")
+    if sep is not None:
+        sep = sep.replace('\\"', '"').replace("\\\\", "\\")
+    fn = mm.group("fn").lower()
+    if sep is not None and fn != "group_concat":
+        raise ValueError("SEPARATOR is only valid inside GROUP_CONCAT")
     return _Agg(
-        mm.group("fn").lower(),
+        fn,
         None if arg == "*" else arg[1:],
         bool(mm.group("d")),
         alias,
+        " " if sep is None else sep,
     )
 
 
@@ -1561,6 +1571,17 @@ class _Val:
     lang: Column
 
 
+_NUMERIC_DTS = [
+    XSD + t
+    for t in (
+        "integer", "decimal", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "positiveInteger", "negativeInteger",
+        "nonPositiveInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte",
+    )
+]
+
+
 def _cmp_cols(a: Column, b: Column, op: str) -> Column:
     # try_cast, not cast: ANSI mode (Spark 4 default) makes cast THROW on
     # non-numeric strings; the contract is "numeric when both sides parse"
@@ -1571,6 +1592,27 @@ def _cmp_cols(a: Column, b: Column, op: str) -> Column:
     s = {"=": a == b, "!=": a != b, "<": a < b,
          "<=": a <= b, ">": a > b, ">=": a >= b}[op]
     return F.when(num_ok, num).otherwise(s)
+
+
+def _cmp_vals(a: _Val, b: _Val, op: str) -> Column:
+    """Datatype-aware comparison (SPARQL §17.3 operator mapping): an
+    operand that CLAIMS a numeric datatype but whose lexical form does not
+    parse ('n/a'^^xsd:integer) is a TYPE ERROR — the solution drops
+    (NULL), never a string fallback (pySHACL/rdflib behavior). Well-formed
+    terms and literals with no numeric claim keep the engine's documented
+    contract: numeric when both sides parse as numbers, lexical
+    otherwise (so plain "hello" < 3 still falls back lexically rather
+    than erroring — the pre-round-4 contract the test corpus pins)."""
+    an, bn = a.value.try_cast("double"), b.value.try_cast("double")
+    a_err = (
+        F.coalesce(a.datatype.isin(_NUMERIC_DTS), F.lit(False)) & an.isNull()
+    )
+    b_err = (
+        F.coalesce(b.datatype.isin(_NUMERIC_DTS), F.lit(False)) & bn.isNull()
+    )
+    return F.when(
+        a_err | b_err, F.lit(None).cast("boolean")
+    ).otherwise(_cmp_cols(a.value, b.value, op))
 
 
 class _FilterParser:
@@ -1686,7 +1728,7 @@ class _FilterParser:
                 f"expected comparison operator in FILTER expression {self.raw!r}"
             )
         b = self._additive()
-        return _cmp_cols(a.value, b.value, op[1])
+        return _cmp_vals(a, b, op[1])
 
     def _in_list(self, a: _Val, negated: bool) -> Column:
         """SPARQL IN / NOT IN: disjunction of = comparisons (value
@@ -1694,9 +1736,9 @@ class _FilterParser:
         self._expect("(")
         cond: Column = F.lit(False)
         if self._peek()[1] != ")":
-            cond = _cmp_cols(a.value, self._additive().value, "=")
+            cond = _cmp_vals(a, self._additive(), "=")
             while self._accept(","):
-                cond = cond | _cmp_cols(a.value, self._additive().value, "=")
+                cond = cond | _cmp_vals(a, self._additive(), "=")
         self._expect(")")
         return ~cond if negated else cond
 
@@ -1949,6 +1991,42 @@ class _FilterParser:
 
             return _Val(
                 pick("value"), pick("kind"), pick("datatype"), pick("lang")
+            )
+        if kind == "name" and text.lower() in ("strdt", "strlang"):
+            # SPARQL §17.4.2.7/.8 term constructors: a typed / lang-tagged
+            # literal from a lexical form. The datatype argument may be an
+            # IRI constant or any IRI-valued expression.
+            fn = text.lower()
+            self._expect("(")
+            lex = self._additive()
+            self._expect(",")
+            second = self._additive()
+            self._expect(")")
+            if fn == "strdt":
+                return _Val(
+                    lex.value,
+                    F.when(lex.value.isNotNull(), F.lit(KIND_LITERAL)),
+                    F.when(lex.value.isNotNull(), second.value),
+                    F.lit(None).cast("string"),
+                )
+            return _Val(
+                lex.value,
+                F.when(lex.value.isNotNull(), F.lit(KIND_LITERAL)),
+                F.lit(None).cast("string"),
+                F.when(lex.value.isNotNull(), F.lower(second.value)),
+            )
+        if kind == "name" and text.lower() in ("iri", "uri"):
+            # IRI(str): constructs an IRI term from a string (absolute
+            # IRIs only in this engine — there is no base to resolve
+            # against); an IRI argument passes through unchanged
+            self._expect("(")
+            inner = self._additive()
+            self._expect(")")
+            return _Val(
+                inner.value,
+                F.when(inner.value.isNotNull(), F.lit(KIND_IRI)),
+                F.lit(None).cast("string"),
+                F.lit(None).cast("string"),
             )
         if kind == "name" and text.lower() in _F_VALUE_FUNCS:
             fn = text.lower()
@@ -2721,6 +2799,8 @@ def _apply_aggregation(
         if a.var is None:
             if a.distinct:
                 raise ValueError("COUNT(DISTINCT *) is outside the subset")
+            if a.fn != "count":
+                raise ValueError(f"{a.fn.upper()}(*) is outside the subset")
             col = F.count(F.lit(1))
         else:
             if a.var not in bound_vars:
@@ -2730,9 +2810,34 @@ def _apply_aggregation(
             vcol = F.col(f"{a.var}__value")
             if a.fn == "count":
                 col = F.count_distinct(vcol) if a.distinct else F.count(vcol)
+            elif a.fn == "sample":
+                # SAMPLE picks an implementation-defined value; this
+                # engine picks the term with the smallest (value, kind,
+                # datatype, lang) tuple — deterministic across re-runs
+                # and resume. DISTINCT inside SAMPLE is a no-op.
+                col = F.min(
+                    F.struct(
+                        vcol.alias("v"),
+                        F.col(f"{a.var}__kind").alias("k"),
+                        F.col(f"{a.var}__datatype").alias("d"),
+                        F.col(f"{a.var}__lang").alias("l"),
+                    )
+                )
+                agg_exprs.append(col.alias(f"{a.alias}__samp"))
+                continue
+            elif a.fn == "group_concat":
+                # values are sorted before joining: SPARQL leaves
+                # GROUP_CONCAT order implementation-defined, and a sorted
+                # join is the only order stable under Spark's
+                # partition-nondeterministic collect_list
+                coll = (
+                    F.collect_set(vcol) if a.distinct else F.collect_list(vcol)
+                )
+                col = F.array_join(F.array_sort(coll), a.sep)
             elif a.distinct:
                 raise ValueError(
-                    "DISTINCT is only supported inside COUNT"
+                    "DISTINCT is only supported inside COUNT/SAMPLE/"
+                    "GROUP_CONCAT"
                 )
             else:
                 col = {
@@ -2748,6 +2853,30 @@ def _apply_aggregation(
     else:  # GROUP BY + HAVING without aggregates (target-select mode)
         out = bound.select(*keys).distinct()
     for a in all_aggs:
+        if a.fn == "sample":
+            samp = F.col(f"{a.alias}__samp")
+            out = (
+                out.withColumn(f"{a.alias}__value", samp["v"])
+                .withColumn(f"{a.alias}__kind", samp["k"])
+                .withColumn(f"{a.alias}__datatype", samp["d"])
+                .withColumn(f"{a.alias}__lang", samp["l"])
+                .drop(f"{a.alias}__samp")
+            )
+            continue
+        if a.fn == "group_concat":
+            # plain literal result (rdflib/pySHACL emit a plain literal)
+            vcol = F.col(f"{a.alias}__value")
+            out = (
+                out.withColumn(
+                    f"{a.alias}__kind",
+                    F.when(vcol.isNotNull(), F.lit(KIND_LITERAL)),
+                )
+                .withColumn(
+                    f"{a.alias}__datatype", F.lit(None).cast("string")
+                )
+                .withColumn(f"{a.alias}__lang", F.lit(None).cast("string"))
+            )
+            continue
         dt = XSD + ("integer" if a.fn == "count" else "double")
         vcol = F.col(f"{a.alias}__value")
         out = (
@@ -2799,9 +2928,17 @@ def evaluate_sparql_constraint(
     data: DataFrame,
     focus: DataFrame,
     sc: SparqlConstraint,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Compile the constraint's SELECT into a progressive BGP join from the
-    focus set and emit one RESULT_SCHEMA row per solution."""
+    focus set and emit one RESULT_SCHEMA row per solution.
+
+    ``dedupe=False`` skips the per-constraint dropDuplicates so a caller
+    holding a CATALOG of sh:sparql constraints can union the result
+    frames and dedupe once — one shuffle for the whole catalog instead
+    of one per constraint (round-3 verdict finding 3; sourceShape is a
+    result column, so a global all-column dedupe cannot merge rows
+    across constraints)."""
     q = parse_select_query(sc.select)
     proj, block = list(q.proj), q.block
     bound, bound_vars = eval_bgp(data, focus, block)
@@ -2823,7 +2960,7 @@ def evaluate_sparql_constraint(
         F.col(f"{value_var}__datatype") if value_var else F.lit(None).cast("string")
     )
     msg = sc.message or f"SPARQL constraint {sc.constraint_id} produced a solution"
-    return bound.select(
+    out = bound.select(
         F.col("this").alias("focusNode"),
         F.lit(sc.path).cast("string").alias("resultPath"),
         value_col.alias("value"),
@@ -2834,7 +2971,7 @@ def evaluate_sparql_constraint(
         F.col("part_id").alias("part_id"),
         value_kind.alias("value_kind"),
         value_dt.alias("value_datatype"),
-    ).dropDuplicates()
+    )
     # all-column dedupe, not a (focus, value, shape) subset: every other
     # column is constant per constraint or functionally dependent on the
     # focus node, EXCEPT value_kind/value_datatype — two solutions whose
@@ -2842,6 +2979,7 @@ def evaluate_sparql_constraint(
     # results (a subset dedupe would first() one away arbitrarily), and
     # a keys-only distinct stays in HashAggregate instead of the
     # SortAggregate that first()-over-strings forces
+    return out.dropDuplicates() if dedupe else out
 
 
 def evaluate_property_ask_constraint(

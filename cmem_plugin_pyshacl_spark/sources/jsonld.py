@@ -229,6 +229,201 @@ def to_jsonld(df: DataFrame) -> DataFrame:
     )
 
 
+_KEYWORDS = {"@id", "@type", "@value", "@language", "@list", "@graph",
+             "@reverse", "@context", "@base", "@vocab"}
+
+
+class JsonLdContextError(ValueError):
+    pass
+
+
+def _merge_context(ctx, merged: dict) -> dict:
+    """Fold one @context value (dict, or array of dicts) into the active
+    term map. Remote contexts (string URLs) raise — this engine performs
+    no network I/O (same posture as the reference's offline graph moves)."""
+    if ctx is None:
+        return merged
+    if isinstance(ctx, list):
+        for c in ctx:
+            merged = _merge_context(c, merged)
+        return merged
+    if isinstance(ctx, str):
+        raise JsonLdContextError(
+            f"remote @context {ctx!r} is outside the subset (inline it)"
+        )
+    if not isinstance(ctx, dict):
+        raise JsonLdContextError(f"unsupported @context value {ctx!r}")
+    out = dict(merged)
+    for term, defn in ctx.items():
+        if term in ("@base", "@vocab"):
+            if defn is not None and not isinstance(defn, str):
+                raise JsonLdContextError(f"{term} must be a string IRI")
+            out[term] = defn
+            continue
+        if isinstance(defn, str):
+            out[term] = {"@id": defn}
+        elif isinstance(defn, dict):
+            unknown = set(defn) - {"@id", "@type", "@language", "@container"}
+            if unknown:
+                raise JsonLdContextError(
+                    f"term {term!r} uses unsupported keys {sorted(unknown)}"
+                )
+            if defn.get("@container") not in (None, "@set"):
+                raise JsonLdContextError(
+                    f"term {term!r}: @container {defn['@container']!r} is "
+                    "outside the subset (@set is a no-op; @list is not "
+                    "supported downstream)"
+                )
+            out[term] = defn
+        elif defn is None:
+            out.pop(term, None)
+        else:
+            raise JsonLdContextError(
+                f"unsupported term definition for {term!r}: {defn!r}"
+            )
+    return out
+
+
+def _expand_iri(term: str, ctx: dict, vocab: bool) -> str:
+    """Resolve a term / compact IRI / relative IRI against the context.
+    ``vocab`` selects @vocab (predicate/type position) vs @base (@id
+    position) for bare names, per the JSON-LD 1.1 algorithm's split."""
+    if term.startswith("@"):
+        return term
+    if term in ctx and isinstance(ctx[term], dict):
+        iri_val = ctx[term].get("@id")
+        if iri_val is None:
+            raise JsonLdContextError(f"term {term!r} has no @id mapping")
+        # term definitions may themselves be compact IRIs ("ex:name") or
+        # bare @vocab names; re-expand unless self-referential
+        return iri_val if iri_val == term else _expand_iri(iri_val, ctx, True)
+    if ":" in term:
+        prefix, rest = term.split(":", 1)
+        if rest.startswith("//"):  # already an absolute IRI
+            return term
+        pdef = ctx.get(prefix)
+        if isinstance(pdef, dict) and "@id" in pdef:
+            return pdef["@id"] + rest
+        return term  # urn:…, mailto:… and other absolute schemes
+    if vocab and ctx.get("@vocab"):
+        return ctx["@vocab"] + term
+    if not vocab and ctx.get("@base"):
+        return ctx["@base"] + term
+    raise JsonLdContextError(
+        f"cannot expand {term!r}: no term definition, prefix, "
+        f"{'@vocab' if vocab else '@base'}, or absolute IRI"
+    )
+
+
+def _expand_value(v, term_def: dict | None, ctx: dict):
+    """Expand one value of a term to an expanded-form value object /
+    node reference / bare scalar (the shapes _node_rows accepts)."""
+    if isinstance(v, dict):
+        if "@value" in v:
+            out = {"@value": v["@value"]}
+            if "@type" in v:
+                out["@type"] = _expand_iri(v["@type"], ctx, True)
+            if "@language" in v:
+                out["@language"] = v["@language"]
+            extra = set(v) - {"@value", "@type", "@language"}
+            if extra:
+                raise JsonLdContextError(
+                    f"value object carries unsupported keys {sorted(extra)}"
+                )
+            return out
+        if set(v) == {"@id"}:
+            return {"@id": _expand_iri(v["@id"], ctx, False)}
+        raise JsonLdContextError(
+            "nested node objects are outside the subset "
+            f"(keys {sorted(v)})"
+        )
+    coercion = (term_def or {}).get("@type")
+    if coercion == "@id":
+        if not isinstance(v, str):
+            raise JsonLdContextError(f"@id-coerced value {v!r} is not a string")
+        return {"@id": _expand_iri(v, ctx, False)}
+    lang = (term_def or {}).get("@language")
+    if isinstance(v, str) and lang:
+        return {"@value": v, "@language": lang}
+    if isinstance(v, str) and coercion:
+        return {"@value": v, "@type": _expand_iri(coercion, ctx, True)}
+    return v  # bare scalar: native typing in _node_rows
+
+
+def expand_jsonld(doc, context: dict | None = None) -> list[dict]:
+    """Expand a COMPACTED JSON-LD document (inline ``@context``: prefix,
+    @vocab/@base, aliased and type-/language-coerced terms; top-level
+    ``@graph`` arrays) into the expanded node objects the NDJSON reader
+    accepts — closing the gap with the reference, whose rdflib parses any
+    JSON-LD (plugin_pyshacl.py:539-543 moves whole graphs through rdflib).
+
+    DRIVER-SIDE by design, same documented posture as sources/turtle.py:
+    a compacted document is one unsplittable JSON value, so distributing
+    the parse would serialize on one task anyway; this path is for the
+    kilobyte-to-megabyte shapes/ontology graphs. Bulk data stays on the
+    splittable expanded-NDJSON / N-Triples / parquet paths."""
+    ctx = _merge_context(context, {})
+    if isinstance(doc, list):
+        out: list[dict] = []
+        for node in doc:
+            out.extend(expand_jsonld(node, ctx))
+        return out
+    if not isinstance(doc, dict):
+        raise JsonLdContextError(f"expected a JSON-LD object, got {type(doc)}")
+    ctx = _merge_context(doc.get("@context"), ctx)
+    if "@graph" in doc:
+        extra = set(doc) - {"@context", "@graph"}
+        if extra:
+            raise JsonLdContextError(
+                f"@graph document carries unsupported keys {sorted(extra)}"
+            )
+        return expand_jsonld(doc["@graph"], ctx)
+    node: dict = {}
+    for key, vals in doc.items():
+        if key == "@context":
+            continue
+        if key == "@id" or (
+            isinstance(ctx.get(key), dict) and ctx[key].get("@id") == "@id"
+        ):
+            if not isinstance(vals, str):
+                raise JsonLdContextError(f"@id value {vals!r} is not a string")
+            node["@id"] = _expand_iri(vals, ctx, False)
+            continue
+        expanded_key = _expand_iri(key, ctx, True)
+        if expanded_key == "@type":
+            tlist = vals if isinstance(vals, list) else [vals]
+            node["@type"] = [_expand_iri(t, ctx, True) for t in tlist]
+            continue
+        if expanded_key in _KEYWORDS:
+            raise JsonLdContextError(
+                f"keyword {expanded_key} is outside the subset"
+            )
+        term_def = ctx.get(key) if isinstance(ctx.get(key), dict) else None
+        vlist = vals if isinstance(vals, list) else [vals]
+        node[expanded_key] = [
+            _expand_value(v, term_def, ctx) for v in vlist
+        ]
+    return [node]
+
+
+def read_jsonld_document(
+    spark,
+    text: str,
+    graph: str | None = None,
+    part_id: int = 0,
+) -> DataFrame:
+    """Parse a (possibly compacted) JSON-LD document string into the
+    triples relation: driver-side @context expansion (expand_jsonld) →
+    one NDJSON line per node → the distributed expanded reader."""
+    import json
+
+    nodes = expand_jsonld(json.loads(text))
+    lines = spark.createDataFrame(
+        [(json.dumps(n),) for n in nodes], "line string"
+    )
+    return from_jsonld(lines, graph=graph, part_id=part_id)
+
+
 def write_jsonld(df: DataFrame, path: str, single_file: bool = False) -> None:
     """Write NDJSON expanded JSON-LD text files; ``single_file`` trades
     parallel writers for the one-document convenience (same trade as the

@@ -815,3 +815,75 @@ def test_consistency_negative_property_assertions(spark):
     assert ("urn:a", "prp-npa1", EX + "knows") in got
     assert ("urn:d", "prp-npa2", EX + "age") in got
     assert not any(n == "urn:e" for n, _r, _d in got)
+
+
+def test_consistency_npa_bulk_no_driver_collect(spark, monkeypatch):
+    """NPA reifications are instance-scale ASSERTIONS, not schema: with
+    100k of them, consistency_report must never collect them to the
+    driver (join-based prp-npa plan) while still finding the planted
+    clashes. A spy on DataFrame.collect bounds every internal collect."""
+    from pyspark.sql import DataFrame as _DF
+
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        OWL_ASSERTION_PROP,
+        OWL_SRC_INDIVIDUAL,
+        OWL_TGT_INDIVIDUAL,
+        consistency_report,
+    )
+
+    n = 100_000
+    base = spark.range(n).selectExpr(
+        "concat('urn:npa:', id) AS npa",
+        "concat('urn:s:', id) AS src",
+        "concat('urn:o:', id) AS tgt",
+        "CAST(id % 16 AS INT) AS part",
+    )
+    nulls = (
+        "CAST(NULL AS STRING) AS o_datatype, CAST(NULL AS STRING) AS o_lang,"
+        " CAST(NULL AS STRING) AS graph"
+    )
+
+    def reif(pred: str, o_expr: str):
+        return base.selectExpr(
+            "npa AS s",
+            f"'{pred}' AS p",
+            "'iri' AS o_kind",
+            f"{o_expr} AS o_value",
+            *nulls.split(","),
+            "part AS part_id",
+        )
+
+    knows = "http://example.org/knows"
+    t = (
+        reif(OWL_SRC_INDIVIDUAL, "src")
+        .unionByName(reif(OWL_ASSERTION_PROP, f"'{knows}'"))
+        .unionByName(reif(OWL_TGT_INDIVIDUAL, "tgt"))
+        .unionByName(
+            # three edges that violate their NPAs; the rest of the graph
+            # has no matching assertions
+            spark.range(3).selectExpr(
+                "concat('urn:s:', id) AS s",
+                f"'{knows}' AS p",
+                "'iri' AS o_kind",
+                "concat('urn:o:', id) AS o_value",
+                *nulls.split(","),
+                "CAST(id AS INT) AS part_id",
+            )
+        )
+    )
+
+    sizes: list[int] = []
+    orig = _DF.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(_DF, "collect", spy)
+    got = {(r.node, r.rule) for r in consistency_report(t).collect()}
+    assert got == {(f"urn:s:{i}", "prp-npa1") for i in range(3)}
+    # every driver-side collect stayed schema-sized (the 100k reification
+    # rows and the final 3-row report are the only data-scale frames)
+    internal = sizes[:-1]
+    assert all(s <= 1000 for s in internal), internal

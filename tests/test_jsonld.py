@@ -119,3 +119,116 @@ def test_write_jsonld_distributed_files_roundtrip(spark, tmp_path):
     assert _term_set(back) == _term_set(data)
     # sanity vs the N-Triples surface: same term count either way
     assert back.count() == to_ntriples(data).count()
+
+
+# ---- round 4: compacted-document @context expansion (VERDICT r3 #6) ----
+
+
+def test_expand_compacted_document_nested_context(spark):
+    """A compacted document with an outer context (prefix, @base,
+    @id-coerced term) and a NESTED per-node context array (language- and
+    type-coerced terms) expands to exactly the triples the equivalent
+    expanded/NDJSON form yields."""
+    from cmem_plugin_pyshacl_spark.sources.jsonld import read_jsonld_document
+
+    doc = {
+        "@context": {
+            "ex": EX,
+            "name": "ex:name",
+            "knows": {"@id": "ex:knows", "@type": "@id"},
+            "@base": "urn:base:",
+        },
+        "@graph": [
+            {
+                "@context": [
+                    {"label": {"@id": "ex:label", "@language": "de"}},
+                    {
+                        "xsd": XSD,
+                        "age": {"@id": "ex:age", "@type": "xsd:integer"},
+                    },
+                ],
+                "@id": "a",
+                "@type": "ex:Person",
+                "name": "Alice",
+                "knows": "b",
+                "label": "hallo",
+                "age": "42",
+            },
+            {"@id": "urn:b", "ex:name": {"@value": "plain"}},
+        ],
+    }
+    got = read_jsonld_document(spark, json.dumps(doc))
+    want = triples_from_rows(
+        spark,
+        [
+            ("urn:base:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:base:a", EX + "name", lit_typed("Alice")),
+            ("urn:base:a", EX + "knows", iri("urn:base:b")),
+            ("urn:base:a", EX + "label", lit_typed("hallo", None, "de")),
+            ("urn:base:a", EX + "age", lit_typed("42", XSD + "integer")),
+            ("urn:b", EX + "name", lit_typed("plain")),
+        ],
+    )
+    assert _term_set(got) == _term_set(want)
+
+
+def test_expand_compacted_vocab_and_roundtrip(spark):
+    """@vocab expands bare predicate/type names; the expanded frame
+    round-trips through the NDJSON writer unchanged."""
+    from cmem_plugin_pyshacl_spark.sources.jsonld import read_jsonld_document
+
+    doc = {
+        "@context": {"@vocab": EX},
+        "@id": "urn:v",
+        "@type": "Widget",
+        "size": 3,
+        "tag": ["x", "y"],
+    }
+    got = read_jsonld_document(spark, json.dumps(doc))
+    assert _term_set(got) == _term_set(
+        triples_from_rows(
+            spark,
+            [
+                ("urn:v", RDF_TYPE, iri(EX + "Widget")),
+                ("urn:v", EX + "size", lit_typed("3", XSD + "integer")),
+                ("urn:v", EX + "tag", lit_typed("x")),
+                ("urn:v", EX + "tag", lit_typed("y")),
+            ],
+        )
+    )
+    back = from_jsonld(to_jsonld(got))
+    assert _term_set(back) == _term_set(got)
+
+
+def test_expand_compacted_subset_errors(spark):
+    from cmem_plugin_pyshacl_spark.sources.jsonld import (
+        JsonLdContextError,
+        expand_jsonld,
+    )
+
+    for bad, msg in (
+        # remote contexts would require network I/O — explicit raise
+        ({"@context": "https://example.org/ctx", "@id": "urn:x"}, "remote"),
+        # @list containers are outside the subset end-to-end
+        (
+            {
+                "@context": {"p": {"@id": EX + "p", "@container": "@list"}},
+                "@id": "urn:x",
+                "p": [1],
+            },
+            "@container",
+        ),
+        # nested node objects (deep trees) are outside the subset
+        (
+            {
+                "@context": {"ex": EX},
+                "@id": "urn:x",
+                "ex:knows": {"@id": "urn:y", "ex:name": "deep"},
+            },
+            "nested node objects|outside the subset",
+        ),
+        # a term with no mapping, no prefix, no @vocab cannot expand
+        ({"@id": "urn:x", "plain": 1}, "cannot expand"),
+    ):
+        with pytest.raises(JsonLdContextError, match=msg):
+            expand_jsonld(bad)
