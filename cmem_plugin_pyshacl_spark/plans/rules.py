@@ -38,6 +38,7 @@ exactly like shape compilation (S1).
 from __future__ import annotations
 
 import logging
+from collections import namedtuple
 from dataclasses import dataclass
 from functools import reduce
 
@@ -49,7 +50,6 @@ from ..data_model import (
     KIND_LITERAL,
     RDF_TYPE,
     SH,
-    TRIPLES_SCHEMA,
     XSD,
 )
 from .shacl import (
@@ -398,6 +398,7 @@ def apply_rules(
     shapes_triples: DataFrame,
     iterate: bool = False,
     max_iterations: int = 25,
+    shapes_rows: list | None = None,
 ) -> DataFrame:
     """Expand sh:rule declarations over the data graph; returns data plus
     inferred triples (TRIPLES_SCHEMA; inferred rows carry the focus node's
@@ -405,15 +406,22 @@ def apply_rules(
 
     iterate=False (default, pySHACL's iterate_rules default): one ordered
     pass. iterate=True: repeat until no new triples or max_iterations,
-    logging a warning if the cap cuts off a still-producing ruleset."""
-    rows = shapes_triples.select(
-        "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"
-    ).collect()
+    logging a warning if the cap cuts off a still-producing ruleset.
+    shapes_rows: pre-collected shapes rows (shacl.collect_shapes_rows) —
+    validate() passes its one collected list so a rule-free advanced
+    validation costs zero extra Spark jobs here."""
+    rows = (
+        shapes_rows
+        if shapes_rows is not None
+        else shapes_triples.select(
+            "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"
+        ).collect()
+    )
     rules_by_shape = compile_rules(rows)
     if not rules_by_shape:
         return data_triples
 
-    compiled = compile_shapes(shapes_triples)
+    compiled = compile_shapes(shapes_triples, rows=rows)
     shape_map = {s.shape_id: s for s in compiled.shapes}
     # condition shapes may be referenced only from rules — compile them too
     missing = {
@@ -426,19 +434,17 @@ def apply_rules(
     if missing:
         # inline (untyped, targetless) condition shapes aren't picked up
         # by compile_shapes' node-shape scan — feed it the reachable rows
-        # plus a synthetic sh:NodeShape typing row per missing ref
+        # plus a synthetic sh:NodeShape typing row per missing ref, all
+        # driver-side (the shapes list is already collected)
         by_subject = index_rows(rows)
-        reach = sorted(set().union(*(_reachable(by_subject, m) for m in missing)))
-        cols = [fld.name for fld in TRIPLES_SCHEMA.fields]
-        subset = shapes_triples.select(*cols).filter(F.col("s").isin(reach))
-        typing = spark.createDataFrame(
-            [
-                (m, RDF_TYPE, KIND_IRI, SH + "NodeShape", None, None, None, None)
-                for m in sorted(missing)
-            ],
-            TRIPLES_SCHEMA,
-        )
-        extra = compile_shapes(subset.unionByName(typing))
+        reach = set().union(*(_reachable(by_subject, m) for m in missing))
+        _Row6 = namedtuple("_Row6", "s p o_kind o_value o_datatype o_lang")
+        subset_rows = [r for r in rows if r.s in reach]
+        typing_rows = [
+            _Row6(m, RDF_TYPE, KIND_IRI, SH + "NodeShape", None, None)
+            for m in sorted(missing)
+        ]
+        extra = compile_shapes(None, rows=subset_rows + typing_rows)
         for s in extra.shapes:
             shape_map.setdefault(s.shape_id, s)
 

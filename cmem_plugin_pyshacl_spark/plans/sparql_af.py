@@ -37,8 +37,13 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     regex(expr, "pattern"[, "flags"]) with i/s/m flags;
     STRSTARTS/STRENDS/CONTAINS; [NOT] IN lists; the term accessors
     str(), datatype() (RDF 1.1: rdf:langString / xsd:string defaults),
-    lang(), langMatches(lang(?v), "range") incl. the "*" range; and the
-    value functions STRLEN/UCASE/LCASE/CONCAT/ABS.
+    lang(), langMatches(lang(?v), "range") incl. the "*" range; the
+    value functions STRLEN/UCASE/LCASE/CONCAT/ABS; the term constructors
+    STRDT/STRLANG/IRI()/URI(); the generators NOW() (fixed per query) /
+    UUID() / STRUUID() / BNODE() (fresh per solution); and the timezone
+    accessors TIMEZONE() (xsd:dayTimeDuration; type error when the
+    dateTime carries no zone) / TZ() (simple literal, "" when absent) —
+    both read the zone from the stored lexical form.
   * BIND(expr AS ?var) over the same value-expression subset — evaluated
     after the group's patterns/nested groups, before its FILTERs; a
     NULL-evaluating expression leaves the variable unbound. The bound
@@ -64,8 +69,13 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     pre-bound $this), projected to their SELECT list (inner helper
     variables never escape), joined to the enclosing group on shared
     visible variables; no shared variable means the SPARQL cross
-    product (the global-aggregate idiom). Subqueries inside UNION
-    branches raise.
+    product (the global-aggregate idiom). A subquery may also stand as
+    a whole UNION branch (``{ SELECT … } UNION { … }``).
+  * GRAPH <iri> { … } — the sub-group (any nesting) evaluates against
+    the one-graph slice of the triples frame (pushed-down filter on the
+    ``graph`` column) — and GRAPH ?g { … } — plain patterns + FILTERs,
+    every pattern joined through ?g so the block co-locates in one named
+    graph per solution and ?g binds to the graph IRI.
   * VALUES ?v { t1 t2 } and VALUES (?a ?b) { (t1 t2) (UNDEF t3) } inline
     data, compiled to a zero-shuffle OR-of-ANDs predicate (the inline
     table is query-text-sized); UNDEF is a wildcard, term matching is
@@ -189,6 +199,7 @@ class _Block:
     binds: tuple = ()  # tuple[(var: str, raw_expr: str), ...]
     values_clauses: tuple = ()  # tuple[_ValuesClause, ...]
     subselects: tuple = ()  # tuple[_SelectQuery, ...]
+    graphs: tuple = ()  # tuple[(name: _Term {iri|var}, _Block), ...]
 
     def all_patterns(self):
         """Every triple pattern of this block and its nested groups —
@@ -205,6 +216,8 @@ class _Block:
             yield from b.all_patterns()
         for b in self.groups:
             yield from b.all_patterns()
+        for _g, b in self.graphs:
+            yield from b.all_patterns()
 
     def all_subselects(self):
         """Every nested { SELECT ... } at any depth (including inside
@@ -219,6 +232,8 @@ class _Block:
         for b in self.minuses:
             yield from b.all_subselects()
         for b in self.groups:
+            yield from b.all_subselects()
+        for _g, b in self.graphs:
             yield from b.all_subselects()
         for q in self.subselects:
             yield from q.block.all_subselects()
@@ -371,21 +386,41 @@ def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
             out.append(("VALUES", _parse_values(vars_text, body[j + 1 : k])))
             i = k + 1
             continue
+        gm = re.match(r"GRAPH\b\s*", body[i:], re.I)
+        if gm and (i == 0 or not re.match(r"[\w?$]", body[i - 1])):
+            # GRAPH <iri> { … } / GRAPH ?g { … } — the named-graph
+            # selector over the triples frame's `graph` column (§1.1 data
+            # model; the reference's named-graph store maps to it)
+            j = i + gm.end()
+            tm = re.match(r"(<[^>\s]*>|[?$][A-Za-z_]\w*)\s*", body[j:])
+            if not tm:
+                raise ValueError(
+                    f"expected IRI or variable after GRAPH near {body[j:j+30]!r}"
+                )
+            gterm_text = tm.group(1)
+            j += tm.end()
+            if j >= n or body[j] != "{":
+                raise ValueError("expected '{' after GRAPH name")
+            k = _brace_end(body, j)
+            out.append(("GRAPH", (gterm_text, body[j + 1 : k])))
+            i = k + 1
+            continue
         if c == "{":
             k = _brace_end(body, i)
             inner0 = body[i + 1 : k]
             if re.match(r"\s*SELECT\b", inner0, re.I):
-                # nested { SELECT ... } subquery
                 k2 = k + 1
                 while k2 < n and body[k2].isspace():
                     k2 += 1
-                if re.match(r"UNION\b", body[k2:], re.I):
-                    raise ValueError(
-                        "subqueries inside UNION are not supported"
-                    )
-                out.append(("SUBSELECT", inner0))
-                i = k + 1
-                continue
+                if not re.match(r"UNION\b", body[k2:], re.I):
+                    # nested { SELECT ... } subquery
+                    out.append(("SUBSELECT", inner0))
+                    i = k + 1
+                    continue
+                # { SELECT … } UNION { … }: fall through to the
+                # alternation-chain collector — each branch (subquery or
+                # plain group) re-renders braced and _parse_group turns a
+                # SELECT-headed branch into a subselect-only block
             # bare sub-group, possibly the head of a {…} UNION {…} chain
             parts: list[str] = [inner0]
             i = k + 1
@@ -494,11 +529,13 @@ def _split_alternation(body: str) -> list[str] | None:
 def _parse_group(body: str) -> _Block:
     """Parse a group graph pattern into a _Block (recursive over nested
     OPTIONAL / FILTER [NOT] EXISTS groups and whole-group UNIONs)."""
+    if re.match(r"\s*SELECT\b", body, re.I):
+        # a UNION branch that is itself a subquery: { SELECT … } UNION …
+        return _Block(
+            (), (), (), (), subselects=(parse_select_query(body),)
+        )
     alts = _split_alternation(body)
     if alts is not None:
-        for a in alts:
-            if re.match(r"\s*SELECT\b", a, re.I):
-                raise ValueError("subqueries inside UNION are not supported")
         return _Block((), (), (), (), tuple(_parse_group(a) for a in alts))
     rest, groups = _extract_groups(body)
     patterns, filters, binds, path_groups = _parse_patterns(rest)
@@ -508,12 +545,22 @@ def _parse_group(body: str) -> _Block:
     minuses: list[_Block] = []
     values_clauses: list[_ValuesClause] = []
     subselects: list[_SelectQuery] = []
+    graphs: list[tuple] = []
     for kw, inner in groups:
         if kw == "VALUES":
             values_clauses.append(inner)
             continue
         if kw == "SUBSELECT":
             subselects.append(parse_select_query(inner))
+            continue
+        if kw == "GRAPH":
+            gterm_text, gbody = inner
+            gterm = _parse_term(gterm_text)
+            if gterm.kind not in ("iri", "var"):
+                raise ValueError(
+                    f"GRAPH name must be an IRI or variable, got {gterm_text!r}"
+                )
+            graphs.append((gterm, _parse_group(gbody)))
             continue
         sub = _parse_group(inner)
         if kw == "OPTIONAL":
@@ -535,6 +582,7 @@ def _parse_group(body: str) -> _Block:
         tuple(binds),
         tuple(values_clauses),
         tuple(subselects),
+        tuple(graphs),
     )
 
 
@@ -673,7 +721,9 @@ def _substitute_param(text: str, var: str, rendered: str, lexical: str) -> str:
 
 
 def compile_custom_components(
-    shapes_rows: list, shapes_triples: DataFrame
+    shapes_rows: list,
+    shapes_triples: DataFrame | None,
+    all_rows: list | None = None,
 ) -> dict[str, list[SparqlConstraint]]:
     """SHACL-AF §6 custom constraint components, SELECT-validator subset:
 
@@ -770,11 +820,17 @@ def compile_custom_components(
             prop_parent[ref.o_value] = s2
 
     param_paths = sorted({p for _c, ps, _nv, _pv in comps for p, _o in ps})
-    val_rows = (
-        shapes_triples.filter(F.col("p").isin(param_paths))
-        .select("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")
-        .collect()
-    )
+    if all_rows is not None:
+        # the caller already collected the (tiny) shapes graph once —
+        # slice driver-side instead of launching another Spark job
+        _pset = set(param_paths)
+        val_rows = [r for r in all_rows if r.p in _pset]
+    else:
+        val_rows = (
+            shapes_triples.filter(F.col("p").isin(param_paths))
+            .select("s", "p", "o_kind", "o_value", "o_datatype", "o_lang")
+            .collect()
+        )
     vals: dict[tuple[str, str], list] = {}
     for r in val_rows:
         vals.setdefault((r.s, r.p), []).append(r)
@@ -1471,6 +1527,7 @@ def parse_select_query(select: str) -> _SelectQuery:
         and not block.alternatives
         and not block.groups
         and not block.subselects
+        and not block.graphs
     ):
         raise ValueError("sh:sparql select has no graph pattern")
     return _SelectQuery(
@@ -1508,6 +1565,7 @@ def parse_ask(ask: str, allow_pattern_free: bool = False) -> _Block:
         and not block.alternatives
         and not block.groups
         and not block.subselects
+        and not block.graphs
         and not (allow_pattern_free and (block.filters or block.binds))
     ):
         raise ValueError("sh:ask has no graph pattern")
@@ -2028,6 +2086,86 @@ class _FilterParser:
                 F.lit(None).cast("string"),
                 F.lit(None).cast("string"),
             )
+        if kind == "name" and text.lower() in ("now", "uuid", "struuid", "bnode"):
+            # SPARQL §17.4.5.1/.2/.3 + §17.4.2.9. NOW() is fixed for the
+            # whole query (Spark evaluates current_timestamp once per
+            # query, the same single-moment contract); UUID()/STRUUID()/
+            # BNODE() are fresh per solution row (Spark's uuid() is
+            # per-row nondeterministic — exactly the spec's semantics).
+            fn = text.lower()
+            self._expect("(")
+            self._expect(")")
+            if fn == "now":
+                return _Val(
+                    F.date_format(
+                        F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+                    ),
+                    F.lit(KIND_LITERAL),
+                    F.lit(XSD + "dateTime"),
+                    F.lit(None).cast("string"),
+                )
+            if fn == "uuid":
+                return _Val(
+                    F.concat(F.lit("urn:uuid:"), F.expr("uuid()")),
+                    F.lit(KIND_IRI),
+                    F.lit(None).cast("string"),
+                    F.lit(None).cast("string"),
+                )
+            if fn == "struuid":
+                return _Val(
+                    F.expr("uuid()"),
+                    F.lit(KIND_LITERAL),
+                    F.lit(XSD_STRING),
+                    F.lit(None).cast("string"),
+                )
+            return _Val(  # bnode
+                F.concat(F.lit("b"), F.regexp_replace(F.expr("uuid()"), "-", "")),
+                F.lit(KIND_BNODE),
+                F.lit(None).cast("string"),
+                F.lit(None).cast("string"),
+            )
+        if kind == "name" and text.lower() in ("timezone", "tz"):
+            # SPARQL §17.4.5.7/.8 over the xsd:dateTime LEXICAL form (the
+            # engine stores literals lexically, so the zone is read from
+            # the string — no session-timezone reinterpretation)
+            fn = text.lower()
+            self._expect("(")
+            inner = self._additive()
+            self._expect(")")
+            zone = F.regexp_extract(
+                inner.value, r"(Z|[+-][0-9]{2}:[0-9]{2})$", 1
+            )
+            if fn == "tz":
+                # simple literal; "" when the dateTime carries no zone
+                return _Val(
+                    F.when(inner.value.isNotNull(), zone),
+                    F.lit(KIND_LITERAL),
+                    F.lit(XSD_STRING),
+                    F.lit(None).cast("string"),
+                )
+            hh = F.substring(zone, 2, 2).cast("int")
+            mm = F.substring(zone, 5, 2).cast("int")
+            dur = (
+                F.when(zone == "", F.lit(None).cast("string"))
+                .when((zone == "Z") | ((hh == 0) & (mm == 0)), F.lit("PT0S"))
+                .otherwise(
+                    F.concat(
+                        F.when(F.substring(zone, 1, 1) == "-", F.lit("-"))
+                        .otherwise(F.lit("")),
+                        F.lit("PT"),
+                        F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H")))
+                        .otherwise(F.lit("")),
+                        F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M")))
+                        .otherwise(F.lit("")),
+                    )
+                )
+            )
+            return _Val(
+                dur,
+                F.when(dur.isNotNull(), F.lit(KIND_LITERAL)),
+                F.when(dur.isNotNull(), F.lit(XSD + "dayTimeDuration")),
+                F.lit(None).cast("string"),
+            )
         if kind == "name" and text.lower() in _F_VALUE_FUNCS:
             fn = text.lower()
             self._expect("(")
@@ -2225,11 +2363,20 @@ def _join_patterns(
     bound_vars: set[str],
     patterns: tuple,
     ns: str,
+    graph_var: str | None = None,
 ) -> DataFrame:
     """Progressively join triple patterns into the binding set (mutates
     bound_vars). ns namespaces the temp columns so nested blocks never
-    collide with the enclosing evaluation."""
+    collide with the enclosing evaluation. When ``graph_var`` is set
+    (GRAPH ?g { … }) every pattern's relation also carries the triple's
+    `graph` column, joined against — and binding — the graph variable, so
+    all patterns of the block co-locate in one named graph per solution
+    (SPARQL §13.3)."""
     from .shacl import PNeg
+
+    gsel = (
+        [F.col("graph")] if graph_var is not None else []
+    )  # validated non-empty by the caller
 
     for i, pat in enumerate(patterns):
         sfx = f"{ns}{i}"
@@ -2240,6 +2387,7 @@ def _join_patterns(
                 F.col("o_value").alias(f"_ov{sfx}"),
                 F.col("o_datatype").alias(f"_od{sfx}"),
                 F.col("o_lang").alias(f"_ol{sfx}"),
+                *[g.alias(f"_g{sfx}") for g in gsel],
             )
         elif isinstance(pat.pred, PNeg):
             # negated property set: single hop over the complement slice
@@ -2260,6 +2408,7 @@ def _join_patterns(
                         F.col("o_value").alias(f"_ov{sfx}"),
                         F.col("o_datatype").alias(f"_od{sfx}"),
                         F.col("o_lang").alias(f"_ol{sfx}"),
+                        *[g.alias(f"_g{sfx}") for g in gsel],
                     )
                 )
             if pat.pred.inv is not None:
@@ -2275,12 +2424,20 @@ def _join_patterns(
                         F.col("s").alias(f"_ov{sfx}"),
                         F.lit(None).cast("string").alias(f"_od{sfx}"),
                         F.lit(None).cast("string").alias(f"_ol{sfx}"),
+                        *[g.alias(f"_g{sfx}") for g in gsel],
                     )
                 )
             rel = arms[0]
             for a in arms[1:]:
                 rel = rel.unionByName(a)
         else:
+            if graph_var is not None:
+                # the reachability fixpoint collapses multi-hop chains and
+                # cannot attribute one graph name to the whole chain
+                raise ValueError(
+                    "property-path closures inside GRAPH ?var are outside "
+                    "the subset (use GRAPH <iri> to fix the graph first)"
+                )
             # a closure-bearing property path: the pairs relation comes
             # from the bounded reachability fixpoint, seeded from the
             # endpoint the binding set already constrains
@@ -2313,6 +2470,11 @@ def _join_patterns(
                 & (F.col(f"_ok{sfx}") == KIND_LITERAL)
             )
 
+        if graph_var is not None and graph_var in bound_vars:
+            conds.append(
+                F.col(f"_g{sfx}") == F.col(f"{graph_var}__value")
+            )
+
         if conds:
             cond = conds[0]
             for c in conds[1:]:
@@ -2342,8 +2504,19 @@ def _join_patterns(
                 .withColumn(f"{v}__lang", F.col(f"_ol{sfx}"))
             )
             bound_vars.add(v)
+        if graph_var is not None and graph_var not in bound_vars:
+            bound = (
+                bound.withColumn(f"{graph_var}__value", F.col(f"_g{sfx}"))
+                .withColumn(f"{graph_var}__kind", F.lit(KIND_IRI))
+                .withColumn(
+                    f"{graph_var}__datatype", F.lit(None).cast("string")
+                )
+                .withColumn(f"{graph_var}__lang", F.lit(None).cast("string"))
+            )
+            bound_vars.add(graph_var)
         bound = bound.drop(
-            f"_s{sfx}", f"_ok{sfx}", f"_ov{sfx}", f"_od{sfx}", f"_ol{sfx}"
+            f"_s{sfx}", f"_ok{sfx}", f"_ov{sfx}", f"_od{sfx}", f"_ol{sfx}",
+            f"_g{sfx}",
         )
     return bound
 
@@ -2666,6 +2839,50 @@ def _apply_block(
         )
     for k, sub in enumerate(block.groups):
         bound = _group_join(data, bound, bound_vars, sub, f"{ns}g{k}_", has_this)
+    for k, (gterm, sub) in enumerate(block.graphs):
+        if "graph" not in data.columns:
+            raise ValueError(
+                "GRAPH requires the triples frame to carry its `graph` "
+                "column (it was projected away upstream)"
+            )
+        if gterm.kind == "iri":
+            # GRAPH <iri> { … }: the whole sub-group — any nested
+            # structure — evaluates against the one-graph slice; a plain
+            # pushed-down filter on the scan
+            gdata = data.filter(F.col("graph") == gterm.value)
+            bound = _group_join(
+                gdata, bound, bound_vars, sub, f"{ns}gr{k}_", has_this
+            )
+        else:
+            # GRAPH ?g { … }: every pattern relation carries the graph
+            # column and joins through ?g, so all the block's triples
+            # co-locate in one named graph per solution and ?g binds to
+            # it. Nested sub-structure under a graph VARIABLE is outside
+            # the subset (each nested join would need the same threading).
+            gv = gterm.value
+            if (
+                sub.optionals or sub.exists or sub.alternatives
+                or sub.minuses or sub.groups or sub.subselects
+                or sub.values_clauses or sub.graphs or sub.binds
+            ):
+                raise ValueError(
+                    "GRAPH ?var supports plain triple patterns and FILTERs "
+                    "only (nest GRAPH <iri> for structured bodies)"
+                )
+            if not sub.patterns:
+                raise ValueError(
+                    "GRAPH ?var needs at least one triple pattern to bind "
+                    "the graph variable"
+                )
+            bound = _join_patterns(
+                data, bound, bound_vars, sub.patterns, f"{ns}gr{k}_",
+                graph_var=gv,
+            )
+            gcols: dict[str, Column] = {"this": F.col("this")}
+            for v in bound_vars:
+                gcols[v] = F.col(f"{v}__value")
+            for f in sub.filters:
+                bound = bound.filter(_filter_condition(f, gcols, bound_vars))
     for k, opt in enumerate(block.optionals):
         bound = _optional_join(data, bound, bound_vars, opt, f"{ns}o{k}_", has_this)
     for k, (neg, sub) in enumerate(block.exists):

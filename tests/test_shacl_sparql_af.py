@@ -761,7 +761,7 @@ def test_filter_sameterm_full_term_identity(spark):
 def test_filter_unsupported_expressions_raise(spark):
     data = _mixed_terms(spark)
     for bad in (
-        "NOW() > 3",               # unsupported function
+        "NOPE(?v) > 3",            # unsupported function
         "?v = ",                   # dangling comparison
         "(?v = \"x\"",             # unbalanced paren
         "bound(?nope)",            # unbound variable
@@ -1805,18 +1805,6 @@ def test_order_by_limit_errors(spark):
             validate(spark, data, _af_shapes(spark, bad), advanced=True)
 
 
-def test_subquery_inside_union_raises(spark):
-    select = (
-        "SELECT $this WHERE { "
-        f"{{ SELECT ?x WHERE {{ ?x a <{EX}Person> }} }} UNION "
-        f"{{ $this <{EX}age> ?a }} }}"
-    )
-    with pytest.raises(ValueError, match="UNION"):
-        validate(
-            spark, _people(spark), _af_shapes(spark, select), advanced=True
-        )
-
-
 def test_sparql_target_aggregate(spark):
     """sh:SPARQLTarget with GROUP BY ?this HAVING — targets only the
     multi-email nodes, then the shape's minCount applies to them."""
@@ -2164,3 +2152,190 @@ def test_sparql_catalog_100_constraints_bounded(spark):
     # linear extrapolation = 5x; quadratic would be ~25x. Allow generous
     # noise headroom on the shared host: 3x the linear bound + 20s fixed.
     assert t100 < 15 * t20 + 20, (t20, t100)
+
+
+# ---- round 4: GRAPH keyword, subquery-in-UNION, generator builtins ----
+
+
+def _two_graph_data(spark):
+    """Person types in g1; ex:v values split across named graphs g1/g2
+    (same subject, different graphs) — the GRAPH fixtures. Outside GRAPH
+    the engine matches the union of all graphs (pySHACL validates one
+    merged data graph); GRAPH restricts to one graph per solution."""
+    g1 = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "v", lit_typed("in-g1")),
+            ("urn:a", EX + "w", lit_typed("w-g1")),
+        ],
+        graph="urn:graph:g1",
+    )
+    g2 = triples_from_rows(
+        spark,
+        [
+            ("urn:a", EX + "v", lit_typed("in-g2")),
+            ("urn:b", EX + "v", lit_typed("b-g2")),
+            ("urn:b", EX + "w", lit_typed("w-g2")),
+        ],
+        graph="urn:graph:g2",
+    )
+    return g1.unionByName(g2)
+
+
+def test_graph_iri_scopes_sub_group(spark):
+    """GRAPH <iri> { … }: the sub-group sees only that graph's slice."""
+    select = (
+        "SELECT $this ?v WHERE { "
+        "GRAPH <urn:graph:g2> { " + f"$this <{EX}v> ?v " + "} }"
+    )
+    res = validate(
+        spark, _two_graph_data(spark), _af_shapes(spark, select),
+        advanced=True,
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:a", "in-g2"),
+        ("urn:b", "b-g2"),
+    }
+
+
+def test_graph_var_binds_and_colocates(spark):
+    """GRAPH ?g { … }: ?g binds to the containing graph IRI and ALL the
+    block's patterns co-locate in that one graph per solution — urn:a has
+    ex:v and ex:w together only in g1, urn:b only in g2."""
+    select = (
+        "SELECT $this ?g WHERE { "
+        f"GRAPH ?g {{ $this <{EX}v> ?v . $this <{EX}w> ?w }} }}"
+    )
+    res = validate(
+        spark, _two_graph_data(spark), _af_shapes(spark, select),
+        advanced=True,
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:a", "urn:graph:g1"),
+        ("urn:b", "urn:graph:g2"),
+    }
+
+
+def test_graph_var_filter_and_bound_reuse(spark):
+    """A FILTER inside GRAPH ?g sees the graph variable; a second GRAPH
+    block reusing an already-bound ?g joins on it."""
+    select = (
+        "SELECT $this ?g WHERE { "
+        f"GRAPH ?g {{ $this <{EX}v> ?v . "
+        'FILTER (STRENDS(str(?g), "g2")) } }'
+    )
+    res = validate(
+        spark, _two_graph_data(spark), _af_shapes(spark, select),
+        advanced=True,
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:a", "urn:graph:g2"),
+        ("urn:b", "urn:graph:g2"),
+    }
+
+
+def test_graph_var_rejects_nested_structure(spark):
+    select = (
+        "SELECT $this WHERE { GRAPH ?g { "
+        f"OPTIONAL {{ $this <{EX}v> ?v }} }} }}"
+    )
+    with pytest.raises(ValueError, match="GRAPH .var"):
+        validate(
+            spark, _two_graph_data(spark), _af_shapes(spark, select),
+            advanced=True,
+        ).collect()
+
+
+def test_subquery_as_union_branch(spark):
+    """{ SELECT … } UNION { … }: the subquery evaluates as one branch
+    from the same binding set (round-4 grammar extension — previously a
+    documented ValueError)."""
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "age", lit_typed("10", XSD_INTEGER)),
+            ("urn:a", EX + "age", lit_typed("30", XSD_INTEGER)),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "flag", lit_typed("bad")),
+        ],
+    )
+    select = (
+        "SELECT $this WHERE { "
+        "{ SELECT $this (COUNT(?a) AS ?n) WHERE { "
+        f"$this <{EX}age> ?a }} GROUP BY $this HAVING (?n > 1) }} "
+        f'UNION {{ $this <{EX}flag> ?f . FILTER (?f = "bad") }} }}'
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {r.focusNode for r in res} == {"urn:a", "urn:b"}
+
+
+def test_now_uuid_struuid_bnode_generators(spark):
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "v", lit_typed("x")),
+        ],
+    )
+    select = (
+        "SELECT $this ?u WHERE { "
+        f"$this <{EX}v> ?v . "
+        "BIND (UUID() AS ?u) . BIND (STRUUID() AS ?s) . "
+        "BIND (NOW() AS ?t) . BIND (BNODE() AS ?bn) . "
+        'FILTER (isIRI(?u) && STRSTARTS(str(?u), "urn:uuid:")) . '
+        'FILTER (isLiteral(?s) && regex(?s, "^[0-9a-f-]{36}$")) . '
+        f"FILTER (datatype(?t) = <{XSD}dateTime> && "
+        '  regex(str(?t), "^[0-9]{4}-[0-9]{2}-[0-9]{2}T")) . '
+        "FILTER (isBlank(?bn)) }"
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert len(res) == 1 and res[0].focusNode == "urn:a"
+    # UUID is an IRI, so its 36-hex-digit tail follows the urn:uuid: scheme
+    assert res[0].value.startswith("urn:uuid:")
+
+
+def test_timezone_and_tz_accessors(spark):
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "d",
+             lit_typed("2024-01-10T14:45:13-05:00", XSD + "dateTime")),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "d",
+             lit_typed("2024-06-01T08:00:00Z", XSD + "dateTime")),
+            ("urn:c", RDF_TYPE, iri(EX + "Person")),
+            ("urn:c", EX + "d",
+             lit_typed("2024-06-01T08:00:00", XSD + "dateTime")),
+        ],
+    )
+    select = (
+        "SELECT $this ?z WHERE { "
+        f"$this <{EX}d> ?d . BIND (TZ(?d) AS ?z) }}"
+    )
+    res = validate(
+        spark, data, _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {
+        ("urn:a", "-05:00"), ("urn:b", "Z"), ("urn:c", ""),
+    }
+    # TIMEZONE: xsd:dayTimeDuration; zone-less dateTime is a TYPE ERROR —
+    # the BIND leaves ?tz unbound, and the FILTER drops that solution
+    select2 = (
+        "SELECT $this ?tz WHERE { "
+        f"$this <{EX}d> ?d . BIND (TIMEZONE(?d) AS ?tz) . "
+        "FILTER (bound(?tz)) }"
+    )
+    res2 = validate(
+        spark, data, _af_shapes(spark, select2), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res2} == {
+        ("urn:a", "-PT5H"), ("urn:b", "PT0S"),
+    }
