@@ -51,7 +51,6 @@ from __future__ import annotations
 import contextvars
 import logging
 import re
-import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -113,15 +112,24 @@ def _warn_closure_truncated(where: str, max_iters: int) -> None:
 # size-only propagation never shrinks a Filter below its child and grows
 # joins multiplicatively, so a small estimate is a trustworthy upper bound:
 # parquet-backed scans read their file sizes (a 100-TB scan reads huge) and
-# only provably-small relations keep the hint. Anything estimated large —
-# including join-derived relations whose estimate blows up — is left
-# UNHINTED: AQE converts to broadcast at runtime from real shuffle stats
-# when the frame turns out small, and the 100-TB plan is a co-located join
-# on `s`-bucketed storage. A measured-count fallback was tried and REMOVED:
-# the bounded count re-executed the derive pipeline serially ahead of
-# evaluation (+2.5 s per validate on the sf0.1 customer graph, A/B-measured)
-# while the unhinted plan it guarded was no slower than the hinted one.
+# only provably-small relations keep the hint. Anything estimated large is
+# left UNHINTED: AQE converts to broadcast at runtime from real shuffle
+# stats when the frame turns out small, and the 100-TB plan is a co-located
+# join on `s`-bucketed storage. One exception, added by the round-4 drift
+# bisect (BENCH.md): estimates SATURATE to Long.MaxValue on derived plans
+# (unions of concat-projections), carrying no information — validate()
+# then rescues the verdict with ONE row-bounded count of its persisted
+# predicate slice (cache-warming work evaluation repeats anyway), because
+# the estimate-only gate had silently unhinted every join and cost ~25%
+# on shacl_full vs the round-2 count-gated plans.
 _BROADCAST_GATE_BYTES = 256 << 20
+# row bound for the persisted-slice count fallback (tier 3 below): a LIMIT
+# this size short-circuits after ~1 partition on a genuinely big relation
+_BROADCAST_GATE_ROWS = 1_000_000
+# size-only propagation saturates toward Long.MaxValue on derived plans
+# (unions of concat-projections multiply unknowns); estimates in this band
+# carry no information, unlike honest file-size-backed large estimates
+_EST_SATURATED = 1 << 50  # ~1 PiB
 
 
 _ASSUME_SMALL_FOCUS: contextvars.ContextVar[bool] = contextvars.ContextVar(
@@ -2816,15 +2824,43 @@ def validate(
         slice_df = eval_data
 
     # Broadcast gate (round-2 VERDICT finding 1): the free Catalyst size
-    # estimate only — no job, no extra pass over the derive pipeline (both
-    # a dedicated gate-count job and a LIMIT-bounded fallback count were
-    # A/B-measured at +2-2.5 s per validate on the sf0.1 customer graph,
-    # while the unhinted plans they would have guarded ran no slower than
-    # the hinted ones — AQE converts them from runtime shuffle stats). The
-    # flag is scoped to plan construction (hints are applied at build time)
-    # and reset on exit so it cannot leak into later calls on this thread.
+    # estimate first — no job, no extra pass over the derive pipeline. The
+    # round-4 drift bisect (BENCH.md) showed the estimate is UNINFORMATIVE
+    # for derived graphs: size-only propagation through unions of
+    # concat-projections saturates to Long.MaxValue, so an estimate-only
+    # gate silently turned every hint off and shacl_full regressed ~25%
+    # vs the round-2 count-gated plans (interleaved A/B: r2 best 4.1-4.7 s,
+    # estimate-only best 5.4-5.8 s, count-gated cdd9f1f best 4.55 s).
+    # Tiers:
+    #   1. finite estimate ≤ gate → small (parquet-backed scans read real
+    #      file sizes, so this is trustworthy);
+    #   2. finite estimate > gate but below the saturation band → big
+    #      (a 100-TB scan honestly reads huge) — NO count, no hint; AQE
+    #      converts at runtime if the frame turns out small;
+    #   3. saturated estimate (≥ _EST_SATURATED: overflow/no information)
+    #      AND the slice is persisted → ONE row-bounded count; it warms
+    #      the cache evaluation reads anyway (the +2-2.5 s measured for
+    #      count fallbacks applied to UN-persisted single-constraint
+    #      validates, where the count re-executed the derive pipeline —
+    #      that path stays estimate-only/unhinted).
+    # The flag is scoped to plan construction (hints are applied at build
+    # time) and reset on exit so it cannot leak into later calls.
     est = _plan_size_bytes(eval_data)
     data_under_gate = est is not None and est <= _BROADCAST_GATE_BYTES
+    if (
+        not data_under_gate
+        and slice_df is not None
+        and (est is None or est >= _EST_SATURATED)
+    ):
+        # FULL count, not LIMIT-bounded: CollectLimit iterates partitions
+        # partially, and partially-iterated partitions are NOT cached — a
+        # bounded count would serialize an extra derive execution and warm
+        # nothing (A/B-measured worse). The full count materializes every
+        # partition of the persisted slice exactly once; evaluation reads
+        # the cache. At 100-TB scale this fronts the scan the first
+        # evaluation job would otherwise perform — same total work.
+        n = eval_data.count()
+        data_under_gate = n <= _BROADCAST_GATE_ROWS
     _assume_token = _ASSUME_SMALL_FOCUS.set(data_under_gate)
     try:
         result_dfs: list[DataFrame] = []
@@ -2912,29 +2948,47 @@ def validate(
         else:
             results = _chunked_union(result_dfs)
         if slice_df is not None:
-            results = _tie_slice_to_results(results, slice_df)
+            _remember_eval_slice(slice_df)
         return results
     finally:
         _ASSUME_SMALL_FOCUS.reset(_assume_token)
 
 
-def _release_eval_slice(df: DataFrame) -> None:
-    try:
-        df.unpersist()
-    except Exception:  # session torn down before release
-        pass
+# Capacity-ONE registry for the persisted predicate slice. Round 3 tied the
+# slice's lifetime to the results frame with a GC finalizer; the round-4
+# drift bisect (BENCH.md) showed that unpersisting on results-GC makes
+# every repeated validate over the same data RECOMPUTE the derive+slice —
+# Spark's CacheManager matches cache entries by canonicalized plan, so the
+# r2-era "slice stays cached until the next validate" behavior made
+# loop/test/incremental revalidation patterns warm (measured: 6.8-7.7 s
+# per rep cold vs 3.9-4.6 s warm on the sf0.1 customer graph). This
+# registry restores that, bounded: at most one slice is ever pinned, the
+# next validate() evicts it unless its plan is semantically identical
+# (then the warm entry is reused), and release_eval_cache() frees it
+# explicitly. One MEMORY_AND_DISK slice is evictable by Spark under
+# storage pressure, so the pin is a performance hint, not a leak.
+_SLICE_CACHE: list[DataFrame] = []
 
 
-def _tie_slice_to_results(results: DataFrame, eval_slice: DataFrame) -> DataFrame:
-    """Tie the persisted path-slice's lifetime to the RESULTS DataFrame
-    (round-2 VERDICT nit: the former module-global slice registry was
-    cross-call session state). While the caller holds the results, the
-    slice stays cached (re-running the lazy plan stays cheap); when the
-    results are garbage-collected, a weakref finalizer unpersists the
-    slice — repeated validate() calls in a loop no longer pin executor
-    memory and need no explicit cleanup call."""
-    weakref.finalize(results, _release_eval_slice, eval_slice)
-    return results
+def _remember_eval_slice(df: DataFrame) -> None:
+    while _SLICE_CACHE:
+        old = _SLICE_CACHE.pop()
+        try:
+            if old.sameSemantics(df):
+                continue  # same CacheManager entry — keep it warm
+            old.unpersist()
+        except Exception:  # pragma: no cover - session torn down
+            pass
+    _SLICE_CACHE.append(df)
+
+
+def release_eval_cache() -> None:
+    """Unpersist the one retained predicate slice (see _SLICE_CACHE)."""
+    while _SLICE_CACHE:
+        try:
+            _SLICE_CACHE.pop().unpersist()
+        except Exception:  # pragma: no cover
+            pass
 
 
 def conforms(results: DataFrame) -> bool:

@@ -293,25 +293,43 @@ def test_small_focus_plan_keeps_broadcast_hint(spark, tmp_path):
 
 
 # -------------------------------------------------- eval-slice lifecycle
-def test_eval_slice_released_when_results_dropped(spark):
-    """The persisted predicate slice is tied to the RESULTS DataFrame via a
-    weakref finalizer — no module-global registry (round-2 VERDICT nit) and
-    repeated validate() calls stay memory-flat once results are dropped."""
-    import gc
+def test_eval_slice_bounded_and_releasable(spark):
+    """Round-4 contract (drift bisect, BENCH.md): the persisted predicate
+    slice stays cached ACROSS validate() calls so repeated validates over
+    the same data reuse the warm CacheManager entry (the round-3 GC
+    finalizer recomputed the derive+slice every call, ~+50% per rep), but
+    the registry is bounded at ONE slice and release_eval_cache() frees
+    it."""
     import time
 
-    assert not hasattr(shacl_mod, "_EVAL_SLICE")
+    assert not hasattr(shacl_mod, "_EVAL_SLICE")  # r2's unbounded registry
     data, shapes = _gate_fixture(spark)
 
     def n_persisted() -> int:
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
+    # a second property shape so n_constraints > 1 → the slice persists
+    shapes = shapes.unionByName(
+        triples_from_rows(
+            spark,
+            [
+                (EX + "S", SH + "property", iri(EX + "S-q")),
+                (EX + "S-q", SH + "path", iri(EX + "p")),
+                (EX + "S-q", SH + "datatype", iri(XSD_STRING)),
+            ],
+        )
+    )
+    shacl_mod.release_eval_cache()
     base = n_persisted()
     for _ in range(3):
         res = validate(spark, data, shapes)
         assert res.count() == 20
         del res
-        gc.collect()
+    # bounded: repeated same-plan validates pin at most ONE extra slice
+    assert n_persisted() <= base + 1
+    assert len(shacl_mod._SLICE_CACHE) == 1
+    shacl_mod.release_eval_cache()
+    assert not shacl_mod._SLICE_CACHE
     for _ in range(20):  # unpersist is async; poll briefly
         if n_persisted() <= base:
             break
