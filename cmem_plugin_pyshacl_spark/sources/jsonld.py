@@ -21,7 +21,14 @@ same fail-loudly contract as validate()):
     JSON scalars (native typing: bool -> xsd:boolean, int ->
     xsd:integer, float -> xsd:double, str -> plain literal);
   * ``@list``, ``@graph``, ``@reverse``, nested node objects, and
-    blank-node labels (``_:…``) are outside the subset.
+    blank-node labels (``_:…``) are outside the DISTRIBUTED NDJSON
+    subset (per-line bnode label scopes would collide across a 100-TB
+    scan). The DRIVER-SIDE document path (read_jsonld_document /
+    expand_jsonld) supports all of them: nested structures flatten
+    through fresh ``_:bN`` blank nodes, ``@list`` builds the
+    rdf:first/rdf:rest chain, ``@reverse`` inverts edges, and authored
+    ``_:label``s are renamed document-scoped — the same conventions as
+    the Turtle reader.
 
 The reader is an Arrow-batched mapInPandas — JSON-LD's heterogeneous
 value objects defeat a fixed from_json schema (a bare 7 and a
@@ -38,6 +45,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..data_model import (
+    KIND_BNODE,
     KIND_IRI,
     KIND_LITERAL,
     RDF_TYPE,
@@ -50,8 +58,15 @@ _XSD_BOOLEAN = XSD + "boolean"
 _XSD_INTEGER = XSD + "integer"
 _XSD_DOUBLE = XSD + "double"
 
+_RDF_NS = RDF_TYPE[: -len("type")]
+_RDF_FIRST = _RDF_NS + "first"
+_RDF_REST = _RDF_NS + "rest"
+_RDF_NIL = _RDF_NS + "nil"
 
-def _node_rows(obj: dict, graph, part_id: int) -> list[tuple]:
+
+def _node_rows(
+    obj: dict, graph, part_id: int, allow_bnodes: bool = False
+) -> list[tuple]:
     if not isinstance(obj, dict):
         raise ValueError(f"expected a JSON-LD node object, got {type(obj)}")
     for kw in ("@graph", "@list", "@reverse"):
@@ -60,7 +75,7 @@ def _node_rows(obj: dict, graph, part_id: int) -> list[tuple]:
     subj = obj.get("@id")
     if not isinstance(subj, str) or not subj:
         raise ValueError("node object without @id")
-    if subj.startswith("_:"):
+    if subj.startswith("_:") and not allow_bnodes:
         raise ValueError(
             "blank-node @id is outside the subset (skolemize upstream)"
         )
@@ -122,10 +137,13 @@ def _node_rows(obj: dict, graph, part_id: int) -> list[tuple]:
                     )
                 elif "@id" in v:
                     ref = v["@id"]
-                    if not isinstance(ref, str) or ref.startswith("_:"):
+                    if not isinstance(ref, str) or (
+                        ref.startswith("_:") and not allow_bnodes
+                    ):
                         raise ValueError(f"unsupported node reference {ref!r}")
+                    kind = KIND_BNODE if ref.startswith("_:") else KIND_IRI
                     rows.append(
-                        (subj, key, KIND_IRI, ref, None, None, graph, part_id)
+                        (subj, key, kind, ref, None, None, graph, part_id)
                     )
                 else:
                     raise ValueError(
@@ -145,11 +163,17 @@ def from_jsonld(
     line_col: str = "line",
     graph: str | None = None,
     part_id: int = 0,
+    allow_bnodes: bool = False,
 ) -> DataFrame:
     """Parse NDJSON expanded JSON-LD lines into the TRIPLES_SCHEMA
     relation — the source twin of ``to_jsonld`` (round-trips exactly on
     its output). Blank lines skip; anything outside the documented
-    subset raises with the offending content."""
+    subset raises with the offending content. allow_bnodes admits
+    ``_:label`` subjects/references (o_kind = "bnode") — safe ONLY when
+    labels are globally consistent across lines, i.e. the document path
+    (read_jsonld_document), which allocates them in one driver pass; the
+    distributed NDJSON contract stays bnode-free by default because
+    per-line label scopes would collide across a 100-TB scan."""
     cols = [line_col]
 
     def _parse(batches):
@@ -168,7 +192,7 @@ def from_jsonld(
                     raise ValueError(
                         f"invalid JSON line {line[:80]!r}: {e}"
                     ) from e
-                out.append(_node_rows(obj, graph, part_id))
+                out.append(_node_rows(obj, graph, part_id, allow_bnodes))
             yield pd.DataFrame(
                 [r for rows in out for r in rows],
                 columns=[f.name for f in TRIPLES_SCHEMA.fields],
@@ -187,7 +211,10 @@ def to_jsonld(df: DataFrame) -> DataFrame:
     which expanded JSON-LD accepts and the reader maps back to
     rdf:type."""
     term = F.when(
-        F.col("o_kind") == KIND_IRI,
+        # bnode references serialize as {"@id": "_:bN"} — legal expanded
+        # JSON-LD; reading them back requires the document path's
+        # allow_bnodes (labels are only consistent within one write)
+        F.col("o_kind").isin([KIND_IRI, KIND_BNODE]),
         F.struct(
             F.col("o_value").alias("@id"),
             F.lit(None).cast("string").alias("@value"),
@@ -268,11 +295,11 @@ def _merge_context(ctx, merged: dict) -> dict:
                 raise JsonLdContextError(
                     f"term {term!r} uses unsupported keys {sorted(unknown)}"
                 )
-            if defn.get("@container") not in (None, "@set"):
+            if defn.get("@container") not in (None, "@set", "@list"):
                 raise JsonLdContextError(
                     f"term {term!r}: @container {defn['@container']!r} is "
-                    "outside the subset (@set is a no-op; @list is not "
-                    "supported downstream)"
+                    "outside the subset (@set is a no-op; @list builds an "
+                    "rdf:first/rdf:rest chain)"
                 )
             out[term] = defn
         elif defn is None:
@@ -293,6 +320,13 @@ def _expand_iri(term: str, ctx: dict, vocab: bool) -> str:
     if term in ctx and isinstance(ctx[term], dict):
         iri_val = ctx[term].get("@id")
         if iri_val is None:
+            if ":" in term or ctx.get("@vocab"):
+                # a keyed term definition without @id takes its IRI from
+                # the key itself (compact IRI / @vocab name) — the common
+                # `"sh:path": {"@type": "@id"}` coercion pattern
+                rest = dict(ctx)
+                rest.pop(term)
+                return _expand_iri(term, rest, True)
             raise JsonLdContextError(f"term {term!r} has no @id mapping")
         # term definitions may themselves be compact IRIs ("ex:name") or
         # bare @vocab names; re-expand unless self-referential
@@ -315,95 +349,191 @@ def _expand_iri(term: str, ctx: dict, vocab: bool) -> str:
     )
 
 
-def _expand_value(v, term_def: dict | None, ctx: dict):
-    """Expand one value of a term to an expanded-form value object /
-    node reference / bare scalar (the shapes _node_rows accepts)."""
-    if isinstance(v, dict):
-        if "@value" in v:
-            out = {"@value": v["@value"]}
-            if "@type" in v:
-                out["@type"] = _expand_iri(v["@type"], ctx, True)
-            if "@language" in v:
-                out["@language"] = v["@language"]
-            extra = set(v) - {"@value", "@type", "@language"}
-            if extra:
+class _Expander:
+    """Document-scoped expansion state: fresh blank-node allocation (the
+    same `_:bN` convention as sources/turtle.py), document-scoped renaming
+    of authored ``_:label``s, and the flat node-object accumulator that
+    nested node objects / @list chains / @reverse edges append to."""
+
+    def __init__(self) -> None:
+        self.n = 0
+        self.labels: dict[str, str] = {}
+        self.out: list[dict] = []
+
+    def fresh(self) -> str:
+        self.n += 1
+        return f"_:b{self.n}"
+
+    def node_id(self, raw, ctx: dict) -> str:
+        if not isinstance(raw, str) or not raw:
+            raise JsonLdContextError(f"@id value {raw!r} is not a string")
+        if raw.startswith("_:"):
+            return self.labels.setdefault(raw, self.fresh())
+        return _expand_iri(raw, ctx, False)
+
+    def list_chain(self, items: list, term_def, ctx: dict) -> dict:
+        """Build the rdf:first/rdf:rest collection chain for ``@list``
+        values (the JSON-LD list-to-RDF algorithm); returns the head node
+        reference. Mirrors the Turtle reader's `( … )` expansion."""
+        if not items:
+            return {"@id": _RDF_NIL}
+        cells = [self.fresh() for _ in items]
+        for i, (cell, item) in enumerate(zip(cells, items)):
+            rest = cells[i + 1] if i + 1 < len(cells) else _RDF_NIL
+            self.out.append(
+                {
+                    "@id": cell,
+                    _RDF_FIRST: [self.value(item, term_def, ctx)],
+                    _RDF_REST: [{"@id": rest}],
+                }
+            )
+        return {"@id": cells[0]}
+
+    def value(self, v, term_def: dict | None, ctx: dict):
+        """Expand one value of a term to an expanded-form value object /
+        node reference / bare scalar (what _node_rows accepts)."""
+        if isinstance(v, dict):
+            if "@value" in v:
+                out = {"@value": v["@value"]}
+                if "@type" in v:
+                    out["@type"] = _expand_iri(v["@type"], ctx, True)
+                if "@language" in v:
+                    out["@language"] = v["@language"]
+                extra = set(v) - {"@value", "@type", "@language"}
+                if extra:
+                    raise JsonLdContextError(
+                        f"value object carries unsupported keys {sorted(extra)}"
+                    )
+                return out
+            if "@list" in v:
+                if set(v) != {"@list"} or not isinstance(v["@list"], list):
+                    raise JsonLdContextError(
+                        f"malformed @list value (keys {sorted(v)})"
+                    )
+                return self.list_chain(v["@list"], term_def, ctx)
+            if set(v) == {"@id"}:
+                return {"@id": self.node_id(v["@id"], ctx)}
+            # nested node object: expand in place, reference by id
+            return {"@id": self.node(v, ctx)}
+        coercion = (term_def or {}).get("@type")
+        if coercion == "@id":
+            if not isinstance(v, str):
                 raise JsonLdContextError(
-                    f"value object carries unsupported keys {sorted(extra)}"
+                    f"@id-coerced value {v!r} is not a string"
                 )
-            return out
-        if set(v) == {"@id"}:
-            return {"@id": _expand_iri(v["@id"], ctx, False)}
-        raise JsonLdContextError(
-            "nested node objects are outside the subset "
-            f"(keys {sorted(v)})"
-        )
-    coercion = (term_def or {}).get("@type")
-    if coercion == "@id":
-        if not isinstance(v, str):
-            raise JsonLdContextError(f"@id-coerced value {v!r} is not a string")
-        return {"@id": _expand_iri(v, ctx, False)}
-    lang = (term_def or {}).get("@language")
-    if isinstance(v, str) and lang:
-        return {"@value": v, "@language": lang}
-    if isinstance(v, str) and coercion:
-        return {"@value": v, "@type": _expand_iri(coercion, ctx, True)}
-    return v  # bare scalar: native typing in _node_rows
+            return {"@id": self.node_id(v, ctx)}
+        lang = (term_def or {}).get("@language")
+        if isinstance(v, str) and lang:
+            return {"@value": v, "@language": lang}
+        if isinstance(v, str) and coercion:
+            return {"@value": v, "@type": _expand_iri(coercion, ctx, True)}
+        return v  # bare scalar: native typing in _node_rows
+
+    def node(self, doc: dict, ctx: dict) -> str:
+        """Expand one node object (merging its local @context), append it
+        to the accumulator, and return its @id (fresh blank node when the
+        object declares none — nested property shapes etc.)."""
+        ctx = _merge_context(doc.get("@context"), ctx)
+        node: dict = {}
+        reverse = None
+        for key, vals in doc.items():
+            if key == "@context":
+                continue
+            if key == "@id" or (
+                isinstance(ctx.get(key), dict) and ctx[key].get("@id") == "@id"
+            ):
+                node["@id"] = self.node_id(vals, ctx)
+                continue
+            if key == "@reverse":
+                if not isinstance(vals, dict):
+                    raise JsonLdContextError(
+                        f"@reverse value {vals!r} is not a map"
+                    )
+                reverse = vals
+                continue
+            expanded_key = _expand_iri(key, ctx, True)
+            if expanded_key == "@type":
+                tlist = vals if isinstance(vals, list) else [vals]
+                node["@type"] = [_expand_iri(t, ctx, True) for t in tlist]
+                continue
+            if expanded_key in _KEYWORDS:
+                raise JsonLdContextError(
+                    f"keyword {expanded_key} is outside the subset"
+                )
+            term_def = ctx.get(key) if isinstance(ctx.get(key), dict) else None
+            if (term_def or {}).get("@container") == "@list" and not (
+                isinstance(vals, dict) and "@list" in vals
+            ):
+                vlist = vals if isinstance(vals, list) else [vals]
+                node[expanded_key] = [self.list_chain(vlist, term_def, ctx)]
+                continue
+            vlist = vals if isinstance(vals, list) else [vals]
+            node[expanded_key] = [self.value(v, term_def, ctx) for v in vlist]
+        subj = node.setdefault("@id", self.fresh())
+        if reverse is not None:
+            # @reverse: each (pred, o) asserts (o, pred, subj) — emit a
+            # synthetic node per reverse object carrying the forward edge
+            for rkey, rvals in reverse.items():
+                pred = _expand_iri(rkey, ctx, True)
+                if pred in _KEYWORDS:
+                    raise JsonLdContextError(
+                        f"@reverse key expands to keyword {pred}"
+                    )
+                rlist = rvals if isinstance(rvals, list) else [rvals]
+                for rv in rlist:
+                    ref = self.value(rv, None, ctx)
+                    if not (isinstance(ref, dict) and set(ref) == {"@id"}):
+                        raise JsonLdContextError(
+                            f"@reverse value {rv!r} is not a node"
+                        )
+                    self.out.append({"@id": ref["@id"], pred: [{"@id": subj}]})
+        self.out.append(node)
+        return subj
 
 
 def expand_jsonld(doc, context: dict | None = None) -> list[dict]:
     """Expand a COMPACTED JSON-LD document (inline ``@context``: prefix,
-    @vocab/@base, aliased and type-/language-coerced terms; top-level
-    ``@graph`` arrays) into the expanded node objects the NDJSON reader
-    accepts — closing the gap with the reference, whose rdflib parses any
-    JSON-LD (plugin_pyshacl.py:539-543 moves whole graphs through rdflib).
+    @vocab/@base, aliased and type-/language-coerced terms, @container
+    @list coercion; top-level ``@graph`` arrays; nested node objects;
+    ``@list`` collection chains; ``@reverse`` maps; document-scoped
+    ``_:label`` blank nodes) into flat expanded node objects — closing
+    the gap with the reference, whose rdflib parses any JSON-LD
+    (plugin_pyshacl.py:539-543 moves whole graphs through rdflib).
+    Nested structures flatten through fresh `_:bN` blank nodes exactly
+    like the Turtle reader's `[ … ]` / `( … )` forms.
 
     DRIVER-SIDE by design, same documented posture as sources/turtle.py:
     a compacted document is one unsplittable JSON value, so distributing
     the parse would serialize on one task anyway; this path is for the
     kilobyte-to-megabyte shapes/ontology graphs. Bulk data stays on the
     splittable expanded-NDJSON / N-Triples / parquet paths."""
-    ctx = _merge_context(context, {})
-    if isinstance(doc, list):
-        out: list[dict] = []
-        for node in doc:
-            out.extend(expand_jsonld(node, ctx))
-        return out
-    if not isinstance(doc, dict):
-        raise JsonLdContextError(f"expected a JSON-LD object, got {type(doc)}")
-    ctx = _merge_context(doc.get("@context"), ctx)
-    if "@graph" in doc:
-        extra = set(doc) - {"@context", "@graph"}
-        if extra:
+    exp = _Expander()
+    ctx0 = _merge_context(context, {})
+
+    def _top(d, ctx: dict) -> None:
+        if isinstance(d, list):
+            for item in d:
+                _top(item, ctx)
+            return
+        if not isinstance(d, dict):
             raise JsonLdContextError(
-                f"@graph document carries unsupported keys {sorted(extra)}"
+                f"expected a JSON-LD object, got {type(d)}"
             )
-        return expand_jsonld(doc["@graph"], ctx)
-    node: dict = {}
-    for key, vals in doc.items():
-        if key == "@context":
-            continue
-        if key == "@id" or (
-            isinstance(ctx.get(key), dict) and ctx[key].get("@id") == "@id"
-        ):
-            if not isinstance(vals, str):
-                raise JsonLdContextError(f"@id value {vals!r} is not a string")
-            node["@id"] = _expand_iri(vals, ctx, False)
-            continue
-        expanded_key = _expand_iri(key, ctx, True)
-        if expanded_key == "@type":
-            tlist = vals if isinstance(vals, list) else [vals]
-            node["@type"] = [_expand_iri(t, ctx, True) for t in tlist]
-            continue
-        if expanded_key in _KEYWORDS:
-            raise JsonLdContextError(
-                f"keyword {expanded_key} is outside the subset"
-            )
-        term_def = ctx.get(key) if isinstance(ctx.get(key), dict) else None
-        vlist = vals if isinstance(vals, list) else [vals]
-        node[expanded_key] = [
-            _expand_value(v, term_def, ctx) for v in vlist
-        ]
-    return [node]
+        ctx = _merge_context(d.get("@context"), ctx)
+        if "@graph" in d:
+            extra = set(d) - {"@context", "@graph"}
+            if extra:
+                raise JsonLdContextError(
+                    f"@graph document carries unsupported keys {sorted(extra)}"
+                )
+            _top(d["@graph"], ctx)
+            return
+        exp.node(d, ctx)
+
+    _top(doc, ctx0)
+    # drop reference-only nodes ({"@id": …} and nothing else) — they carry
+    # no triples and would round-trip as empty lines
+    return [n for n in exp.out if set(n) != {"@id"}]
 
 
 def read_jsonld_document(
@@ -421,7 +551,9 @@ def read_jsonld_document(
     lines = spark.createDataFrame(
         [(json.dumps(n),) for n in nodes], "line string"
     )
-    return from_jsonld(lines, graph=graph, part_id=part_id)
+    # bnodes are document-scoped and expand_jsonld allocated them in one
+    # driver pass, so labels are globally consistent here
+    return from_jsonld(lines, graph=graph, part_id=part_id, allow_bnodes=True)
 
 
 def write_jsonld(df: DataFrame, path: str, single_file: bool = False) -> None:

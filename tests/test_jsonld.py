@@ -209,26 +209,143 @@ def test_expand_compacted_subset_errors(spark):
     for bad, msg in (
         # remote contexts would require network I/O — explicit raise
         ({"@context": "https://example.org/ctx", "@id": "urn:x"}, "remote"),
-        # @list containers are outside the subset end-to-end
+        # @index containers stay outside the subset
         (
             {
-                "@context": {"p": {"@id": EX + "p", "@container": "@list"}},
+                "@context": {"p": {"@id": EX + "p", "@container": "@index"}},
                 "@id": "urn:x",
-                "p": [1],
+                "p": {"i": 1},
             },
             "@container",
         ),
-        # nested node objects (deep trees) are outside the subset
-        (
-            {
-                "@context": {"ex": EX},
-                "@id": "urn:x",
-                "ex:knows": {"@id": "urn:y", "ex:name": "deep"},
-            },
-            "nested node objects|outside the subset",
-        ),
         # a term with no mapping, no prefix, no @vocab cannot expand
         ({"@id": "urn:x", "plain": 1}, "cannot expand"),
+        # @reverse values must be nodes, not literals
+        ({"@id": "urn:x", "@reverse": {EX + "p": "lit"}}, "@reverse value"),
     ):
         with pytest.raises(JsonLdContextError, match=msg):
             expand_jsonld(bad)
+
+
+# - round 4: nested nodes, @list chains, @reverse, blank-node labels -
+
+
+def test_expand_nested_node_objects_shapes_style(spark):
+    """The canonical SHACL-shapes-in-JSON-LD pattern: property shapes as
+    nested blank-node objects. Nested objects flatten through fresh
+    `_:bN` labels exactly like Turtle's `[ … ]`."""
+    from cmem_plugin_pyshacl_spark.data_model import SH, XSD_INTEGER
+    from cmem_plugin_pyshacl_spark.sources.jsonld import read_jsonld_document
+
+    doc = {
+        "@context": {
+            "sh": SH,
+            "ex": EX,
+            "sh:path": {"@type": "@id"},
+            "sh:targetClass": {"@type": "@id"},
+        },
+        "@id": "ex:PersonShape",
+        "@type": "sh:NodeShape",
+        "sh:targetClass": "ex:Person",
+        "sh:property": {
+            "sh:path": "ex:name",
+            "sh:minCount": 1,
+        },
+    }
+    got = read_jsonld_document(spark, json.dumps(doc))
+    rows = {(r.s, r.p, r.o_kind, r.o_value) for r in got.collect()}
+    # the nested property shape got a fresh bnode id referenced by parent
+    bnodes = {v for (_s, p, k, v) in rows if k == "bnode"}
+    assert len(bnodes) == 1
+    b = next(iter(bnodes))
+    assert (EX + "PersonShape", SH + "property", "bnode", b) in rows
+    assert (b, SH + "path", "iri", EX + "name") in rows
+    assert (b, SH + "minCount", "literal", "1") in rows
+    # and the compiled engine accepts the loaded shapes end-to-end
+    from cmem_plugin_pyshacl_spark.data_model import triples_from_rows
+    from cmem_plugin_pyshacl_spark.plans.shacl import validate
+
+    data = triples_from_rows(
+        spark, [("urn:p1", RDF_TYPE, iri(EX + "Person"))]
+    )
+    res = validate(spark, data, got).collect()
+    assert [r.focusNode for r in res] == ["urn:p1"]  # missing ex:name
+    assert res[0].sourceConstraintComponent.endswith("MinCountConstraintComponent")
+
+
+def test_expand_list_builds_rdf_collection(spark):
+    """@list (explicit and @container-coerced) builds the
+    rdf:first/rdf:rest chain; empty list maps to rdf:nil."""
+    from cmem_plugin_pyshacl_spark.sources.jsonld import expand_jsonld
+
+    RDF_NS = RDF_TYPE[: -len("type")]
+    doc = {
+        "@context": {
+            "ex": EX,
+            "opts": {"@id": EX + "opts", "@container": "@list"},
+        },
+        "@id": "urn:x",
+        "ex:vals": {"@list": ["a", "b"]},
+        "opts": [1, 2],
+        "ex:none": {"@list": []},
+    }
+    nodes = {n["@id"]: n for n in expand_jsonld(doc)}
+    x = nodes["urn:x"]
+    head = x[EX + "vals"][0]["@id"]
+    assert head.startswith("_:")
+    cell1 = nodes[head]
+    assert cell1[RDF_NS + "first"] == ["a"]
+    cell2 = nodes[cell1[RDF_NS + "rest"][0]["@id"]]
+    assert cell2[RDF_NS + "first"] == ["b"]
+    assert cell2[RDF_NS + "rest"] == [{"@id": RDF_NS + "nil"}]
+    # @container @list coercion wraps the plain array
+    chead = x[EX + "opts"][0]["@id"]
+    assert nodes[chead][RDF_NS + "first"] == [1]
+    # empty list is a direct rdf:nil reference
+    assert x[EX + "none"] == [{"@id": RDF_NS + "nil"}]
+
+
+def test_expand_reverse_and_named_bnodes(spark):
+    """@reverse inverts edges; authored _:labels are renamed
+    document-scoped but stay consistent across references."""
+    from cmem_plugin_pyshacl_spark.sources.jsonld import read_jsonld_document
+
+    doc = {
+        "@context": {"ex": EX},
+        "@graph": [
+            {
+                "@id": "urn:a",
+                "@reverse": {"ex:knows": [{"@id": "urn:b"}, {"@id": "_:c"}]},
+            },
+            {"@id": "_:c", "ex:name": "anon"},
+        ],
+    }
+    got = read_jsonld_document(spark, json.dumps(doc))
+    rows = {(r.s, r.p, r.o_kind, r.o_value) for r in got.collect()}
+    assert ("urn:b", EX + "knows", "iri", "urn:a") in rows
+    bnames = {s for (s, p, _k, v) in rows if p == EX + "name" and v == "anon"}
+    assert len(bnames) == 1
+    b = next(iter(bnames))
+    assert b.startswith("_:")
+    assert (b, EX + "knows", "iri", "urn:a") in rows
+
+
+def test_jsonld_bnode_writer_roundtrip_via_document_path(spark):
+    """Triples with bnode objects serialize as {"@id": "_:bN"} and read
+    back through the document path's allow_bnodes."""
+    from cmem_plugin_pyshacl_spark.data_model import KIND_BNODE
+    from cmem_plugin_pyshacl_spark.sources.jsonld import to_jsonld
+
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:s", EX + "p", ("_:b1", KIND_BNODE, None, None)),
+            ("_:b1", EX + "name", lit_typed("x")),
+        ],
+    )
+    lines = to_jsonld(data)
+    back = from_jsonld(lines, allow_bnodes=True)
+    assert _term_set(back) == _term_set(data)
+    # default distributed contract still refuses bnodes
+    with pytest.raises(Exception, match="blank-node|node reference"):
+        from_jsonld(lines).collect()
