@@ -218,6 +218,32 @@ def to_ntriples(df: DataFrame) -> DataFrame:
     )
 
 
+def to_nquads(df: DataFrame) -> DataFrame:
+    """Project a triples DataFrame to one N-Quads line per row — N-Triples
+    plus the graph label as the 4th term. Null-graph rows serialize as
+    default-graph statements (3 terms), so the export round-trips the
+    `graph` column that ``to_ntriples`` drops. concat_ws skips NULLs, so
+    the optional term costs no branch."""
+    return df.select(
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("<"), F.col("s"), F.lit(">")),
+            F.concat(F.lit("<"), F.col("p"), F.lit(">")),
+            nt_term(
+                F.col("o_kind"),
+                F.col("o_value"),
+                F.col("o_datatype"),
+                F.col("o_lang"),
+            ),
+            F.when(
+                F.col("graph").isNotNull(),
+                F.concat(F.lit("<"), F.col("graph"), F.lit(">")),
+            ),
+            F.lit("."),
+        ).alias("line")
+    )
+
+
 def from_ntriples(
     lines: DataFrame,
     line_col: str = "line",
@@ -240,6 +266,29 @@ def from_ntriples(
     body = F.regexp_extract(line, r"^<([^>]*)>\s+<([^>]*)>\s+(.*?)\s*\.$", 3)
     s = F.regexp_extract(line, r"^<([^>]*)>", 1)
     p = F.regexp_extract(line, r"^<[^>]*>\s+<([^>]*)>", 1)
+    parsed = (
+        lines.select(F.trim(F.col(line_col)).alias("_l"))
+        .filter((F.length("_l") > 0) & ~F.col("_l").startswith("#"))
+        .select(
+            s.alias("s"),
+            p.alias("p"),
+            *_nt_object_cols(body),
+        )
+        .filter(F.col("s") != "")
+    )
+    pid = part_id_expr if part_id_expr is not None else F.lit(0).cast("int")
+    return parsed.select(
+        "s", "p", "o_kind", "o_value", "o_datatype", "o_lang",
+        F.lit(graph).cast("string").alias("graph"),
+        pid.alias("part_id"),
+    )
+
+
+def _nt_object_cols(body: Column) -> list[Column]:
+    """The (o_kind, o_value, o_datatype, o_lang) projection of one
+    N-Triples/N-Quads object term — shared by from_ntriples/from_nquads.
+    Pure codegen regexp expressions; see from_ntriples for the
+    escape-order rationale."""
     is_iri = body.startswith("<")
     lex_raw = F.regexp_extract(body, r'^"((?:[^"\\]|\\.)*)"', 1)
     _sent = "\x00"  # never occurs in NT source (control chars are escaped)
@@ -251,29 +300,56 @@ def from_ntriples(
     lex = F.regexp_replace(lex, _sent, r"\\")
     lang = F.regexp_extract(body, r'^"(?:[^"\\]|\\.)*"@([A-Za-z0-9-]+)$', 1)
     dt = F.regexp_extract(body, r'^"(?:[^"\\]|\\.)*"\^\^<([^>]*)>$', 1)
+    return [
+        F.when(is_iri, F.lit(KIND_IRI)).otherwise(F.lit(KIND_LITERAL)).alias(
+            "o_kind"
+        ),
+        F.when(is_iri, F.regexp_extract(body, r"^<([^>]*)>$", 1))
+        .otherwise(lex)
+        .alias("o_value"),
+        F.when(~is_iri & (dt != ""), dt)
+        .when(~is_iri & (lang == "") & (dt == ""), F.lit(XSD_STRING))
+        .cast("string")
+        .alias("o_datatype"),
+        F.when(~is_iri & (lang != ""), lang).cast("string").alias("o_lang"),
+    ]
+
+
+def from_nquads(
+    lines: DataFrame,
+    line_col: str = "line",
+    part_id_expr: Column | None = None,
+) -> DataFrame:
+    """Parse N-Quads lines into the TRIPLES_SCHEMA relation — the source
+    twin of ``to_nquads``. A 4th ``<graph>`` term populates the `graph`
+    column; 3-term (default-graph) lines yield a NULL graph, so mixed
+    N-Triples/N-Quads files parse with graph fidelity. Same splittable
+    one-statement-per-line scan and pure-codegen posture as from_ntriples.
+
+    Both the body and the optional graph label extract with the SAME
+    pattern (different groups), so the lazy-body/optional-graph
+    backtracking resolves identically: `<s> <p> <o> .` keeps `<o>` as the
+    object (the graph group only matches a whitespace-separated trailing
+    IRI), and literals containing `<…>` stay whole."""
+    line = F.col("_l")
+    pat = r"^<[^>]*>\s+<[^>]*>\s+(.+?)(?:\s+<([^>]*)>)?\s*\.$"
+    body = F.regexp_extract(line, pat, 1)
+    g = F.regexp_extract(line, pat, 2)
+    s = F.regexp_extract(line, r"^<([^>]*)>", 1)
+    p = F.regexp_extract(line, r"^<[^>]*>\s+<([^>]*)>", 1)
     parsed = (
         lines.select(F.trim(F.col(line_col)).alias("_l"))
         .filter((F.length("_l") > 0) & ~F.col("_l").startswith("#"))
         .select(
             s.alias("s"),
             p.alias("p"),
-            F.when(is_iri, F.lit(KIND_IRI)).otherwise(F.lit(KIND_LITERAL)).alias(
-                "o_kind"
-            ),
-            F.when(is_iri, F.regexp_extract(body, r"^<([^>]*)>$", 1))
-            .otherwise(lex)
-            .alias("o_value"),
-            F.when(~is_iri & (dt != ""), dt)
-            .when(~is_iri & (lang == "") & (dt == ""), F.lit(XSD_STRING))
-            .cast("string")
-            .alias("o_datatype"),
-            F.when(~is_iri & (lang != ""), lang).cast("string").alias("o_lang"),
+            *_nt_object_cols(body),
+            F.when(g != "", g).cast("string").alias("graph"),
         )
         .filter(F.col("s") != "")
     )
     pid = part_id_expr if part_id_expr is not None else F.lit(0).cast("int")
     return parsed.select(
-        "s", "p", "o_kind", "o_value", "o_datatype", "o_lang",
-        F.lit(graph).cast("string").alias("graph"),
+        "s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "graph",
         pid.alias("part_id"),
     )

@@ -33,6 +33,7 @@ from ..data_model import (
     df_is_small,
     maybe_broadcast,
     nt_term,
+    to_nquads,
     to_ntriples,
 )
 from ..functions.hashing import skolem_iri
@@ -343,6 +344,7 @@ def post_graph(
     replace: bool = True,
     ntriples_path: str | None = None,
     single_file: bool = True,
+    quads: bool = False,
 ) -> None:
     """R12 — sink. The reference POSTs a serialized N-Triples file with
     replace=clear_validation_graph (:444-456); ours writes parquet with
@@ -353,11 +355,13 @@ def post_graph(
     be POSTed whole); single_file=False writes per-partition text files —
     the 100-TB export shape (N-Triples is line-oriented, so a directory of
     part files is still one valid graph and round-trips through
-    from_ntriples, which reads a whole directory)."""
+    from_ntriples, which reads a whole directory). quads=True exports
+    N-Quads instead, preserving the `graph` column the NT form drops
+    (round-trips through from_nquads)."""
     writer = triples.write.mode("overwrite" if replace else "append")
     writer.partitionBy("part_id").parquet(path)
     if ntriples_path:
-        lines = to_ntriples(triples)
+        lines = to_nquads(triples) if quads else to_ntriples(triples)
         if single_file:
             lines = lines.coalesce(1)
         lines.write.mode("overwrite").text(ntriples_path)

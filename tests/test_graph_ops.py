@@ -260,3 +260,71 @@ def test_owlrl_downgrade_is_logged(spark, caplog):
         "NOT the full mutually-recursive OWL-RL fixpoint" in r.message
         for r in caplog.records
     )
+
+
+def test_nquads_round_trip_with_graphs(spark):
+    """to_nquads keeps the graph column NT drops; from_nquads restores it.
+    Mixed default-graph (3-term) and named-graph (4-term) lines parse in
+    one scan, IRI objects are never mistaken for graph labels, and
+    literals containing <…> stay whole."""
+    from cmem_plugin_pyshacl_spark.data_model import (
+        XSD_INTEGER,
+        XSD_STRING,
+        from_nquads,
+        to_nquads,
+        triples_from_rows,
+    )
+
+    g1 = "urn:graph:one"
+    rows_g1 = [
+        ("urn:a", EX + "p", ("urn:b", "iri", None, None)),  # IRI obj + graph
+        ("urn:a", EX + "r", ("42", "literal", XSD_INTEGER, None)),
+        ("urn:a", EX + "s", ("hallo", "literal", None, "de")),
+        ("urn:a", EX + "t", ("see <urn:x> here", "literal", None, None)),
+    ]
+    rows_default = [
+        ("urn:c", EX + "p", ("urn:d", "iri", None, None)),  # IRI obj, no graph
+        ("urn:c", EX + "q", ("plain", "literal", None, None)),
+    ]
+    t = triples_from_rows(spark, rows_g1, graph=g1).unionByName(
+        triples_from_rows(spark, rows_default, graph=None)
+    )
+    lines = to_nquads(t)
+    rendered = {r.line for r in lines.collect()}
+    assert f"<urn:a> <{EX}p> <urn:b> <{g1}> ." in rendered
+    assert f"<urn:c> <{EX}p> <urn:d> ." in rendered
+    back = from_nquads(lines)
+    got = {
+        (r.s, r.p, r.o_kind, r.o_value, r.o_datatype, r.o_lang, r.graph)
+        for r in back.collect()
+    }
+    expected = {
+        ("urn:a", EX + "p", "iri", "urn:b", None, None, g1),
+        ("urn:a", EX + "r", "literal", "42", XSD_INTEGER, None, g1),
+        ("urn:a", EX + "s", "literal", "hallo", None, "de", g1),
+        ("urn:a", EX + "t", "literal", "see <urn:x> here", XSD_STRING, None, g1),
+        ("urn:c", EX + "p", "iri", "urn:d", None, None, None),
+        ("urn:c", EX + "q", "literal", "plain", XSD_STRING, None, None),
+    }
+    assert got == expected
+    # still a pure-codegen parse — no Python UDFs
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_post_graph_quads_export(spark, tmp_path):
+    """post_graph(quads=True) exports N-Quads that round-trip the graph
+    column through from_nquads."""
+    from cmem_plugin_pyshacl_spark.data_model import from_nquads
+    from cmem_plugin_pyshacl_spark.operators.graph_ops import post_graph
+
+    rows = [
+        (f"urn:s{i}", EX + "p", (f"v{i}", "literal", None, None))
+        for i in range(10)
+    ]
+    t = triples_from_rows(spark, rows, graph="urn:g:x")
+    nq_dir = str(tmp_path / "nq")
+    post_graph(t, str(tmp_path / "pq"), ntriples_path=nq_dir, quads=True)
+    back = from_nquads(spark.read.text(nq_dir), line_col="value")
+    assert {r.graph for r in back.collect()} == {"urn:g:x"}
+    assert back.count() == 10
