@@ -184,6 +184,17 @@ def nt_term(kind: Column, value: Column, datatype: Column, lang: Column) -> Colu
         "\t",
         r"\\t",
     )
+    # Unicode line separators (U+0085 NEL, U+2028 LS, U+2029 PS) are legal
+    # RAW in N-Triples literals, but Java regex treats them as line
+    # terminators, which breaks the reader's `.`-based single-line parse
+    # (and any line-oriented consumer). \uXXXX escapes are equally legal
+    # output (NT spec UCHAR) — emit those, decode them in _nt_object_cols.
+    for cp, esc in (
+        (0x0085, r"\\u0085"),
+        (0x2028, r"\\u2028"),
+        (0x2029, r"\\u2029"),
+    ):
+        escaped = F.regexp_replace(escaped, chr(cp), esc)
     return (
         F.when(kind == KIND_IRI, F.concat(F.lit("<"), value, F.lit(">")))
         .when(
@@ -296,6 +307,11 @@ def _nt_object_cols(body: Column) -> list[Column]:
     lex = F.regexp_replace(lex, r"\\n", "\n")
     lex = F.regexp_replace(lex, r"\\r", "\r")
     lex = F.regexp_replace(lex, r"\\t", "\t")
+    # decode the UCHAR forms nt_term emits for Unicode line separators
+    # (escaped backslashes are already sentinel'd, so a literal "\\u2028"
+    # in source text cannot be misread as an escape)
+    for cp in (0x0085, 0x2028, 0x2029):
+        lex = F.regexp_replace(lex, rf"\\u{cp:04x}", chr(cp))
     lex = F.regexp_replace(lex, r'\\"', '"')
     lex = F.regexp_replace(lex, _sent, r"\\")
     lang = F.regexp_extract(body, r'^"(?:[^"\\]|\\.)*"@([A-Za-z0-9-]+)$', 1)

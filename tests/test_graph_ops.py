@@ -281,6 +281,15 @@ def test_nquads_round_trip_with_graphs(spark):
         ("urn:a", EX + "r", ("42", "literal", XSD_INTEGER, None)),
         ("urn:a", EX + "s", ("hallo", "literal", None, "de")),
         ("urn:a", EX + "t", ("see <urn:x> here", "literal", None, None)),
+        # raw Unicode line separators: legal in NT literals, but Java regex
+        # treats them as line terminators — nt_term emits \\uXXXX escapes
+        # (round-4 fix); also a literal backslash-u text must NOT decode
+        (
+            "urn:a",
+            EX + "u",
+            ("nel  ls   ps   raw \\u2028 end",
+             "literal", None, None),
+        ),
     ]
     rows_default = [
         ("urn:c", EX + "p", ("urn:d", "iri", None, None)),  # IRI obj, no graph
@@ -303,6 +312,9 @@ def test_nquads_round_trip_with_graphs(spark):
         ("urn:a", EX + "r", "literal", "42", XSD_INTEGER, None, g1),
         ("urn:a", EX + "s", "literal", "hallo", None, "de", g1),
         ("urn:a", EX + "t", "literal", "see <urn:x> here", XSD_STRING, None, g1),
+        ("urn:a", EX + "u", "literal",
+         "nel \\u0085 ls \\u2028 ps \\u2029 raw \\\\u2028 end".encode()
+         .decode("unicode_escape"), XSD_STRING, None, g1),
         ("urn:c", EX + "p", "iri", "urn:d", None, None, None),
         ("urn:c", EX + "q", "literal", "plain", XSD_STRING, None, None),
     }

@@ -228,3 +228,67 @@ def test_batched_equals_per_constraint_randomized(spark, case):
     finally:
         shacl_mod._BATCH_THRESHOLD = saved
     assert batched == per_constraint
+
+
+# ------------------------------------------------- N-Quads round-trip (r4)
+_lex = st.text(
+    # printable + the escaped control chars nt_term handles; avoid
+    # surrogates / NULs (the parser's internal sentinel)
+    st.characters(codec="utf-8", exclude_characters="\x00", min_codepoint=9),
+    max_size=40,
+)
+_iri_chars = st.text(
+    st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789:/#._-"), min_size=1, max_size=20
+)
+
+
+@st.composite
+def _quad_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    rows, graphs = [], []
+    for i in range(n):
+        s = "urn:s" + draw(_iri_chars)
+        p = EX + draw(_iri_chars)
+        kind = draw(st.sampled_from(["iri", "plain", "typed", "lang"]))
+        if kind == "iri":
+            obj = ("urn:o" + draw(_iri_chars), "iri", None, None)
+        elif kind == "plain":
+            obj = (draw(_lex), "literal", None, None)
+        elif kind == "typed":
+            obj = (draw(_lex), "literal", XSD_INTEGER, None)
+        else:
+            obj = (draw(_lex), "literal", None, draw(st.sampled_from(["en", "de-DE"])))
+        rows.append((s, p, obj))
+        graphs.append(draw(st.one_of(st.none(), st.just("urn:g:" + draw(_iri_chars)))))
+    return rows, graphs
+
+
+@given(_quad_rows())
+@settings(max_examples=10, deadline=None)
+def test_nquads_roundtrip_property(spark, case):
+    """to_nquads ∘ from_nquads is the identity on term content + graph
+    (modulo RDF 1.1 plain≡xsd:string), for arbitrary lexical forms
+    including quotes/backslashes/newlines/angle brackets."""
+    from cmem_plugin_pyshacl_spark.data_model import (
+        from_nquads,
+        to_nquads,
+    )
+
+    rows, graphs = case
+    frames = []
+    for (s, p, obj), g in zip(rows, graphs):
+        frames.append(triples_from_rows(spark, [(s, p, obj)], graph=g))
+    t = frames[0]
+    for f in frames[1:]:
+        t = t.unionByName(f)
+    back = from_nquads(to_nquads(t))
+
+    def norm(r):
+        dt = r.o_datatype
+        if r.o_kind == "literal" and dt is None and r.o_lang is None:
+            dt = XSD_STRING
+        return (r.s, r.p, r.o_kind, r.o_value, dt, r.o_lang, r.graph)
+
+    assert sorted(norm(r) for r in back.collect()) == sorted(
+        norm(r) for r in t.collect()
+    )

@@ -292,6 +292,49 @@ def test_small_focus_plan_keeps_broadcast_hint(spark, tmp_path):
     }
 
 
+def test_saturated_estimate_count_fallback_restores_hint(spark, monkeypatch):
+    """Round-4 gate tier 3 (drift bisect, BENCH.md): when the Catalyst
+    estimate SATURATES (derived plans propagate to Long.MaxValue) and the
+    predicate slice is persisted, one bounded count rescues the verdict —
+    the plan keeps broadcast hints. Tier 2: a finite LARGE estimate (an
+    honest file-size-backed big scan) must NOT count and stays unhinted."""
+    data, shapes = _gate_fixture(spark)
+    # second property shape so the slice persists (count fallback is only
+    # taken when the cache-warming count is work evaluation repeats anyway)
+    shapes = shapes.unionByName(
+        triples_from_rows(
+            spark,
+            [
+                (EX + "S", SH + "property", iri(EX + "S-q")),
+                (EX + "S-q", SH + "path", iri(EX + "p")),
+                (EX + "S-q", SH + "datatype", iri(XSD_STRING)),
+            ],
+        )
+    )
+    expected = {
+        (r.focusNode, r.sourceConstraintComponent)
+        for r in validate(spark, data, shapes).collect()
+    }
+
+    # tier 3: saturated estimate + persisted slice -> count -> hinted
+    monkeypatch.setattr(shacl_mod, "_plan_size_bytes", lambda df: 1 << 62)
+    hinted = validate(spark, data, shapes)
+    plan = hinted._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in plan.lower(), plan
+    assert {
+        (r.focusNode, r.sourceConstraintComponent) for r in hinted.collect()
+    } == expected
+
+    # tier 2: finite large (below the saturation band) -> no count, unhinted
+    monkeypatch.setattr(shacl_mod, "_plan_size_bytes", lambda df: 1 << 40)
+    unhinted = validate(spark, data, shapes)
+    plan2 = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in plan2.lower(), plan2
+    assert {
+        (r.focusNode, r.sourceConstraintComponent) for r in unhinted.collect()
+    } == expected
+
+
 # -------------------------------------------------- eval-slice lifecycle
 def test_eval_slice_bounded_and_releasable(spark):
     """Round-4 contract (drift bisect, BENCH.md): the persisted predicate
