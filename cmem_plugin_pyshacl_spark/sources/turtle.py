@@ -131,6 +131,9 @@ class _Parser:
         self.bnode_map: dict[str, str] = {}
         self.bnode_n = 0
         self.triples: list[tuple] = []
+        # TriG: the label of the wrapped graph block being parsed, if any;
+        # None (top level / default-graph block) falls back to self.graph
+        self.cur_graph: str | None = None
 
     # ------------------------------------------------------------- scanner
     def _skip_ws(self) -> None:
@@ -363,7 +366,8 @@ class _Parser:
     # ------------------------------------------------------------ emitters
     def _emit(self, s: str, p: str, o: tuple) -> None:
         kind, value, dt, lang = o
-        self.triples.append((s, p, kind, value, dt, lang, self.graph, 0))
+        g = self.cur_graph if self.cur_graph is not None else self.graph
+        self.triples.append((s, p, kind, value, dt, lang, g, 0))
 
     def _read_predicate_object_list(self, subject: str) -> None:
         while True:
@@ -454,12 +458,67 @@ class _Parser:
             return head
         return self._read_pname()
 
+    # ------------------------------------------------------- TriG blocks
+    def _read_graph_label(self) -> str:
+        self._skip_ws()
+        c = self._peek()
+        if c == "<":
+            return self._read_iriref()
+        if self.text.startswith("_:", self.i):
+            m = _BNODE_LABEL_RE.match(self.text, self.i)
+            if not m:
+                self._fail("malformed blank node graph label")
+            self.i = m.end()
+            return self._named_bnode(m.group(0))
+        return self._read_pname()
+
+    def _read_wrapped_graph(self, label: str | None) -> None:
+        """TriG wrappedGraph: ``{ triples… }`` — statements inside emit
+        into `label` (None = the default graph). The terminating ``.`` of
+        each inner triples statement is optional before ``}`` (TriG §2.2),
+        and the same label may be wrapped repeatedly (graph union)."""
+        self._expect("{")
+        prev = self.cur_graph
+        self.cur_graph = label
+        try:
+            while True:
+                self._skip_ws()
+                if self._peek() == "}":
+                    self.i += 1
+                    return
+                if self.i >= self.n:
+                    self._fail("unterminated graph block (missing '}')")
+                if self._peek() == "[":
+                    subject = self._read_bnode_property_list()
+                    self._skip_ws()
+                    if self._peek() not in ".}":
+                        self._read_predicate_object_list(subject)
+                else:
+                    subject = self._read_subject()
+                    self._read_predicate_object_list(subject)
+                self._skip_ws()
+                if self._peek() == ".":
+                    self.i += 1
+        finally:
+            self.cur_graph = prev
+
     def parse(self) -> list[tuple]:
         while True:
             self._skip_ws()
             if self.i >= self.n:
                 return self.triples
             if self._peek() in "@PBpb" and self._read_directive():
+                continue
+            # TriG: GRAPH <label> { … }
+            if self.text.startswith(("GRAPH", "graph"), self.i) and not re.match(
+                r"[\w\-:]", self.text[self.i + 5 : self.i + 6] or " "
+            ):
+                self.i += 5
+                self._read_wrapped_graph(self._read_graph_label())
+                continue
+            # TriG: bare { … } — the default graph
+            if self._peek() == "{":
+                self._read_wrapped_graph(None)
                 continue
             if self._peek() == "[":
                 subject = self._read_bnode_property_list()
@@ -468,13 +527,27 @@ class _Parser:
                     self._read_predicate_object_list(subject)
             else:
                 subject = self._read_subject()
+                self._skip_ws()
+                # TriG: <label> { … } — the term was a graph label
+                if self._peek() == "{":
+                    self._read_wrapped_graph(subject)
+                    continue
                 self._read_predicate_object_list(subject)
             self._expect(".")
 
 
 def parse_turtle(text: str, graph: str | None = None) -> list[tuple]:
-    """Parse a Turtle document into TRIPLES_SCHEMA rows (driver-side)."""
+    """Parse a Turtle document into TRIPLES_SCHEMA rows (driver-side).
+    The grammar accepted is actually TriG (Turtle's named-graph superset,
+    of which every Turtle document is a valid instance): ``<g> { … }`` /
+    ``GRAPH <g> { … }`` blocks populate the `graph` column, a bare
+    ``{ … }`` block and top-level statements land in the default graph
+    (the ``graph`` argument)."""
     return _Parser(text, graph).parse()
+
+
+# explicit TriG names — same parser, Turtle ⊂ TriG
+parse_trig = parse_turtle
 
 
 def from_turtle(
@@ -503,6 +576,7 @@ def read_turtle(
 __all__ = [
     "TurtleParseError",
     "parse_turtle",
+    "parse_trig",
     "from_turtle",
     "read_turtle",
 ]
@@ -657,6 +731,117 @@ def write_turtle(
         rows = ([(0, header)] if header else []) + []
         head_df = spark.createDataFrame(
             rows or [(0, "")], "k int, line string"
+        ).filter(F.col("line") != "")
+        out = (
+            head_df.unionByName(body.select(F.lit(1).alias("k"), "line"))
+            .coalesce(1)
+            .sortWithinPartitions("k", "line")
+            .select("line")
+        )
+        out.write.mode("overwrite").text(path)
+        return
+
+    def _with_header(batches):
+        emitted = False
+        for pdf in batches:
+            if not emitted and header and len(pdf):
+                yield pd.DataFrame({"line": [header]})
+                emitted = True
+            yield pdf
+
+    body.mapInPandas(_with_header, "line string").write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def to_trig(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+    """Serialize a triples DataFrame to TriG — the named-graph twin of
+    to_turtle. Each subject block renders exactly as to_turtle does but
+    grouped per (graph, subject); named-graph subjects wrap in their own
+    ``<g> { … }`` block. TriG allows the same label to be wrapped any
+    number of times (the graph is the union), so per-subject blocks keep
+    the sink fully DISTRIBUTED — no graph-level aggregation that would
+    fold a 100-TB graph's subjects into one row. Null-graph rows render
+    as bare (default-graph) Turtle statements, so a graph-column-free
+    frame round-trips as plain Turtle."""
+    from pyspark.sql import functions as F
+
+    pfx = prefixes or {}
+    pred = F.when(F.col("p") == RDF_TYPE, F.lit("a")).otherwise(
+        _compact_iri(F.col("p"), pfx)
+    )
+    obj = _ttl_term(
+        F.col("o_kind"),
+        F.col("o_value"),
+        F.col("o_datatype"),
+        F.col("o_lang"),
+        pfx,
+    )
+    per_pred = (
+        df.withColumn("_pred", pred)
+        .withColumn("_obj", obj)
+        .groupBy("graph", "s", "_pred")
+        .agg(
+            F.concat_ws(" , ", F.sort_array(F.collect_list("_obj"))).alias(
+                "_objs"
+            )
+        )
+    )
+    po = F.concat(F.col("_pred"), F.lit(" "), F.col("_objs"))
+    per_subj = (
+        per_pred.withColumn("_po", po)
+        .groupBy("graph", "s")
+        .agg(
+            F.concat_ws(" ;\n    ", F.sort_array(F.collect_list("_po"))).alias(
+                "_body"
+            )
+        )
+    )
+    stmt = F.concat(
+        F.when(F.col("s").startswith("_:"), F.col("s")).otherwise(
+            _compact_iri(F.col("s"), pfx)
+        ),
+        F.lit(" "),
+        F.col("_body"),
+        F.lit(" ."),
+    )
+    return per_subj.select(
+        F.when(
+            F.col("graph").isNotNull(),
+            F.concat(
+                _compact_iri(F.col("graph"), pfx),
+                F.lit(" {\n"),
+                stmt,
+                F.lit("\n}"),
+            ),
+        )
+        .otherwise(stmt)
+        .alias("line")
+    )
+
+
+def write_trig(
+    df: DataFrame,
+    path: str,
+    prefixes: dict[str, str] | None = None,
+    single_file: bool = True,
+    num_files: int | None = None,
+) -> None:
+    """Write a triples DataFrame as .trig text — same header/partitioning
+    contract as write_turtle (every part file standalone-valid, parts
+    concatenate validly because repeated graph labels union)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pfx = prefixes or {}
+    body = to_trig(df, pfx)
+    if num_files and not single_file:
+        body = body.repartition(num_files)
+    header = turtle_header(pfx).rstrip("\n")
+    if single_file:
+        spark = df.sparkSession
+        head_df = spark.createDataFrame(
+            [(0, header or "")], "k int, line string"
         ).filter(F.col("line") != "")
         out = (
             head_df.unionByName(body.select(F.lit(1).alias("k"), "line"))

@@ -344,3 +344,102 @@ def test_to_turtle_groups_objects_with_commas(spark):
     assert " ;\n    ex:q ex:b ." in lines[0]
     back = {r[:6] for r in parse_turtle(turtle_header(pfx) + lines[0])}
     assert back == {tuple(r)[:6] for r in df.collect()}
+
+
+# ----------------------------------------------------------- TriG (round 4)
+def test_parse_trig_graph_blocks():
+    """TriG: <g> { } / GRAPH <g> { } / bare { } blocks populate the graph
+    column; plain Turtle statements stay in the default graph; inner
+    trailing '.' before '}' is optional."""
+    from cmem_plugin_pyshacl_spark.sources.turtle import parse_trig
+
+    text = """
+    @prefix ex: <http://example.org/> .
+    ex:top ex:p "default" .
+    ex:g1 { ex:a ex:p ex:b . ex:a ex:q "in-g1" }
+    GRAPH <http://example.org/g2> {
+        ex:c a ex:T ;
+             ex:p "in-g2" .
+    }
+    { ex:d ex:p "default-block" }
+    ex:g1 { ex:e ex:p "more-g1" . }
+    """
+    rows = parse_trig(text)
+    by_graph: dict = {}
+    for s, p, k, v, dt, lang, g, _pid in rows:
+        by_graph.setdefault(g, set()).add((s, p, v))
+    EXn = "http://example.org/"
+    assert (EXn + "top", EXn + "p", "default") in by_graph[None]
+    assert (EXn + "d", EXn + "p", "default-block") in by_graph[None]
+    assert by_graph[EXn + "g1"] == {
+        (EXn + "a", EXn + "p", EXn + "b"),
+        (EXn + "a", EXn + "q", "in-g1"),
+        (EXn + "e", EXn + "p", "more-g1"),  # repeated label unions
+    }
+    assert (EXn + "c", EXn + "p", "in-g2") in by_graph[EXn + "g2"]
+    assert (
+        EXn + "c",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        EXn + "T",
+    ) in by_graph[EXn + "g2"]
+
+
+def test_trig_default_graph_argument():
+    """The `graph` argument names the default graph; explicit blocks win."""
+    from cmem_plugin_pyshacl_spark.sources.turtle import parse_trig
+
+    text = '<urn:s> <urn:p> "top" . <urn:g> { <urn:s> <urn:p> "in" . }'
+    rows = parse_trig(text, graph="urn:default")
+    gs = {(r[3], r[6]) for r in rows}
+    assert gs == {("top", "urn:default"), ("in", "urn:g")}
+
+
+def test_to_trig_round_trips_with_graphs(spark):
+    from cmem_plugin_pyshacl_spark.sources.turtle import (
+        parse_trig,
+        to_trig,
+        turtle_header,
+    )
+
+    pfx = {"ex": EX}
+    rows_g = [
+        (EX + "a", EX + "p", (EX + "b", KIND_IRI, None, None)),
+        (EX + "a", EX + "q", ("v1", KIND_LITERAL, XSD_STRING, None)),
+    ]
+    rows_d = [(EX + "c", EX + "p", ("plain", KIND_LITERAL, XSD_STRING, None))]
+    df = triples_from_rows(spark, rows_g, graph=EX + "g1").unionByName(
+        triples_from_rows(spark, rows_d, graph=None)
+    )
+    lines = [r.line for r in to_trig(df, pfx).collect()]
+    doc = turtle_header(pfx) + "\n".join(lines)
+    back = {(r[0], r[1], r[3], r[6]) for r in parse_trig(doc)}
+    assert back == {
+        (EX + "a", EX + "p", EX + "b", EX + "g1"),
+        (EX + "a", EX + "q", "v1", EX + "g1"),
+        (EX + "c", EX + "p", "plain", None),
+    }
+    # null-graph rows render as bare Turtle statements (no block)
+    bare = [ln for ln in lines if "{" not in ln]
+    assert len(bare) == 1 and bare[0].startswith("ex:c ")
+
+
+def test_write_trig_partitioned_parts_are_standalone(spark, tmp_path):
+    import glob
+
+    from cmem_plugin_pyshacl_spark.sources.turtle import parse_trig, write_trig
+
+    rows = [
+        (f"{EX}s{i}", EX + "p", (f"v{i}", KIND_LITERAL, XSD_STRING, None))
+        for i in range(20)
+    ]
+    df = triples_from_rows(spark, rows, graph=EX + "g").repartition(3)
+    out = str(tmp_path / "trig_parts")
+    write_trig(df, out, {"ex": EX}, single_file=False, num_files=3)
+    parts = [p for p in glob.glob(out + "/part-*") if open(p).read().strip()]
+    assert len(parts) > 1
+    got = set()
+    for p in parts:
+        content = open(p).read()
+        assert content.startswith("@prefix ex:")  # standalone-valid part
+        got |= {(r[0], r[3], r[6]) for r in parse_trig(content)}
+    assert got == {(f"{EX}s{i}", f"v{i}", EX + "g") for i in range(20)}
