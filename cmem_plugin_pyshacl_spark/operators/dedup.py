@@ -180,3 +180,46 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
+
+
+def near_dup_clusters(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) from near-duplicate PAIRS via connected
+    components — near-duplication is transitive in practice (A≈B, B≈C ⇒
+    one cluster even when A,C were never paired), so pair output alone
+    over-keeps. cluster_id = min doc_id of the cluster, the same
+    deterministic canonicalization the entity-linking stage uses
+    (plans/connected_components: star-contraction fixpoint at scale,
+    union-find under the small-graph threshold). Docs in no pair are
+    absent (each is its own singleton cluster by definition)."""
+    from ..plans.connected_components import connected_components
+
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def dedup_near(
+    documents: DataFrame,
+    text_col: str = "text",
+    method: str = "minhash",
+    **kwargs,
+) -> DataFrame:
+    """Keep ONE representative (min doc_id) per near-duplicate CLUSTER —
+    the stage real training-data pipelines run between pair generation and
+    the corpus sink. method selects the pair generator: 'minhash'
+    (MinHash-LSH + exact-Jaccard verify) or 'simhash' (pigeonhole banding
+    + exact hamming); kwargs pass through (threshold, num_perm, bands /
+    max_hamming). Plan shape: pair generation (banded, never all-pairs)
+    → CC canonicalize → one anti join on doc_id."""
+    if method == "minhash":
+        pairs = minhash_duplicates(documents, text_col, **kwargs)
+    elif method == "simhash":
+        pairs = simhash_duplicates(documents, text_col, **kwargs)
+    else:
+        raise ValueError(f"unknown near-dup method {method!r}")
+    clusters = near_dup_clusters(pairs.select("a_id", "b_id"))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return documents.join(losers, on="doc_id", how="left_anti")

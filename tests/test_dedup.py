@@ -75,3 +75,32 @@ def test_embedding_near_dup(spark):
     pairs = {(r.a_id, r.b_id) for r in
              embedding_near_dup(emb, threshold=0.95).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A≈B and B≈C chain into ONE cluster even though (A, C) was never a
+    pair; cluster_id = min doc_id."""
+    from cmem_plugin_pyshacl_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "a_id long, b_id long"
+    )
+    got = {(r.doc_id, r.cluster_id) for r in near_dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_dedup_near_keeps_one_per_cluster(spark, docs):
+    """Docs 0/1/2 are one near-dup cluster (exact + near); minhash-based
+    cluster dedup keeps doc 0 plus the two unrelated docs."""
+    from cmem_plugin_pyshacl_spark.operators.dedup import dedup_near
+
+    kept = sorted(
+        r.doc_id for r in dedup_near(docs, threshold=0.5).collect()
+    )
+    assert kept == [0, 3, 4]
+    # simhash path agrees on this corpus
+    kept_sim = sorted(
+        r.doc_id
+        for r in dedup_near(docs, method="simhash", max_hamming=10).collect()
+    )
+    assert kept_sim == [0, 3, 4]
