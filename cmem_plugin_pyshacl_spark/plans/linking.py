@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import char_shingles, minhash_exprs, minhash_sig_expr
+from ..functions.hashing import (
+    char_shingles,
+    char_shingles_expr,
+    minhash_exprs,
+    minhash_sig_expr,
+)
 
 
 def normalize_surface(col):
@@ -158,9 +163,25 @@ def jaccard_pairs_verified(
     substrings + distinct) dominates; precomputing turns the verify stage
     from O(pairs * len) array builds into O(docs * len) builds plus an
     O(|a|+|b|) hash-intersect per pair. |union| is derived as
-    |a|+|b|-|intersect| so only ONE array op runs per pair."""
+    |a|+|b|-|intersect| so only ONE array op runs per pair.
+
+    Shingle sets are xxhash64-FOLDED to bigint arrays per document
+    (round-4, measured at sf1: verify 134 s -> 74 s on 722k candidate
+    pairs): the two pair joins then shuffle 8-byte ints instead of k-char
+    strings and array_intersect compares fixed-width values. Set sizes —
+    and therefore Jaccard — are preserved exactly barring a 64-bit
+    collision WITHIN one document's shingle set (~|sh|^2/2^65, vanishing;
+    the DuckDB oracle computes the same values from the raw strings and
+    has stayed hash-identical). xxhash64 here is engine-internal — it
+    never reaches results, so oracle portability (md5 family) is not
+    implicated."""
     sh = documents.select(
-        F.col(id_col).alias("_id"), char_shingles(text_col, k).alias("_sh")
+        F.col(id_col).alias("_id"),
+        F.expr(
+            "array_distinct(transform("
+            + char_shingles_expr(text_col, k)
+            + ", x -> xxhash64(x)))"
+        ).alias("_sh"),
     )
     a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_shb"))
