@@ -2751,6 +2751,8 @@ def validate(
                 # custom constraint components (SHACL-AF §6)
                 "parameter", "path", "optional", "validator",
                 "nodeValidator", "propertyValidator", "property",
+                # SPARQL functions (SHACL-AF §7)
+                "order", "returnType",
             )
         }
         af_rows = [r for r in shapes_rows if r.p in _af_preds or r.p == RDF_TYPE]
@@ -2760,6 +2762,34 @@ def validate(
             af_rows, shapes_triples, all_rows=shapes_rows
         ).items():
             sparql_map.setdefault(k, []).extend(v)
+        # SHACL-AF §7 SPARQL functions: expand calls textually into every
+        # validator/target body BEFORE parsing — the evaluator never sees
+        # the function (same pre-binding strategy as component parameters)
+        from .sparql_af import compile_sparql_functions, expand_function_calls
+
+        af_functions = compile_sparql_functions(af_rows)
+        if af_functions:
+            from dataclasses import replace as _dc_replace
+
+            sparql_map = {
+                k: [
+                    _dc_replace(
+                        sc,
+                        select=expand_function_calls(sc.select, af_functions)
+                        if sc.select
+                        else sc.select,
+                        ask=expand_function_calls(sc.ask, af_functions)
+                        if sc.ask
+                        else sc.ask,
+                    )
+                    for sc in scs
+                ]
+                for k, scs in sparql_map.items()
+            }
+            starget_map = {
+                k: [expand_function_calls(s, af_functions) for s in v]
+                for k, v in starget_map.items()
+            }
         from .sparql_af import parse_ask, pattern_predicates
 
         for scs in sparql_map.values():

@@ -906,6 +906,175 @@ def compile_custom_components(
     return out
 
 
+SH_SPARQL_FUNCTION = SH + "SPARQLFunction"
+
+
+@dataclass
+class SparqlFunction:
+    """SHACL-AF §7 SPARQL function, pure-expression subset: the sh:select
+    body must be ``SELECT (expr AS ?out) WHERE {}`` — a computation over
+    the pre-bound parameters with no graph patterns (how SHACL functions
+    are overwhelmingly written: expression wrappers). Calls are expanded
+    TEXTUALLY into the calling validator's expression before parsing, so
+    the evaluator never sees the function — the same pre-binding strategy
+    custom-component parameters use. Bodies with graph patterns would be
+    correlated subqueries per call site; they raise (out of subset)."""
+
+    iri: str
+    params: list[str]  # ordered parameter variable names
+    expr: str  # the expression template over ?param names
+
+
+_FN_BODY_RE = re.compile(
+    r"^\s*SELECT\s*\(\s*(.*?)\s+AS\s+[?$][A-Za-z_]\w*\s*\)\s*"
+    r"WHERE\s*\{\s*\}\s*$",
+    re.I | re.S,
+)
+
+
+def compile_sparql_functions(shapes_rows: list) -> dict[str, SparqlFunction]:
+    """Gather sh:SPARQLFunction declarations keyed by function IRI.
+    Parameters order by sh:order (then local name); the parameter variable
+    name is the local name of the parameter's sh:path (§7.1, same rule as
+    custom components)."""
+    by_subject = index_rows(shapes_rows)
+    out: dict[str, SparqlFunction] = {}
+    for subj, preds in by_subject.items():
+        types = [r.o_value for r in preds.get(RDF_TYPE, [])]
+        if SH_SPARQL_FUNCTION not in types:
+            continue
+        plist: list[tuple[float, str]] = []
+        for pref in preds.get(SH + "parameter", []):
+            pprops = by_subject.get(pref.o_value, {})
+            paths = pprops.get(SH + "path", [])
+            if not paths:
+                raise ValueError(
+                    f"sh:parameter of function {subj} has no sh:path"
+                )
+            orders = pprops.get(SH + "order", [])
+            try:
+                order = float(orders[0].o_value) if orders else float("inf")
+            except ValueError as e:
+                raise ValueError(
+                    f"function {subj}: non-numeric sh:order "
+                    f"{orders[0].o_value!r}"
+                ) from e
+            plist.append((order, _local_name(paths[0].o_value)))
+        selects = preds.get(SH + "select", [])
+        if not selects:
+            raise ValueError(
+                f"sh:SPARQLFunction {subj} has no sh:select (only "
+                "SELECT-expression functions are in the subset)"
+            )
+        body = expand_prefixes(
+            selects[0].o_value, declared_prefixes(by_subject, subj)
+        )
+        m = _FN_BODY_RE.match(body.strip())
+        if not m:
+            raise ValueError(
+                f"sh:SPARQLFunction {subj}: only pure-expression bodies "
+                "'SELECT (expr AS ?out) WHERE {}' are in the subset"
+            )
+        out[subj] = SparqlFunction(
+            subj, [name for _o, name in sorted(plist)], m.group(1).strip()
+        )
+    return out
+
+
+def _split_call_args(text: str, start: int) -> tuple[list[str], int]:
+    """Split the balanced ``(...)`` argument list starting at `start` (the
+    opening paren) into top-level comma-separated argument texts; returns
+    (args, index past the closing paren). Respects nested parens, quoted
+    strings and <iri> regions."""
+    depth = 0
+    args: list[str] = []
+    buf: list[str] = []
+    i, n = start, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':
+            j = i + 1
+            while j < n and text[j] != '"':
+                j += 2 if text[j] == "\\" else 1
+            j = min(j + 1, n)
+            buf.append(text[i:j])
+            i = j
+            continue
+        if c == "<":
+            j = text.find(">", i)
+            j = n if j < 0 else j + 1
+            buf.append(text[i:j])
+            i = j
+            continue
+        if c == "(":
+            depth += 1
+            if depth > 1:
+                buf.append(c)
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                arg = "".join(buf).strip()
+                if arg or args:
+                    args.append(arg)
+                return args, i + 1
+            buf.append(c)
+        elif c == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    raise ValueError(f"unbalanced function argument list near {text[start:start+40]!r}")
+
+
+def expand_function_calls(
+    text: str, functions: dict[str, SparqlFunction], max_depth: int = 25
+) -> str:
+    """Expand every ``<fn-iri>(args…)`` call of a declared SPARQL function
+    into its parenthesized expression template with arguments substituted
+    textually (each argument itself parenthesized, so precedence is
+    preserved). Iterates for nested / mutually-referencing functions with
+    a depth bound (cycles raise)."""
+    if not functions:
+        return text
+    for _ in range(max_depth):
+        replaced = False
+        for iri_str, fn in functions.items():
+            token = f"<{iri_str}>"
+            start = 0
+            while True:
+                at = text.find(token, start)
+                if at < 0:
+                    break
+                paren = at + len(token)
+                while paren < len(text) and text[paren].isspace():
+                    paren += 1
+                if paren >= len(text) or text[paren] != "(":
+                    start = at + len(token)
+                    continue
+                args, end = _split_call_args(text, paren)
+                if len(args) != len(fn.params):
+                    raise ValueError(
+                        f"function <{iri_str}> expects {len(fn.params)} "
+                        f"arguments, got {len(args)}"
+                    )
+                expr = fn.expr
+                for name, arg in zip(fn.params, args):
+                    expr = re.sub(
+                        r"[?$]" + re.escape(name) + r"\b",
+                        lambda _m, a=arg: f"({a})",
+                        expr,
+                    )
+                text = text[:at] + "(" + expr + ")" + text[end:]
+                replaced = True
+                start = at + 1
+        if not replaced:
+            return text
+    raise ValueError(
+        "SPARQL function expansion did not terminate (recursive functions?)"
+    )
+
+
 SH_SPARQL_TARGET = SH + "SPARQLTarget"
 
 

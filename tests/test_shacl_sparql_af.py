@@ -2339,3 +2339,125 @@ def test_timezone_and_tz_accessors(spark):
     assert {(r.focusNode, r.value) for r in res2} == {
         ("urn:a", "-PT5H"), ("urn:b", "PT0S"),
     }
+
+
+# -------------------------------------------- SPARQL functions (SHACL-AF §7)
+def _fn_rows(fn_iri, select, params):
+    """(rows) declaring fn_iri as an sh:SPARQLFunction with ordered
+    params [(path_iri, order), …] and the given select body."""
+    rows = [(fn_iri, RDF_TYPE, iri(SH + "SPARQLFunction")),
+            (fn_iri, SH + "select", lit_typed(select))]
+    for i, (path, order) in enumerate(params):
+        pnode = f"{fn_iri}#p{i}"
+        rows += [
+            (fn_iri, SH + "parameter", iri(pnode)),
+            (pnode, SH + "path", iri(path)),
+            (pnode, SH + "order", lit_typed(str(order), XSD_INTEGER)),
+        ]
+    return rows
+
+
+def test_sparql_function_call_in_filter(spark):
+    """A declared pure-expression function expands textually into the
+    calling constraint's FILTER: square(age) > 400 flags only bob (42)."""
+    sel = (
+        f"SELECT $this ?age WHERE {{ $this <{EX}age> ?age . "
+        f"FILTER (<{EX}square>(?age) > 400) }}"
+    )
+    shapes = triples_from_rows(
+        spark,
+        [
+            (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "S", SH + "targetClass", iri(EX + "Person")),
+            (EX + "S", SH + "sparql", iri("urn:af:cf")),
+            ("urn:af:cf", SH + "select", lit_typed(sel)),
+            *_fn_rows(
+                EX + "square",
+                "SELECT (?op * ?op AS ?result) WHERE {}",
+                [(EX + "op", 0)],
+            ),
+        ],
+    )
+    res = validate(spark, _people(spark), shapes, advanced=True).collect()
+    assert {r.focusNode for r in res} == {"urn:bob"}
+
+
+def test_sparql_function_multi_param_order_and_nesting(spark):
+    """sh:order fixes the parameter positions; functions may call other
+    functions (bounded expansion)."""
+    sel = (
+        f"SELECT $this ?age WHERE {{ $this <{EX}age> ?age . "
+        f"FILTER (<{EX}minus>(?age, 3) > <{EX}square>(6)) }}"
+    )
+    # minus(x, y) = x - y (NON-commutative, so a wrong parameter order
+    # flips every verdict) — declared in reverse, sh:order restores (x, y)
+    shapes = triples_from_rows(
+        spark,
+        [
+            (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "S", SH + "targetClass", iri(EX + "Person")),
+            (EX + "S", SH + "sparql", iri("urn:af:cf2")),
+            ("urn:af:cf2", SH + "select", lit_typed(sel)),
+            *_fn_rows(
+                EX + "minus",
+                "SELECT (?x - ?y AS ?out) WHERE {}",
+                [(EX + "y", 1), (EX + "x", 0)],
+            ),
+            *_fn_rows(
+                EX + "square",
+                "SELECT (?op * ?op AS ?result) WHERE {}",
+                [(EX + "op", 0)],
+            ),
+        ],
+    )
+    # ages: alice 17-3=14 < 36; bob 42-3=39 > 36; carol has no age.
+    # (Swapped parameters would give 3-age, negative — nobody flagged.)
+    res = validate(spark, _people(spark), shapes, advanced=True).collect()
+    assert {r.focusNode for r in res} == {"urn:bob"}
+
+
+def test_sparql_function_pattern_body_raises(spark):
+    """Function bodies with graph patterns are outside the subset."""
+    sel = (
+        f"SELECT $this WHERE {{ $this <{EX}age> ?age . "
+        f"FILTER (<{EX}bad>(?age) > 1) }}"
+    )
+    shapes = triples_from_rows(
+        spark,
+        [
+            (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "S", SH + "targetClass", iri(EX + "Person")),
+            (EX + "S", SH + "sparql", iri("urn:af:cf3")),
+            ("urn:af:cf3", SH + "select", lit_typed(sel)),
+            *_fn_rows(
+                EX + "bad",
+                f"SELECT (?v AS ?out) WHERE {{ ?s <{EX}v> ?v }}",
+                [(EX + "v", 0)],
+            ),
+        ],
+    )
+    with pytest.raises(ValueError, match="pure-expression"):
+        validate(spark, _people(spark), shapes, advanced=True)
+
+
+def test_sparql_function_wrong_arity_raises(spark):
+    sel = (
+        f"SELECT $this WHERE {{ $this <{EX}age> ?age . "
+        f"FILTER (<{EX}square>(?age, 2) > 1) }}"
+    )
+    shapes = triples_from_rows(
+        spark,
+        [
+            (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "S", SH + "targetClass", iri(EX + "Person")),
+            (EX + "S", SH + "sparql", iri("urn:af:cf4")),
+            ("urn:af:cf4", SH + "select", lit_typed(sel)),
+            *_fn_rows(
+                EX + "square",
+                "SELECT (?op * ?op AS ?result) WHERE {}",
+                [(EX + "op", 0)],
+            ),
+        ],
+    )
+    with pytest.raises(ValueError, match="expects 1 arguments"):
+        validate(spark, _people(spark), shapes, advanced=True)
