@@ -181,6 +181,11 @@ def compile_rules(shapes_rows: list) -> dict[str, list[Rule]]:
     sh:order. ValueError for rule types outside TripleRule/SPARQLRule
     (sh:JSRule stays out of scope, like SHACL-JS in validate())."""
     by_subject = index_rows(shapes_rows)
+    # SHACL-AF §7 functions are callable from rule bodies too — expand
+    # textually before parsing, same as sh:sparql validators
+    from .sparql_af import compile_sparql_functions, expand_function_calls
+
+    functions = compile_sparql_functions(shapes_rows)
     out: dict[str, list[Rule]] = {}
     for subj, preds in by_subject.items():
         rules: list[Rule] = []
@@ -224,6 +229,7 @@ def compile_rules(shapes_rows: list) -> dict[str, list[Rule]]:
                 construct = expand_prefixes(
                     construct, declared_prefixes(by_subject, node)
                 )
+                construct = expand_function_calls(construct, functions)
                 parse_construct(construct)  # surface syntax errors at compile time
                 rules.append(
                     Rule(

@@ -324,3 +324,47 @@ def test_compile_rules_orders_by_sh_order(spark):
     rows = shapes.select("s", "p", "o_kind", "o_value", "o_datatype", "o_lang").collect()
     rules = compile_rules(rows)[EX + "RS"]
     assert [r.rule_id for r in rules] == ["urn:r:a", "urn:r:b"]
+
+
+def test_sparql_rule_uses_declared_function(spark):
+    """SHACL-AF §7 functions expand inside sh:SPARQLRule bodies too."""
+    from cmem_plugin_pyshacl_spark.data_model import XSD_INTEGER
+
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "T")),
+            ("urn:a", EX + "n", lit_typed("6", XSD_INTEGER)),
+        ],
+    )
+    construct = (
+        f"CONSTRUCT {{ $this <{EX}dbl> ?d }} WHERE {{ "
+        f"$this <{EX}n> ?n . BIND (<{EX}double>(?n) AS ?d) }}"
+    )
+    shapes = triples_from_rows(
+        spark,
+        [
+            (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "S", SH + "targetClass", iri(EX + "T")),
+            (EX + "S", SH + "rule", iri("urn:r1")),
+            ("urn:r1", RDF_TYPE, iri(SH + "SPARQLRule")),
+            ("urn:r1", SH + "construct", lit_typed(construct)),
+            (EX + "double", RDF_TYPE, iri(SH + "SPARQLFunction")),
+            (
+                EX + "double",
+                SH + "select",
+                lit_typed("SELECT (?v * 2 AS ?out) WHERE {}"),
+            ),
+            (EX + "double", SH + "parameter", iri("urn:fp0")),
+            ("urn:fp0", SH + "path", iri(EX + "v")),
+        ],
+    )
+    out = apply_rules(spark, data, shapes)
+    inferred = {
+        (r.s, r.p, r.o_value)
+        for r in out.collect()
+        if r.p == EX + "dbl"
+    }
+    assert inferred == {("urn:a", EX + "dbl", "12.0")} or inferred == {
+        ("urn:a", EX + "dbl", "12")
+    }
