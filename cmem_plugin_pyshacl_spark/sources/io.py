@@ -1,0 +1,132 @@
+"""Format-dispatching RDF I/O front door.
+
+The reference moves graphs through rdflib, which sniffs the serialization
+and parses anything (plugin_pyshacl.py:539-543). This module is the Spark
+twin: one `read_rdf(spark, path)` / `write_rdf(df, path)` pair that
+dispatches on the file extension (or an explicit `format=`) to the
+format-specific sources in this package, always producing/consuming the
+canonical TRIPLES_SCHEMA relation.
+
+Scale posture per format (documented on each source):
+  * parquet          — the native table form; fully distributed both ways.
+  * .nt / .nq        — line-oriented, splittable: distributed text scan
+                       with pure-codegen regex parsing; N-Quads round-trips
+                       the graph column.
+  * .jsonl/.ndjson   — expanded NDJSON JSON-LD: splittable mapInPandas.
+  * .ttl / .trig     — driver-side parse (Turtle's multi-line statements
+                       and bnode property lists are not line-splittable);
+                       the shapes/ontology ingest path. Writers ARE
+                       distributed (per-part standalone headers).
+  * .jsonld / .json  — driver-side compacted-document expansion
+                       (@context, nested nodes, @list, @reverse, @graph).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..data_model import (
+    from_nquads,
+    from_ntriples,
+    to_nquads,
+    to_ntriples,
+)
+
+_READ_EXTS = {
+    ".parquet": "parquet",
+    ".nt": "ntriples",
+    ".nq": "nquads",
+    ".nquads": "nquads",
+    ".ttl": "turtle",
+    ".trig": "trig",
+    ".jsonld": "jsonld",
+    ".json": "jsonld",
+    ".jsonl": "ndjson",
+    ".ndjson": "ndjson",
+}
+
+
+def _sniff(path: str, format: str | None) -> str:
+    if format:
+        return format
+    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    if ext in _READ_EXTS:
+        return _READ_EXTS[ext]
+    raise ValueError(
+        f"cannot infer RDF format from {path!r} — pass format= one of "
+        f"{sorted(set(_READ_EXTS.values()))}"
+    )
+
+
+def read_rdf(
+    spark: SparkSession,
+    path: str,
+    format: str | None = None,
+    graph: str | None = None,
+) -> DataFrame:
+    """Read an RDF file/directory into the triples relation, dispatching
+    on extension (or explicit `format`). `graph` names the default graph
+    for formats that don't carry one per statement."""
+    fmt = _sniff(path, format)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "ntriples":
+        return from_ntriples(spark.read.text(path), line_col="value", graph=graph)
+    if fmt == "nquads":
+        return from_nquads(spark.read.text(path), line_col="value")
+    if fmt == "ndjson":
+        from .jsonld import from_jsonld
+
+        return from_jsonld(spark.read.text(path), line_col="value", graph=graph)
+    if fmt in ("turtle", "trig"):
+        from .turtle import from_turtle
+
+        # one driver-side document per part file; directories concatenate
+        texts = [r.value for r in spark.read.text(path).collect()]
+        return from_turtle(spark, "\n".join(texts), graph)
+    if fmt == "jsonld":
+        from .jsonld import read_jsonld_document
+
+        with open(path, encoding="utf-8") as fh:
+            return read_jsonld_document(spark, fh.read(), graph=graph)
+    raise ValueError(f"unknown RDF format {fmt!r}")
+
+
+def write_rdf(
+    df: DataFrame,
+    path: str,
+    format: str | None = None,
+    single_file: bool = False,
+    prefixes: dict[str, str] | None = None,
+) -> None:
+    """Write a triples relation in the format implied by the extension
+    (or explicit `format`)."""
+    fmt = _sniff(path, format)
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+        return
+    if fmt == "ntriples":
+        out = to_ntriples(df)
+    elif fmt == "nquads":
+        out = to_nquads(df)
+    elif fmt == "ndjson":
+        from .jsonld import to_jsonld
+
+        out = to_jsonld(df)
+    elif fmt == "turtle":
+        from .turtle import write_turtle
+
+        write_turtle(df, path, prefixes, single_file=single_file)
+        return
+    elif fmt == "trig":
+        from .turtle import write_trig
+
+        write_trig(df, path, prefixes, single_file=single_file)
+        return
+    else:
+        raise ValueError(f"unknown RDF format {fmt!r}")
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)
