@@ -51,7 +51,13 @@ _READ_EXTS = {
 def _sniff(path: str, format: str | None) -> str:
     if format:
         return format
-    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    base = path.rstrip("/")
+    # Spark's text source decompresses .gz/.bz2/… transparently — sniff
+    # the inner extension ("pages.nt.gz" reads as N-Triples)
+    root, ext = os.path.splitext(base)
+    if ext.lower() in (".gz", ".bz2", ".zst", ".lz4", ".snappy"):
+        base = root
+    ext = os.path.splitext(base)[1].lower()
     if ext in _READ_EXTS:
         return _READ_EXTS[ext]
     raise ValueError(

@@ -292,3 +292,37 @@ def test_nquads_roundtrip_property(spark, case):
     assert sorted(norm(r) for r in back.collect()) == sorted(
         norm(r) for r in t.collect()
     )
+
+
+@given(_quad_rows())
+@settings(max_examples=8, deadline=None)
+def test_trig_roundtrip_property(spark, case):
+    """to_trig ∘ parse_trig is the identity on term content + graph for
+    arbitrary lexical forms (IRI-safe graph names)."""
+    from cmem_plugin_pyshacl_spark.sources.turtle import parse_trig, to_trig
+
+    rows, graphs = case
+    frames = []
+    for (s, p, obj), g in zip(rows, graphs):
+        frames.append(triples_from_rows(spark, [(s, p, obj)], graph=g))
+    t = frames[0]
+    for f in frames[1:]:
+        t = t.unionByName(f)
+    doc = "\n".join(r.line for r in to_trig(t).collect())
+    back = parse_trig(doc)
+
+    def norm_expected(r):
+        dt = r.o_datatype
+        if r.o_kind == "literal" and dt is None and r.o_lang is None:
+            dt = XSD_STRING
+        return (r.s, r.p, r.o_kind, r.o_value, dt, r.o_lang, r.graph)
+
+    def norm_got(row):
+        s, p, k, v, dt, lang, g, _pid = row
+        if k == "literal" and dt is None and lang is None:
+            dt = XSD_STRING
+        return (s, p, k, v, dt, lang, g)
+
+    assert sorted(map(norm_got, back)) == sorted(
+        norm_expected(r) for r in t.collect()
+    )
