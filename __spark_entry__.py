@@ -787,11 +787,13 @@ FROM customer WHERE c_nationkey >= 22
 def q_shacl_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sh:sparql SELECT constraints (SHACL-AF §5, plans/sparql_af.py) over
     the customer graph — driver-oracle coverage for the SPARQL engine
-    (VERDICT r3 #1). Two constraints on one shape exercise the two main
+    (VERDICT r3 #1). Three constraints on one shape exercise the main
     query shapes: (a) aggregate — customers with MORE than one email
     (GROUP BY $this + HAVING over COUNT); (b) BGP + numeric FILTER —
     integer age >= 75 (the 'n/a' literals drop via try_cast NULL,
-    SPARQL's error-solution semantics)."""
+    SPARQL's error-solution semantics); (c) round 4 — a GRAPH <iri> block
+    scoping the BGP to the data graph plus a declared sh:SPARQLFunction
+    (double) called in the FILTER, expanded textually before parsing."""
     data = derive_customer_graph(spark, sf_dir)
     sel_multi = (
         "SELECT $this (COUNT(?e) AS ?n) WHERE { "
@@ -800,6 +802,11 @@ def q_shacl_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel_old = (
         f"SELECT $this ?age WHERE {{ $this <{EX}age> ?age . "
         "FILTER (?age >= 75) }"
+    )
+    sel_fn_graph = (
+        f"SELECT $this ?age WHERE {{ GRAPH <{GRAPH}> {{ "
+        f"$this <{EX}age> ?age }} "
+        f"FILTER (<{EX}double>(?age) >= 120 && ?age < 75) }}"
     )
     rows = [
         (EX + "AFShape", RDFT, (SH + "NodeShape", KIND_IRI, None, None)),
@@ -810,6 +817,14 @@ def q_shacl_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
         (EX + "AFShape", SH + "sparql", ("urn:af:tooOld", KIND_IRI, None, None)),
         ("urn:af:tooOld", SH + "select", (sel_old, "literal", None, None)),
         ("urn:af:tooOld", SH + "message", ("age out of range", "literal", None, None)),
+        (EX + "AFShape", SH + "sparql", ("urn:af:fnGraph", KIND_IRI, None, None)),
+        ("urn:af:fnGraph", SH + "select", (sel_fn_graph, "literal", None, None)),
+        ("urn:af:fnGraph", SH + "message", ("senior band", "literal", None, None)),
+        (EX + "double", RDFT, (SH + "SPARQLFunction", KIND_IRI, None, None)),
+        (EX + "double", SH + "select",
+         ("SELECT (?v * 2 AS ?out) WHERE {}", "literal", None, None)),
+        (EX + "double", SH + "parameter", ("urn:af:fp0", KIND_IRI, None, None)),
+        ("urn:af:fp0", SH + "path", (EX + "v", KIND_IRI, None, None)),
     ]
     shapes = triples_from_rows(spark, rows, graph="urn:graph:shapes")
     res = validate(spark, data, shapes, advanced=True)
@@ -828,6 +843,11 @@ UNION ALL
 SELECT {_CUST}, (c_custkey % 80)::VARCHAR,
   'urn:af:tooOld', 'age out of range', {_PART16}
 FROM customer WHERE c_custkey % 11 != 0 AND c_custkey % 80 >= 75
+UNION ALL
+SELECT {_CUST}, (c_custkey % 80)::VARCHAR,
+  'urn:af:fnGraph', 'senior band', {_PART16}
+FROM customer
+WHERE c_custkey % 11 != 0 AND c_custkey % 80 >= 60 AND c_custkey % 80 < 75
 """
 
 
