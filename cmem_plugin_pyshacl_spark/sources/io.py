@@ -45,6 +45,9 @@ _READ_EXTS = {
     ".json": "jsonld",
     ".jsonl": "ndjson",
     ".ndjson": "ndjson",
+    ".rdf": "rdfxml",
+    ".owl": "rdfxml",
+    ".rdfxml": "rdfxml",
 }
 
 
@@ -97,6 +100,10 @@ def read_rdf(
 
         with open(path, encoding="utf-8") as fh:
             return read_jsonld_document(spark, fh.read(), graph=graph)
+    if fmt == "rdfxml":
+        from .rdfxml import read_rdfxml
+
+        return read_rdfxml(spark, path, graph=graph)
     raise ValueError(f"unknown RDF format {fmt!r}")
 
 
