@@ -2461,3 +2461,45 @@ def test_sparql_function_wrong_arity_raises(spark):
     )
     with pytest.raises(ValueError, match="expects 1 arguments"):
         validate(spark, _people(spark), shapes, advanced=True)
+
+
+def test_sparql_target_uses_declared_function(spark):
+    """SHACL-AF §7 functions expand inside sh:SPARQLTarget selects too:
+    the target picks people whose squared age exceeds 1000, then the
+    shape's minCount on ex:email applies to them."""
+    from cmem_plugin_pyshacl_spark.data_model import XSD_INTEGER
+
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", RDF_TYPE, iri(EX + "Person")),
+            ("urn:a", EX + "age", lit_typed("40", XSD_INTEGER)),
+            ("urn:b", RDF_TYPE, iri(EX + "Person")),
+            ("urn:b", EX + "age", lit_typed("10", XSD_INTEGER)),
+        ],
+    )
+    sel = (
+        f"SELECT ?this WHERE {{ ?this <{EX}age> ?a . "
+        f"FILTER (<{EX}sq>(?a) > 1000) }}"
+    )
+    shapes = triples_from_rows(
+        spark,
+        [
+            (EX + "S", RDF_TYPE, iri(SH + "NodeShape")),
+            (EX + "S", SH + "target", iri("urn:t1")),
+            ("urn:t1", RDF_TYPE, iri(SH + "SPARQLTarget")),
+            ("urn:t1", SH + "select", lit_typed(sel)),
+            (EX + "S", SH + "property", iri(EX + "S-p")),
+            (EX + "S-p", SH + "path", iri(EX + "email")),
+            (EX + "S-p", SH + "minCount",
+             lit_typed("1", "http://www.w3.org/2001/XMLSchema#integer")),
+            (EX + "sq", RDF_TYPE, iri(SH + "SPARQLFunction")),
+            (EX + "sq", SH + "select",
+             lit_typed("SELECT (?v * ?v AS ?r) WHERE {}")),
+            (EX + "sq", SH + "parameter", iri("urn:sqp")),
+            ("urn:sqp", SH + "path", iri(EX + "v")),
+        ],
+    )
+    # only urn:a (40*40=1600 > 1000) targeted; it lacks ex:email -> 1 hit
+    res = validate(spark, data, shapes, advanced=True).collect()
+    assert [r.focusNode for r in res] == ["urn:a"]
