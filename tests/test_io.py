@@ -78,7 +78,7 @@ def test_read_jsonld_document(spark, tmp_path):
 
 def test_unknown_extension_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="cannot infer"):
-        read_rdf(spark, str(tmp_path / "x.rdfxml"))
+        read_rdf(spark, str(tmp_path / "x.hextuples"))
     # explicit format overrides the extension
     df = _fixture(spark)
     path = str(tmp_path / "weird.dat")
