@@ -352,9 +352,16 @@ def _sparql_rule_dfs(
             src = src.filter(sv.isNotNull())
         if t.obj.kind == "var":
             src = src.filter(ov.isNotNull())
+        if isinstance(t.pred, str):
+            pv = F.lit(t.pred)
+        else:  # variable predicate bound by the WHERE body (or $this)
+            pv, pk, _pd, _pl = term_cols(t.pred)
+            if t.pred.kind == "var":
+                # only an IRI binding instantiates a predicate slot
+                src = src.filter(pv.isNotNull() & (pk == F.lit(KIND_IRI)))
         rows = src.select(
             sv.alias("s"),
-            F.lit(t.pred).alias("p"),
+            pv.alias("p"),
             ok.alias("o_kind"),
             ov.alias("o_value"),
             od.alias("o_datatype"),

@@ -1114,6 +1114,11 @@ def evaluate_target_select(
     BOUND BY the pattern (there is no outer focus set), so ``$this`` is
     rejected — SHACL-AF target queries project ``?this``."""
     q = parse_select_query(select)
+    if q.star:
+        raise ValueError(
+            "SELECT * is not valid in a sh:SPARQLTarget select — project "
+            "?this explicitly"
+        )
     block = q.block
     if any(
         t.kind == "this"
@@ -1432,6 +1437,19 @@ def _parse_patterns(
                 raise ValueError("literal subjects are not valid RDF")
             pred = RDF_TYPE if mid[0] == "a" else mid[0][1:-1]
             patterns.append(_Pattern(s_t, pred, o_t))
+        elif len(mid) == 1 and mid[0].startswith("?"):
+            # variable predicate (?s ?p ?o) — one full-relation join; the
+            # predicate binds like any variable (always an IRI). Callers
+            # building a predicate slice learn via pattern_predicates()
+            # that the scan cannot be restricted.
+            if s_t.kind == "lit":
+                raise ValueError("literal subjects are not valid RDF")
+            patterns.append(_Pattern(s_t, _parse_term(mid[0]), o_t))
+        elif len(mid) == 1 and mid[0] == "$this":
+            raise ValueError(
+                "$this cannot appear in predicate position (the focus "
+                "node is a subject/object term)"
+            )
         else:
             if not allow_filters:
                 raise ValueError(
@@ -1461,9 +1479,10 @@ def _parse_patterns(
 def pattern_predicates(block: _Block) -> tuple[set[str], bool]:
     """All predicate IRIs the block's patterns can touch, descending into
     the PathExpr trees of closure-bearing paths. The second element is
-    True when a negated property set appears anywhere — its complement
-    hop can read ANY predicate, so a caller building a predicate slice
-    (plans/shacl.py single-scan mode) must not restrict the scan."""
+    True when a negated property set OR a variable predicate appears
+    anywhere — either can read ANY predicate, so a caller building a
+    predicate slice (plans/shacl.py single-scan mode) must not restrict
+    the scan."""
     from .shacl import PAlt, PClosure, PInv, PNeg, PPred, PSeq
 
     preds: set[str] = set()
@@ -1473,6 +1492,8 @@ def pattern_predicates(block: _Block) -> tuple[set[str], bool]:
         nonlocal has_neg
         if isinstance(e, str):
             preds.add(e)
+        elif isinstance(e, _Term):  # variable predicate: open scan
+            has_neg = True
         elif isinstance(e, PPred):
             preds.add(e.iri)
         elif isinstance(e, PInv):
@@ -1537,6 +1558,8 @@ class _SelectQuery:
     distinct: bool = False  # SELECT DISTINCT (REDUCED treated the same)
     order_by: tuple = ()  # tuple[(var: str, desc: bool), ...]
     limit: int | None = None  # requires order_by (determinism)
+    star: bool = False  # SELECT * — every visible variable (standalone
+    # query surface only; constraint/target evaluation rejects it)
 
 
 _AGG_PROJ_RE = re.compile(
@@ -1585,10 +1608,14 @@ def parse_select_query(select: str) -> _SelectQuery:
         raise ValueError(
             "unsupported sh:sparql select (expected SELECT ... WHERE { ... })"
         )
-    # projection list: $this, ?var, or (AGG(?v) AS ?alias) items
+    # projection list: $this, ?var, or (AGG(?v) AS ?alias) items — or a
+    # bare `*` (every visible variable; standalone query surface only)
     proj: list[str] = []
     aggs: list[_Agg] = []
     s = m.group("proj")
+    star = s.strip() == "*"
+    if star:
+        s = ""
     i = 0
     while i < len(s):
         if s[i].isspace():
@@ -1688,6 +1715,8 @@ def parse_select_query(select: str) -> _SelectQuery:
                     f"projected ?{v} is neither aggregated nor a GROUP BY key"
                 )
 
+    if star and (aggs or group_by or having):
+        raise ValueError("SELECT * cannot combine with GROUP BY/aggregates")
     block = _parse_group(m.group("body"))
     if (
         not block.patterns
@@ -1708,6 +1737,7 @@ def parse_select_query(select: str) -> _SelectQuery:
         bool(m.group("dist")),
         tuple(order_by),
         limit,
+        star,
     )
 
 
@@ -2558,6 +2588,19 @@ def _join_patterns(
                 F.col("o_lang").alias(f"_ol{sfx}"),
                 *[g.alias(f"_g{sfx}") for g in gsel],
             )
+        elif isinstance(pat.pred, _Term):
+            # variable predicate: the whole relation, with p as an extra
+            # bindable column — no slice possible (pattern_predicates
+            # reports the open scan so plans/shacl.py keeps a full slice)
+            rel = data.select(
+                F.col("s").alias(f"_s{sfx}"),
+                F.col("p").alias(f"_p{sfx}"),
+                F.col("o_kind").alias(f"_ok{sfx}"),
+                F.col("o_value").alias(f"_ov{sfx}"),
+                F.col("o_datatype").alias(f"_od{sfx}"),
+                F.col("o_lang").alias(f"_ol{sfx}"),
+                *[g.alias(f"_g{sfx}") for g in gsel],
+            )
         elif isinstance(pat.pred, PNeg):
             # negated property set: single hop over the complement slice
             # — still a declarative (anti-)filtered scan the optimizer
@@ -2612,6 +2655,7 @@ def _join_patterns(
             # endpoint the binding set already constrains
             rel = _closure_path_rel(data, bound, bound_vars, pat, sfx)
         conds: list[Column] = []
+        pvar = pat.pred.value if isinstance(pat.pred, _Term) else None
         if pat.subj.kind == "this":
             conds.append(F.col(f"_s{sfx}") == F.col("this"))
         elif pat.subj.kind == "var":
@@ -2628,6 +2672,14 @@ def _join_patterns(
         elif pat.obj.kind == "var":
             if pat.obj.value in bound_vars:
                 conds.append(F.col(f"_ov{sfx}") == F.col(f"{pat.obj.value}__value"))
+            elif pat.subj.kind == "var" and pat.obj.value == pat.subj.value:
+                # self-loop (?x <p> ?x): the object must be the SAME term
+                # as the subject — a relation-side filter, since neither
+                # occurrence is bound yet (subjects are never literals)
+                rel = rel.filter(
+                    (F.col(f"_ov{sfx}") == F.col(f"_s{sfx}"))
+                    & (F.col(f"_ok{sfx}") != KIND_LITERAL)
+                )
         elif pat.obj.kind == "iri":
             rel = rel.filter(
                 (F.col(f"_ov{sfx}") == pat.obj.value)
@@ -2639,10 +2691,33 @@ def _join_patterns(
                 & (F.col(f"_ok{sfx}") == KIND_LITERAL)
             )
 
+        if pvar is not None:
+            if pvar in bound_vars:
+                conds.append(F.col(f"_p{sfx}") == F.col(f"{pvar}__value"))
+            elif pat.subj.kind == "var" and pat.subj.value == pvar:
+                # repeated variable within the pattern (?x ?x ?o)
+                rel = rel.filter(F.col(f"_p{sfx}") == F.col(f"_s{sfx}"))
+            elif pat.obj.kind == "var" and pat.obj.value == pvar:
+                rel = rel.filter(
+                    (F.col(f"_p{sfx}") == F.col(f"_ov{sfx}"))
+                    & (F.col(f"_ok{sfx}") == KIND_IRI)
+                )
+
         if graph_var is not None and graph_var in bound_vars:
             conds.append(
                 F.col(f"_g{sfx}") == F.col(f"{graph_var}__value")
             )
+        elif graph_var is not None:
+            # GRAPH ?g where ?g is also a term of this very pattern
+            if pat.subj.kind == "var" and pat.subj.value == graph_var:
+                rel = rel.filter(F.col(f"_g{sfx}") == F.col(f"_s{sfx}"))
+            if pat.obj.kind == "var" and pat.obj.value == graph_var:
+                rel = rel.filter(
+                    (F.col(f"_g{sfx}") == F.col(f"_ov{sfx}"))
+                    & (F.col(f"_ok{sfx}") == KIND_IRI)
+                )
+            if pvar is not None and pvar == graph_var:
+                rel = rel.filter(F.col(f"_g{sfx}") == F.col(f"_p{sfx}"))
 
         if conds:
             cond = conds[0]
@@ -2673,6 +2748,14 @@ def _join_patterns(
                 .withColumn(f"{v}__lang", F.col(f"_ol{sfx}"))
             )
             bound_vars.add(v)
+        if pvar is not None and pvar not in bound_vars:
+            bound = (
+                bound.withColumn(f"{pvar}__value", F.col(f"_p{sfx}"))
+                .withColumn(f"{pvar}__kind", F.lit(KIND_IRI))
+                .withColumn(f"{pvar}__datatype", F.lit(None).cast("string"))
+                .withColumn(f"{pvar}__lang", F.lit(None).cast("string"))
+            )
+            bound_vars.add(pvar)
         if graph_var is not None and graph_var not in bound_vars:
             bound = (
                 bound.withColumn(f"{graph_var}__value", F.col(f"_g{sfx}"))
@@ -2684,8 +2767,8 @@ def _join_patterns(
             )
             bound_vars.add(graph_var)
         bound = bound.drop(
-            f"_s{sfx}", f"_ok{sfx}", f"_ov{sfx}", f"_od{sfx}", f"_ol{sfx}",
-            f"_g{sfx}",
+            f"_s{sfx}", f"_p{sfx}", f"_ok{sfx}", f"_ov{sfx}", f"_od{sfx}",
+            f"_ol{sfx}", f"_g{sfx}",
         )
     return bound
 
@@ -2921,6 +3004,11 @@ def _subselect_join(
     shared variable the join is the SPARQL cross product — the global-
     aggregate-compared-in-an-outer-FILTER idiom, one row by
     construction."""
+    if q.star:
+        raise ValueError(
+            "SELECT * is not supported in a subquery — project explicit "
+            "variables (the projection defines what escapes the subquery)"
+        )
     sub = q.block
     spark = data.sparkSession
     mentions_this = has_this and (
@@ -3326,6 +3414,11 @@ def evaluate_sparql_constraint(
     result column, so a global all-column dedupe cannot merge rows
     across constraints)."""
     q = parse_select_query(sc.select)
+    if q.star:
+        raise ValueError(
+            "SELECT * is not valid in a sh:sparql constraint — project "
+            "explicit variables (the first one becomes sh:value)"
+        )
     proj, block = list(q.proj), q.block
     bound, bound_vars = eval_bgp(data, focus, block)
     if q.aggs or q.group_by or q.having:

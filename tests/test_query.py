@@ -1,0 +1,260 @@
+"""Standalone SPARQL query surface (plans/query.py): SELECT / ASK /
+CONSTRUCT / DESCRIBE over a triples DataFrame, plus the evaluator
+features it leans on (variable predicates, repeated-variable patterns,
+SELECT *)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cmem_plugin_pyshacl_spark.data_model import (
+    EX,
+    RDF_TYPE,
+    XSD,
+    XSD_INTEGER,
+    iri,
+    lit_typed,
+    triples_from_rows,
+)
+from cmem_plugin_pyshacl_spark.plans.query import (
+    sparql_ask,
+    sparql_construct,
+    sparql_describe,
+    sparql_select,
+)
+
+FOAF = "http://xmlns.com/foaf/0.1/"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    return triples_from_rows(
+        spark,
+        [
+            ("urn:alice", RDF_TYPE, iri(EX + "Person")),
+            ("urn:alice", EX + "age", lit_typed("17", XSD_INTEGER)),
+            ("urn:alice", EX + "knows", iri("urn:bob")),
+            ("urn:alice", EX + "name", lit_typed("Alice")),
+            ("urn:bob", RDF_TYPE, iri(EX + "Person")),
+            ("urn:bob", EX + "age", lit_typed("42", XSD_INTEGER)),
+            ("urn:bob", EX + "knows", iri("urn:carol")),
+            ("urn:carol", RDF_TYPE, iri(EX + "Person")),
+            ("urn:carol", EX + "knows", iri("urn:carol")),  # self-loop
+            ("urn:carol", EX + "name", lit_typed("17")),  # same lexical, string
+            ("urn:d", RDF_TYPE, iri(EX + "Robot")),
+        ],
+    )
+
+
+# ------------------------------------------------------------- SELECT
+
+
+def test_select_bgp_filter(spark, graph):
+    out = sparql_select(
+        spark,
+        graph,
+        f"""SELECT ?p WHERE {{
+            ?p a <{EX}Person> .
+            ?p <{EX}age> ?a .
+            FILTER(?a > 18)
+        }}""",
+    )
+    assert out.columns == ["p"]
+    assert [r["p"] for r in out.collect()] == ["urn:bob"]
+
+
+def test_select_prefix_prologue(spark, graph):
+    out = sparql_select(
+        spark,
+        graph,
+        f"""PREFIX ex: <{EX}>
+        SELECT ?p WHERE {{ ?p ex:knows ?p . ?p a ex:Person . }}""",
+    )
+    assert [r["p"] for r in out.collect()] == ["urn:carol"]
+
+
+def test_select_unbound_projection(spark, graph):
+    with pytest.raises(ValueError, match="is not bound"):
+        sparql_select(
+            spark, graph, f"SELECT ?n WHERE {{ ?p <{EX}knows> ?p }}"
+        )
+
+
+def test_select_prefix_undeclared(spark, graph):
+    with pytest.raises(ValueError, match="undeclared prefix"):
+        sparql_select(spark, graph, "SELECT ?x WHERE { ?x foaf:name ?n }")
+
+
+def test_select_rejects_this(spark, graph):
+    with pytest.raises(ValueError, match="only bound inside"):
+        sparql_select(
+            spark, graph, f"SELECT ?x WHERE {{ $this <{EX}knows> ?x }}"
+        )
+
+
+def test_select_star(spark, graph):
+    out = sparql_select(
+        spark, graph, f"SELECT * WHERE {{ ?s <{EX}knows> ?o }}"
+    )
+    assert sorted(out.columns) == ["o", "s"]
+    assert out.count() == 3
+
+
+def test_select_var_predicate(spark, graph):
+    out = sparql_select(
+        spark, graph, "SELECT ?p ?o WHERE { <urn:alice> ?p ?o }"
+    )
+    rows = {(r["p"], r["o"]) for r in out.collect()}
+    assert (EX + "age", "17") in rows
+    assert (RDF_TYPE, EX + "Person") in rows
+    assert len(rows) == 4
+
+
+def test_select_distinct_term_identity(spark, graph):
+    # "17"^^xsd:integer (alice age) and "17" plain string (carol name)
+    # share a lexical form but are distinct RDF terms
+    out = sparql_select(
+        spark,
+        graph,
+        "SELECT DISTINCT ?v WHERE { ?s ?p ?v . FILTER(str(?v) = \"17\") }",
+        include_term_columns=True,
+    )
+    assert out.count() == 2
+    assert {r["v_datatype"] for r in out.collect()} == {
+        XSD + "integer",
+        None,  # plain literal: no datatype column in the data model
+    }
+
+
+def test_select_aggregate_order_limit(spark, graph):
+    out = sparql_select(
+        spark,
+        graph,
+        f"""SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s ?p ?o }}
+            GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 2""",
+    )
+    rows = [(r["s"], r["n"]) for r in out.collect()]
+    assert rows == [("urn:alice", "4"), ("urn:bob", "3")]
+
+
+def test_select_optional_minus(spark, graph):
+    out = sparql_select(
+        spark,
+        graph,
+        f"""SELECT ?p ?n WHERE {{
+            ?p a <{EX}Person> .
+            OPTIONAL {{ ?p <{EX}name> ?n }}
+        }}""",
+    )
+    by_p = {r["p"]: r["n"] for r in out.collect()}
+    assert by_p == {"urn:alice": "Alice", "urn:bob": None, "urn:carol": "17"}
+
+
+def test_select_self_loop(spark, graph):
+    out = sparql_select(
+        spark, graph, f"SELECT ?x WHERE {{ ?x <{EX}knows> ?x }}"
+    )
+    assert [r["x"] for r in out.collect()] == ["urn:carol"]
+
+
+def test_select_star_group_by_rejected(spark, graph):
+    with pytest.raises(ValueError, match="SELECT \\*"):
+        sparql_select(
+            spark,
+            graph,
+            "SELECT * WHERE { ?s ?p ?o } GROUP BY ?s",
+        )
+
+
+# ---------------------------------------------------------------- ASK
+
+
+def test_ask(spark, graph):
+    assert sparql_ask(
+        spark, graph, f"ASK {{ ?x <{EX}knows> ?x }}"
+    )
+    assert not sparql_ask(
+        spark, graph, f"ASK {{ <urn:d> <{EX}knows> ?x }}"
+    )
+
+
+# ---------------------------------------------------------- CONSTRUCT
+
+
+def test_construct(spark, graph):
+    out = sparql_construct(
+        spark,
+        graph,
+        f"""CONSTRUCT {{ ?b <{EX}knownBy> ?a . ?a a <{EX}Knower> . }}
+            WHERE {{ ?a <{EX}knows> ?b }}""",
+    )
+    rows = {(r["s"], r["p"], r["o_value"]) for r in out.collect()}
+    assert ("urn:bob", EX + "knownBy", "urn:alice") in rows
+    assert ("urn:alice", RDF_TYPE, EX + "Knower") in rows
+    # carol self-loop constructs both triples for carol
+    assert ("urn:carol", EX + "knownBy", "urn:carol") in rows
+    assert len(rows) == 6
+
+
+def test_construct_spo_copy(spark, graph):
+    # the CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o } graph-copy idiom
+    out = sparql_construct(
+        spark,
+        graph,
+        f"""CONSTRUCT {{ ?s ?p ?o }}
+            WHERE {{ ?s ?p ?o . ?s a <{EX}Person> . }}""",
+    )
+    assert out.count() == 10  # everything except urn:d's type triple
+    assert out.filter(out.s == "urn:d").count() == 0
+
+
+def test_construct_set_semantics(spark, graph):
+    out = sparql_construct(
+        spark,
+        graph,
+        f"""CONSTRUCT {{ ?s a <{EX}Subject> }} WHERE {{ ?s ?p ?o }}""",
+    )
+    # 4 distinct subjects, each asserted once despite multiple solutions
+    assert out.count() == 4
+
+
+# ----------------------------------------------------------- DESCRIBE
+
+
+def test_describe_iri(spark, graph):
+    out = sparql_describe(spark, graph, "DESCRIBE <urn:alice>")
+    assert out.count() == 4
+    assert {r["s"] for r in out.collect()} == {"urn:alice"}
+
+
+def test_describe_where(spark, graph):
+    out = sparql_describe(
+        spark,
+        graph,
+        f"""DESCRIBE ?p WHERE {{ ?p <{EX}age> ?a . FILTER(?a > 18) }}""",
+    )
+    assert {r["s"] for r in out.collect()} == {"urn:bob"}
+    assert out.count() == 3
+
+
+def test_describe_bnode_closure(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [
+        ("urn:x", EX + "addr", ("_:b1", "bnode", None, None)),
+        ("_:b1", EX + "city", lit_typed("Berlin")),
+        ("_:b1", EX + "geo", ("_:b2", "bnode", None, None)),
+        ("_:b2", EX + "lat", lit_typed("52.5")),
+    ]
+    spark_df = triples_from_rows(spark, rows)
+    out = sparql_describe(spark, spark_df, "DESCRIBE <urn:x>")
+    assert out.count() == 4  # follows bnodes two hops deep
+
+
+def test_describe_literal_bindings_skipped(spark, graph):
+    out = sparql_describe(
+        spark,
+        graph,
+        f"DESCRIBE ?v WHERE {{ <urn:alice> <{EX}name> ?v }}",
+    )
+    assert out.count() == 0
