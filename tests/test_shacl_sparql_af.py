@@ -64,6 +64,17 @@ def test_sparql_constraint_bgp_filter(spark):
     assert res[0].resultMessage == "sparql violation"
 
 
+def test_sparql_constraint_variable_predicate(spark):
+    """A variable-predicate pattern ($this ?p "17") inside a sh:sparql
+    constraint: the predicate slice must widen to a full scan
+    (pattern_predicates reports the open scan) and ?p binds as an IRI."""
+    select = 'SELECT $this ?p WHERE { $this ?p ?v . FILTER(str(?v) = "17") }'
+    res = validate(
+        spark, _people(spark), _af_shapes(spark, select), advanced=True
+    ).collect()
+    assert {(r.focusNode, r.value) for r in res} == {("urn:alice", EX + "age")}
+
+
 def test_sparql_constraint_this_in_object_position(spark):
     """Self-reference probe: $this may appear in the object position
     (persons who know themselves)."""
