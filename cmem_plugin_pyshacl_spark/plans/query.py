@@ -38,12 +38,18 @@ from ..data_model import (
     KIND_IRI,
     KIND_LITERAL,
     XSD,
+    XSD_STRING,
     dedupe_triples,
 )
 from .sparql_af import (
+    _Block,
+    _Term,
     _apply_aggregation,
     _apply_block,
     _apply_order_limit,
+    _delim_end,
+    _parse_group,
+    _parse_patterns,
     expand_prefixes,
     parse_ask,
     parse_construct,
@@ -139,31 +145,24 @@ def sparql_ask(spark: SparkSession, data: DataFrame, query: str) -> bool:
     return bound.limit(1).count() > 0
 
 
-def sparql_construct(
-    spark: SparkSession,
-    data: DataFrame,
-    query: str,
-    graph: str | None = None,
+def _instantiate(
+    bound: DataFrame,
+    bound_vars: set[str],
+    template: list,
+    graph: str | None,
+    context: str = "CONSTRUCT",
 ) -> DataFrame:
-    """Evaluate a SPARQL CONSTRUCT — returns a triples-schema DataFrame
-    (set semantics: the emitted graph is deduplicated on term identity).
-    Template slots follow the spec's instantiation rules: solutions with
-    an unbound (OPTIONAL) template variable, a literal in subject
-    position, or a non-IRI in predicate position instantiate no triple.
-    ``graph`` stamps the emitted rows' graph column (None = default
-    graph)."""
-    template, block = parse_construct(_prepare(query))
-    bound_vars: set[str] = set()
-    bound = _apply_block(
-        data, _seed(spark), bound_vars, block, "uc", has_this=False
-    )
+    """Instantiate a triple-pattern template from a binding set — the
+    spec's rules: solutions with an unbound (OPTIONAL) template variable,
+    a literal in subject position, or a non-IRI in predicate position
+    instantiate no triple. Shared by CONSTRUCT and the UPDATE forms."""
     null_s = F.lit(None).cast("string")
 
     def term_cols(term) -> tuple:
         if term.kind == "var":
             if term.value not in bound_vars:
                 raise ValueError(
-                    f"CONSTRUCT template variable ?{term.value} is not "
+                    f"{context} template variable ?{term.value} is not "
                     "bound by the WHERE pattern"
                 )
             v = term.value
@@ -208,6 +207,212 @@ def sparql_construct(
     for f in frames[1:]:
         out = out.unionByName(f)
     return dedupe_triples(out)
+
+
+def sparql_construct(
+    spark: SparkSession,
+    data: DataFrame,
+    query: str,
+    graph: str | None = None,
+) -> DataFrame:
+    """Evaluate a SPARQL CONSTRUCT — returns a triples-schema DataFrame
+    (set semantics: the emitted graph is deduplicated on term identity).
+    ``graph`` stamps the emitted rows' graph column (None = default
+    graph)."""
+    template, block = parse_construct(_prepare(query))
+    bound_vars: set[str] = set()
+    bound = _apply_block(
+        data, _seed(spark), bound_vars, block, "uc", has_this=False
+    )
+    return _instantiate(bound, bound_vars, template, graph)
+
+
+_TERM_COLS = ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang"]
+
+
+def _term_eq(a: str, b: str, cols: list[str]):
+    """Null-safe equality of two aliased triple rows on ``cols``, with
+    the RDF 1.1 simple-literal normalization the rest of the engine
+    applies at comparison points (plans/shacl.py): a literal whose
+    datatype column is NULL and lang is NULL ≡ xsd:string."""
+
+    def norm_dt(p: str):
+        return F.when(
+            (F.col(f"{p}.o_kind") == KIND_LITERAL)
+            & F.col(f"{p}.o_lang").isNull(),
+            F.coalesce(F.col(f"{p}.o_datatype"), F.lit(XSD_STRING)),
+        ).otherwise(F.col(f"{p}.o_datatype"))
+
+    cond = None
+    for c in cols:
+        if c == "o_datatype":
+            eq = norm_dt(a).eqNullSafe(norm_dt(b))
+        else:
+            eq = F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
+        cond = eq if cond is None else cond & eq
+    return cond
+
+
+def _without(
+    data: DataFrame, dels: DataFrame, graph: str | None
+) -> DataFrame:
+    """Remove every triple of ``dels`` from ``data`` — a null-safe
+    left-anti join on the six term columns (graph-agnostic per the
+    default-graph store model; pass ``graph`` to restrict the deletion
+    to one named graph). The delete set is a query result and small
+    relative to the store — AQE picks the broadcast anti join."""
+    d = dels.select(*_TERM_COLS).dropDuplicates().alias("_del")
+    base = data.alias("_base")
+    cond = _term_eq("_base", "_del", _TERM_COLS)
+    if graph is not None:
+        cond = cond & F.col("_base.graph").eqNullSafe(F.lit(graph))
+    return base.join(d, cond, "left_anti")
+
+
+def _with_new(data: DataFrame, ins: DataFrame) -> DataFrame:
+    """Union only genuinely NEW triples into the store (null-safe anti
+    join on the seven key columns incl. graph): set semantics without
+    touching existing rows' part_id lineage — an insert of an existing
+    triple is a no-op, exactly rdflib's duplicate-add behavior."""
+    i = ins.alias("_ins")
+    base = data.alias("_base")
+    cond = _term_eq("_ins", "_base", [*_TERM_COLS, "graph"])
+    fresh = i.join(base, cond, "left_anti")
+    return data.unionByName(fresh)
+
+
+def _ground_template(spark: SparkSession, body: str, what: str) -> list:
+    """Parse an INSERT/DELETE DATA block: triple patterns only, fully
+    ground (no variables, no paths, no filters)."""
+    patterns, _f, _b, groups = _parse_patterns(body, allow_filters=False)
+    if groups:
+        raise ValueError(f"{what} DATA cannot contain path alternations")
+    for t in patterns:
+        for term in (t.subj, t.obj):
+            if term.kind in ("var", "this"):
+                raise ValueError(f"{what} DATA requires ground triples")
+        if not isinstance(t.pred, str):
+            raise ValueError(f"{what} DATA requires ground triples")
+    if not patterns:
+        raise ValueError(f"{what} DATA block is empty")
+    return patterns
+
+
+def sparql_update(
+    spark: SparkSession,
+    data: DataFrame,
+    update: str,
+    graph: str | None = None,
+) -> DataFrame:
+    """Apply a SPARQL UPDATE to a triples-schema DataFrame and return the
+    updated frame (frames are immutable — the caller persists/writes the
+    result; `sources/sinks.py` handles the storage side).
+
+    Supported forms (SPARQL 1.1 Update §3.1):
+      * ``INSERT DATA { ground triples }``
+      * ``DELETE DATA { ground triples }``
+      * ``DELETE WHERE { pattern }`` (the pattern is the template)
+      * ``[DELETE { tpl }] [INSERT { tpl }] WHERE { pattern }``
+
+    Semantics: the WHERE pattern is evaluated once against the
+    PRE-update store and both templates instantiate from that one
+    binding set (the spec's simultaneous delete-then-insert). Deletion
+    matches on full term identity across the six term columns,
+    graph-agnostic unless ``graph`` is given; insertion stamps ``graph``
+    on the new rows and the result is set-deduplicated.
+
+    Scale posture: one pattern evaluation (the same progressive join the
+    query surface uses), one anti join, one union — no collects, no
+    per-row Python."""
+    text = _prepare(update).strip()
+
+    def take_block(s: str, kw_end: int) -> tuple[str, int]:
+        j = kw_end
+        while j < len(s) and s[j].isspace():
+            j += 1
+        if j >= len(s) or s[j] != "{":
+            raise ValueError(f"expected '{{' after {s[:kw_end].strip()!r}")
+        k = _delim_end(s, j, "{", "}")
+        return s[j + 1 : k], k + 1
+
+    m = re.match(r"(INSERT|DELETE)\s+DATA\b", text, re.I)
+    if m:
+        body, end = take_block(text, m.end())
+        if text[end:].strip():
+            raise ValueError("unexpected trailing text after the DATA block")
+        what = m.group(1).upper()
+        template = _ground_template(spark, body, what)
+        rows = _instantiate(_seed(spark), set(), template, graph, what)
+        if what == "INSERT":
+            return _with_new(data, rows)
+        return _without(data, rows, graph)
+
+    m = re.match(r"DELETE\s+WHERE\b", text, re.I)
+    if m:
+        body, end = take_block(text, m.end())
+        if text[end:].strip():
+            raise ValueError("unexpected trailing text after DELETE WHERE")
+        patterns, filters, binds, groups = _parse_patterns(body)
+        if filters or binds or groups:
+            raise ValueError(
+                "DELETE WHERE takes a plain triple-pattern block "
+                "(use DELETE { … } WHERE { … } for filtered deletes)"
+            )
+        for t in patterns:
+            if not isinstance(t.pred, (str, _Term)):
+                raise ValueError(
+                    "property paths are not allowed in DELETE WHERE — "
+                    "the pattern doubles as the deletion template"
+                )
+        block = _Block(tuple(patterns), (), (), ())
+        bound_vars: set[str] = set()
+        bound = _apply_block(
+            data, _seed(spark), bound_vars, block, "ud", has_this=False
+        )
+        dels = _instantiate(bound, bound_vars, patterns, None, "DELETE")
+        return _without(data, dels, graph)
+
+    delete_tpl: list | None = None
+    insert_tpl: list | None = None
+    rest = text
+    m = re.match(r"DELETE\b", rest, re.I)
+    if m:
+        body, end = take_block(rest, m.end())
+        delete_tpl, _f, _b, grps = _parse_patterns(body, allow_filters=False)
+        if grps:
+            raise ValueError("DELETE template cannot contain alternations")
+        rest = rest[end:].lstrip()
+    m = re.match(r"INSERT\b", rest, re.I)
+    if m:
+        body, end = take_block(rest, m.end())
+        insert_tpl, _f, _b, grps = _parse_patterns(body, allow_filters=False)
+        if grps:
+            raise ValueError("INSERT template cannot contain alternations")
+        rest = rest[end:].lstrip()
+    if delete_tpl is None and insert_tpl is None:
+        raise ValueError(
+            "unsupported update (expected INSERT DATA / DELETE DATA / "
+            "DELETE WHERE / [DELETE {…}] [INSERT {…}] WHERE {…})"
+        )
+    m = re.match(r"WHERE\b", rest, re.I)
+    if not m:
+        raise ValueError("DELETE/INSERT templates require a WHERE clause")
+    body, end = take_block(rest, m.end())
+    if rest[end:].strip():
+        raise ValueError("unexpected trailing text after the WHERE block")
+    block = _parse_group(body)
+    bound_vars = set()
+    bound = _apply_block(
+        data, _seed(spark), bound_vars, block, "uu", has_this=False
+    )
+    out = data
+    if delete_tpl:
+        dels = _instantiate(bound, bound_vars, delete_tpl, None, "DELETE")
+        out = _without(out, dels, graph)
+    if insert_tpl:
+        ins = _instantiate(bound, bound_vars, insert_tpl, graph, "INSERT")
+        out = _with_new(out, ins)
+    return out
 
 
 _DESCRIBE_RE = re.compile(

@@ -21,6 +21,7 @@ from cmem_plugin_pyshacl_spark.plans.query import (
     sparql_construct,
     sparql_describe,
     sparql_select,
+    sparql_update,
 )
 
 FOAF = "http://xmlns.com/foaf/0.1/"
@@ -249,6 +250,81 @@ def test_describe_bnode_closure(spark):
     spark_df = triples_from_rows(spark, rows)
     out = sparql_describe(spark, spark_df, "DESCRIBE <urn:x>")
     assert out.count() == 4  # follows bnodes two hops deep
+
+
+def test_update_insert_data(spark, graph):
+    out = sparql_update(
+        spark,
+        graph,
+        f"""INSERT DATA {{
+            <urn:e> a <{EX}Person> .
+            <urn:e> <{EX}age> "30" .
+            <urn:alice> a <{EX}Person> .
+        }}""",
+    )
+    assert out.count() == 13  # 11 + 2 new; re-insert of alice's type = no-op
+    assert out.filter(out.s == "urn:e").count() == 2
+    # existing rows keep their part_id lineage untouched
+    alice_type = out.filter(
+        (out.s == "urn:alice") & (out.p == RDF_TYPE)
+    ).collect()
+    assert len(alice_type) == 1
+
+
+def test_update_delete_data(spark, graph):
+    out = sparql_update(
+        spark,
+        graph,
+        f'DELETE DATA {{ <urn:carol> <{EX}name> "17" . }}',
+    )
+    assert out.count() == 10
+    assert out.filter((out.s == "urn:carol") & (out.p == EX + "name")).count() == 0
+    # the integer "17" (alice age) survives: term identity, not lexical
+    assert out.filter(out.o_value == "17").count() == 1
+
+
+def test_update_delete_where(spark, graph):
+    out = sparql_update(
+        spark, graph, f"DELETE WHERE {{ ?s <{EX}knows> ?o }}"
+    )
+    assert out.count() == 8
+    assert out.filter(out.p == EX + "knows").count() == 0
+
+
+def test_update_delete_insert_where(spark, graph):
+    # rename a predicate: the modify idiom
+    out = sparql_update(
+        spark,
+        graph,
+        f"""DELETE {{ ?s <{EX}name> ?n }}
+            INSERT {{ ?s <{EX}label> ?n }}
+            WHERE {{ ?s <{EX}name> ?n }}""",
+    )
+    assert out.count() == 11
+    assert out.filter(out.p == EX + "name").count() == 0
+    rows = {
+        (r["s"], r["o_value"])
+        for r in out.filter(out.p == EX + "label").collect()
+    }
+    assert rows == {("urn:alice", "Alice"), ("urn:carol", "17")}
+
+
+def test_update_insert_where_filter(spark, graph):
+    out = sparql_update(
+        spark,
+        graph,
+        f"""INSERT {{ ?p a <{EX}Adult> }}
+            WHERE {{ ?p <{EX}age> ?a . FILTER(?a >= 18) }}""",
+    )
+    adults = [r["s"] for r in out.filter(out.o_value == EX + "Adult").collect()]
+    assert adults == ["urn:bob"]
+
+
+def test_update_ground_violation(spark, graph):
+    with pytest.raises(ValueError, match="ground"):
+        sparql_update(spark, graph, "INSERT DATA { ?s a <urn:C> }")
+    with pytest.raises(ValueError, match="unsupported update"):
+        sparql_update(spark, graph, "LOAD <urn:x>")
 
 
 def test_describe_literal_bindings_skipped(spark, graph):
