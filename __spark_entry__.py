@@ -37,6 +37,7 @@ from cmem_plugin_pyshacl_spark.data_model import (
     KIND_IRI,
     RDF_TYPE,
     RDFS_LABEL,
+    RDFS_SUBCLASSOF,
     SH,
     XSD_BOOLEAN,
     XSD_INTEGER,
@@ -1572,22 +1573,50 @@ FROM r WHERE rank <= 5
 """
 
 
-def q_text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-3 rotation: lang_id + quality_score merged into ONE scan (both
-    are pure column expressions over the same documents table), freeing an
-    oracle slot — see COVERAGE.md."""
-    out = lang_id(quality_score(load(spark, sf_dir, "documents")))
-    return out.select(
-        "doc_id",
-        "lang_pred",
-        F.col("q_n_chars").cast("long").alias("q_n_chars"),
-        F.col("q_n_tokens").cast("long").alias("q_n_tokens"),
-        F.round("q_mean_word_len", 6).alias("q_mean_word_len"),
-        F.round("q_punct_ratio", 6).alias("q_punct_ratio"),
-        F.round("q_stopword_ratio", 6).alias("q_stopword_ratio"),
-        F.round("q_alpha_ratio", 6).alias("q_alpha_ratio"),
-        F.round("q_score", 6).alias("q_score"),
+def q_sparql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone SPARQL surface (plans/query.py, late round 4): the
+    predicate histogram — a VARIABLE-predicate pattern, aggregation with
+    GROUP BY + COUNT DISTINCT, evaluated WITHOUT a focus set over the
+    derived customer graph. COUNT(?s) counts triples per predicate and
+    COUNT(DISTINCT ?s) distinct subjects; the oracle re-derives both
+    analytically from customer ⋈ nation generation rules."""
+    from cmem_plugin_pyshacl_spark.plans.query import sparql_select
+
+    data = derive_customer_graph(spark, sf_dir)
+    sel = (
+        "SELECT ?p (COUNT(?s) AS ?n_triples) "
+        "(COUNT(DISTINCT ?s) AS ?n_subjects) "
+        "WHERE { ?s ?p ?o } GROUP BY ?p"
     )
+    return sparql_select(spark, data, sel)
+
+
+# analytic re-derivation of the predicate histogram from the fixture's
+# generation rules (fixtures.py::derive_customer_graph): one row per
+# customer for type/label/segment/nation/age/homepage; email for
+# custkey%3!=0 plus a second alt-email when also %7==0; nation type rows
+# for n_nationkey<22; two rdfs:subClassOf schema rows
+ORACLE_SPARQL_QUERY = f"""
+WITH nc AS (SELECT COUNT(*) AS n FROM customer),
+ e1 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 3 != 0),
+ e2 AS (SELECT COUNT(*) AS n
+        FROM customer WHERE c_custkey % 3 != 0 AND c_custkey % 7 = 0),
+ nt AS (SELECT COUNT(*) AS n FROM nation WHERE n_nationkey < 22),
+ h(p, t, s) AS (
+  SELECT '{RDF_TYPE}',
+         (SELECT n FROM nc) + (SELECT n FROM nt),
+         (SELECT n FROM nc) + (SELECT n FROM nt)
+  UNION ALL SELECT '{RDFS_LABEL}', (SELECT n FROM nc), (SELECT n FROM nc)
+  UNION ALL SELECT '{RDFS_SUBCLASSOF}', 2, 2
+  UNION ALL SELECT '{EX}segment', (SELECT n FROM nc), (SELECT n FROM nc)
+  UNION ALL SELECT '{EX}nation', (SELECT n FROM nc), (SELECT n FROM nc)
+  UNION ALL SELECT '{EX}age', (SELECT n FROM nc), (SELECT n FROM nc)
+  UNION ALL SELECT '{EX}homepage', (SELECT n FROM nc), (SELECT n FROM nc)
+  UNION ALL SELECT '{EX}email',
+         (SELECT n FROM e1) + (SELECT n FROM e2), (SELECT n FROM e1)
+ )
+SELECT p, t::VARCHAR AS n_triples, s::VARCHAR AS n_subjects FROM h
+"""
 
 
 def _lang_score_sql(markers: list[str]) -> str:
@@ -1662,12 +1691,25 @@ FROM m
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-3 rotation: token_counts + fingerprint merged (joined on
-    doc_id), freeing an oracle slot — see COVERAGE.md."""
+    """Round-4 rotation: lang_id + quality_score + token_counts +
+    fingerprint merged into ONE row per doc (all pure column expressions
+    over the documents table), freeing the former text_lang_quality slot
+    for sparql_query — see COVERAGE.md."""
     docs = load(spark, sf_dir, "documents")
-    out = token_counts(docs).join(fingerprint(docs), on="doc_id")
+    lq = lang_id(quality_score(docs))
+    out = lq.join(token_counts(docs), on="doc_id").join(
+        fingerprint(docs), on="doc_id"
+    )
     return out.select(
         "doc_id",
+        "lang_pred",
+        F.col("q_n_chars").cast("long").alias("q_n_chars"),
+        F.col("q_n_tokens").cast("long").alias("q_n_tokens"),
+        F.round("q_mean_word_len", 6).alias("q_mean_word_len"),
+        F.round("q_punct_ratio", 6).alias("q_punct_ratio"),
+        F.round("q_stopword_ratio", 6).alias("q_stopword_ratio"),
+        F.round("q_alpha_ratio", 6).alias("q_alpha_ratio"),
+        F.round("q_score", 6).alias("q_score"),
         F.col("ws_tokens").cast("long").alias("ws_tokens"),
         F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
         "winnow_min",
@@ -1675,7 +1717,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TEXT_STATS = rf"""
+_ORACLE_TOKEN_FP = rf"""
 SELECT doc_id,
   len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS ws_tokens,
   len(regexp_extract_all(text,
@@ -1684,6 +1726,14 @@ SELECT doc_id,
     i -> {md5_int60_sql('substr(text, i::INT, 8)')})) AS winnow_min,
   {md5_int60_sql('text')} AS content_hash
 FROM documents
+"""
+
+
+def _oracle_text_stats() -> str:
+    return f"""
+SELECT lq.*, tf.ws_tokens, tf.bpe_tokens, tf.winnow_min, tf.content_hash
+FROM ({_oracle_lang_quality().strip()}) lq
+JOIN ({_ORACLE_TOKEN_FP.strip()}) tf USING (doc_id)
 """
 
 
@@ -2423,8 +2473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": q_similarity_lsh,
         # round-3 rotation: lang_id+quality and token_counts+fingerprint
         # merged pairwise; freed slots go to the round-2 operators below
-        "text_lang_quality": q_text_lang_quality,
         "text_stats": q_text_stats,
+        "sparql_query": q_sparql_query,
         "multimodal_features": q_multimodal_features,
         "connected_components": q_connected_components,
         "salted_agg": q_salted_agg,
@@ -2491,8 +2541,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _oracle_emb_near_dup(),
         "similarity_topk": ORACLE_SIM_TOPK,
         "similarity_lsh_topk": _oracle_sim_lsh(),
-        "text_lang_quality": _oracle_lang_quality(),
-        "text_stats": ORACLE_TEXT_STATS,
+        "text_stats": _oracle_text_stats(),
+        "sparql_query": ORACLE_SPARQL_QUERY,
         "multimodal_features": ORACLE_MULTIMODAL,
         "connected_components": ORACLE_CC,
         "salted_agg": ORACLE_SALTED_AGG,
