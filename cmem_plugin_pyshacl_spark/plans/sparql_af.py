@@ -2724,6 +2724,12 @@ def _join_patterns(
             for c in conds[1:]:
                 cond = cond & c
             bound = bound.join(rel, cond)
+        elif set(bound.columns) == {"_seed"}:
+            # whole-graph seeding (standalone queries, target selects):
+            # the 1-row constant seed's cross product is a no-op — splice
+            # the relation in directly instead of planning a
+            # BroadcastNestedLoopJoin over the full relation
+            bound = rel.withColumn("_seed", F.lit(0))
         else:
             # no shared variable: SPARQL cross-product semantics (rare but
             # legal — e.g. an existence probe); documented and allowed

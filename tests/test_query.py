@@ -327,6 +327,26 @@ def test_update_ground_violation(spark, graph):
         sparql_update(spark, graph, "LOAD <urn:x>")
 
 
+def test_select_pushes_constant_predicate_to_scan(spark, tmp_path):
+    """Scale posture: a BGP whose patterns carry constant predicates must
+    reach the parquet scan as a pushed `p = <iri>` filter — the query
+    reads predicate slices, not the whole relation."""
+    rows = [
+        ("urn:a", EX + "age", lit_typed("17", XSD_INTEGER)),
+        ("urn:a", EX + "name", lit_typed("Alice")),
+    ]
+    path = str(tmp_path / "tri.parquet")
+    triples_from_rows(spark, rows).write.mode("overwrite").parquet(path)
+    tri = spark.read.parquet(path)
+    out = sparql_select(
+        spark, tri, f"SELECT ?s ?v WHERE {{ ?s <{EX}age> ?v }}"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "IsNotNull(p)" in plan or "EqualTo(p," in plan
+    assert [r["s"] for r in out.collect()] == ["urn:a"]
+
+
 def test_describe_literal_bindings_skipped(spark, graph):
     out = sparql_describe(
         spark,
