@@ -1560,6 +1560,7 @@ class _SelectQuery:
     limit: int | None = None  # requires order_by (determinism)
     star: bool = False  # SELECT * — every visible variable (standalone
     # query surface only; constraint/target evaluation rejects it)
+    offset: int | None = None  # requires order_by, like limit
 
 
 _AGG_PROJ_RE = re.compile(
@@ -1600,7 +1601,7 @@ def parse_select_query(select: str) -> _SelectQuery:
     m = re.match(
         r"\s*SELECT\s+(?:(?P<dist>DISTINCT|REDUCED)\s+)?"
         r"(?P<proj>.+?)\s+WHERE\s*\{(?P<body>.*)\}"
-        r"\s*(?P<tail>(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT)\b.*)?$",
+        r"\s*(?P<tail>(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET)\b.*)?$",
         select,
         re.S | re.I,
     )
@@ -1638,11 +1639,12 @@ def parse_select_query(select: str) -> _SelectQuery:
             continue
         raise ValueError(f"unsupported projection term near {s[i:i+30]!r}")
 
-    # trailing GROUP BY / HAVING / ORDER BY / LIMIT
+    # trailing GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET
     group_by: list[str] = []
     having: str | None = None
     order_by: list[tuple[str, bool]] = []
     limit: int | None = None
+    offset: int | None = None
     tail = (m.group("tail") or "").strip()
     if tail:
         gm = re.match(r"GROUP\s+BY\s+", tail, re.I)
@@ -1689,19 +1691,27 @@ def parse_select_query(select: str) -> _SelectQuery:
             if not order_by:
                 raise ValueError("ORDER BY lists no sort keys")
             tail = tail[j:].strip()
-        lm = re.match(r"LIMIT\s+(\d+)", tail, re.I) if tail else None
-        if lm:
-            limit = int(lm.group(1))
-            if not order_by:
-                raise ValueError(
-                    "LIMIT without ORDER BY is nondeterministic — "
-                    "outside the subset"
-                )
-            tail = tail[lm.end() :].strip()
+        while tail:  # LIMIT / OFFSET accepted in either order (SPARQL §18)
+            lm = re.match(r"LIMIT\s+(\d+)", tail, re.I)
+            if lm and limit is None:
+                limit = int(lm.group(1))
+                tail = tail[lm.end() :].strip()
+                continue
+            om2 = re.match(r"OFFSET\s+(\d+)", tail, re.I)
+            if om2 and offset is None:
+                offset = int(om2.group(1))
+                tail = tail[om2.end() :].strip()
+                continue
+            break
+        if (limit is not None or offset is not None) and not order_by:
+            raise ValueError(
+                "LIMIT/OFFSET without ORDER BY is nondeterministic — "
+                "outside the subset"
+            )
         if tail:
             raise ValueError(
                 f"unsupported SELECT tail near {tail[:40]!r} (expected "
-                "GROUP BY / HAVING (expr) / ORDER BY / LIMIT n)"
+                "GROUP BY / HAVING (expr) / ORDER BY / LIMIT n / OFFSET n)"
             )
 
     # a GROUP-BY-less aggregate query is one implicit whole-result group
@@ -1738,6 +1748,7 @@ def parse_select_query(select: str) -> _SelectQuery:
         tuple(order_by),
         limit,
         star,
+        offset,
     )
 
 
@@ -2957,7 +2968,7 @@ def _apply_order_limit(
     ``this`` (one shuffle on the focus key, no global sort). Only
     focus-free frames (target selects, non-$this subqueries) take the
     global TakeOrderedAndProject path."""
-    if not q.order_by and q.limit is None:
+    if not q.order_by and q.limit is None and q.offset is None:
         return frame
     sort_cols: list[Column] = []
     for v, desc in q.order_by:
@@ -2971,7 +2982,11 @@ def _apply_order_limit(
             )
         for c in (base.try_cast("double"), base):
             sort_cols.append(c.desc() if desc else c.asc())
-    if q.limit is not None and has_this and "this" in frame.columns:
+    if (
+        (q.limit is not None or q.offset is not None)
+        and has_this
+        and "this" in frame.columns
+    ):
         # deterministic tie-break over the remaining solution columns so
         # re-runs (and resume) pick the same k rows when sort keys tie
         tie = [
@@ -2981,12 +2996,18 @@ def _apply_order_limit(
         ]
         order = (sort_cols + tie) or [F.lit(1)]
         w = Window.partitionBy("this").orderBy(*order)
+        lo = q.offset or 0
+        keep = F.col("__rn") > lo
+        if q.limit is not None:
+            keep = keep & (F.col("__rn") <= lo + q.limit)
         return (
             frame.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= q.limit)
+            .filter(keep)
             .drop("__rn")
         )
     out = frame.orderBy(*sort_cols) if sort_cols else frame
+    if q.offset is not None:
+        out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

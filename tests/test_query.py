@@ -158,6 +158,21 @@ def test_select_self_loop(spark, graph):
     assert [r["x"] for r in out.collect()] == ["urn:carol"]
 
 
+def test_select_offset_pagination(spark, graph):
+    base = f"SELECT ?s WHERE {{ ?s a <{EX}Person> }} ORDER BY ?s"
+    page1 = sparql_select(spark, graph, base + " LIMIT 2")
+    page2 = sparql_select(spark, graph, base + " LIMIT 2 OFFSET 2")
+    assert [r["s"] for r in page1.collect()] == ["urn:alice", "urn:bob"]
+    assert [r["s"] for r in page2.collect()] == ["urn:carol"]
+    # OFFSET-before-LIMIT order also parses
+    page2b = sparql_select(spark, graph, base + " OFFSET 1 LIMIT 1")
+    assert [r["s"] for r in page2b.collect()] == ["urn:bob"]
+    with pytest.raises(ValueError, match="nondeterministic"):
+        sparql_select(
+            spark, graph, f"SELECT ?s WHERE {{ ?s a <{EX}Person> }} OFFSET 1"
+        )
+
+
 def test_select_star_group_by_rejected(spark, graph):
     with pytest.raises(ValueError, match="SELECT \\*"):
         sparql_select(
