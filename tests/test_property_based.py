@@ -326,3 +326,67 @@ def test_trig_roundtrip_property(spark, case):
     assert sorted(map(norm_got, back)) == sorted(
         norm_expected(r) for r in t.collect()
     )
+
+
+# --------------------------------------------- SPARQL BGP differential
+@st.composite
+def _bgp_case(draw):
+    """A random small graph plus a two-pattern join query with an
+    optional numeric FILTER — compared against a naive Python evaluator."""
+    subs = [f"urn:s{i}" for i in range(4)]
+    n = draw(st.integers(min_value=5, max_value=14))
+    triples = set()
+    for _ in range(n):
+        s = draw(st.sampled_from(subs))
+        p = draw(st.sampled_from(["p0", "p1"]))
+        if draw(st.booleans()):
+            o = ("iri", draw(st.sampled_from(subs)))
+        else:
+            o = ("lit", str(draw(st.integers(min_value=0, max_value=5))))
+        triples.add((s, p, o))
+    use_filter = draw(st.booleans())
+    k = draw(st.integers(min_value=0, max_value=5))
+    return sorted(triples), use_filter, k
+
+
+@given(_bgp_case())
+@settings(max_examples=8, deadline=None)
+def test_sparql_select_matches_python_reference(spark, case):
+    """plans/query.py::sparql_select on `?x p0 ?y . ?y p1 ?z [FILTER]`
+    agrees with a brute-force Python join over the same triple set —
+    under the engine's documented comparison contract (numeric when the
+    value casts to double, lexicographic string otherwise, so an IRI ?z
+    compares as a string rather than dropping)."""
+    from cmem_plugin_pyshacl_spark.plans.query import sparql_select
+
+    triples, use_filter, k = case
+    rows = [
+        (s, EX + p, iri(o[1]) if o[0] == "iri" else lit_typed(o[1], XSD_INTEGER))
+        for (s, p, o) in triples
+    ]
+    data = triples_from_rows(spark, rows)
+    flt = f"FILTER(?z > {k})" if use_filter else ""
+    q = (
+        f"SELECT ?x ?y ?z WHERE {{ ?x <{EX}p0> ?y . "
+        f"?y <{EX}p1> ?z . {flt} }}"
+    )
+    got = {
+        (r["x"], r["y"], r["z"])
+        for r in sparql_select(spark, data, q).collect()
+    }
+    expected = set()
+    for s1, p1, o1 in triples:
+        if p1 != "p0":
+            continue
+        for s2, p2, o2 in triples:
+            if p2 != "p1" or s2 != o1[1]:
+                continue
+            if use_filter:
+                try:
+                    keep = float(o2[1]) > k
+                except ValueError:
+                    keep = o2[1] > str(k)
+                if not keep:
+                    continue
+            expected.add((s1, o1[1], o2[1]))
+    assert got == expected
