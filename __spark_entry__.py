@@ -1695,12 +1695,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint merged into ONE row per doc (all pure column expressions
     over the documents table), freeing the former text_lang_quality slot
     for sparql_query — see COVERAGE.md."""
-    docs = load(spark, sf_dir, "documents")
-    lq = lang_id(quality_score(docs))
-    out = lq.join(token_counts(docs), on="doc_id").join(
-        fingerprint(docs), on="doc_id"
+    from cmem_plugin_pyshacl_spark.operators.text import (
+        fingerprint_cols,
+        token_count_cols,
     )
-    return out.select(
+
+    docs = load(spark, sf_dir, "documents")
+    # lang_id/quality_score are withColumn-style (text survives), so the
+    # token/fingerprint metrics compose as columns on the SAME scan —
+    # one pass over documents, zero joins
+    lq = lang_id(quality_score(docs)).select(
+        "*", *token_count_cols(), *fingerprint_cols()
+    )
+    return lq.select(
         "doc_id",
         "lang_pred",
         F.col("q_n_chars").cast("long").alias("q_n_chars"),

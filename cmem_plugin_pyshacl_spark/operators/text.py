@@ -78,17 +78,33 @@ def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("q_score", score.cast("double"))
 
 
+def token_count_cols(text_col: str = "text") -> list:
+    """The token-count metric expressions (pure columns — composable
+    onto any frame carrying the text column without a join)."""
+    ws = F.size(_tokens(text_col))
+    runs = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"))
+    return [ws.alias("ws_tokens"), runs.alias("bpe_tokens")]
+
+
 def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword estimate: count of
     alternating letter/digit/punct runs (regexp-based proxy for a BPE
     pre-tokenizer; deterministic and SQL-portable)."""
-    ws = F.size(_tokens(text_col))
-    runs = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"))
-    return documents.select(
-        "doc_id",
-        ws.alias("ws_tokens"),
-        runs.alias("bpe_tokens"),
+    return documents.select("doc_id", *token_count_cols(text_col))
+
+
+def fingerprint_cols(text_col: str = "text", window: int = 8) -> list:
+    """The fingerprint metric expressions (pure columns, see
+    fingerprint)."""
+    kgrams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)),"
+        f" i -> substr({text_col}, i, {window}))"
     )
+    hashes = F.transform(kgrams, lambda x: md5_int60(x))
+    return [
+        F.array_min(hashes).alias("winnow_min"),
+        md5_int60(F.col(text_col)).alias("content_hash"),
+    ]
 
 
 def fingerprint(documents: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
@@ -96,16 +112,7 @@ def fingerprint(documents: DataFrame, text_col: str = "text", window: int = 8) -
     MOSS, SIGMOD'03): hash every `window`-gram (md5-based, portable),
     keep per-document min — a 1-value sketch sufficient for exact-ish
     containment grouping; plus the full-text content hash."""
-    kgrams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {window - 1}, 1)),"
-        f" i -> substr({text_col}, i, {window}))"
-    )
-    hashes = F.transform(kgrams, lambda x: md5_int60(x))
-    return documents.select(
-        "doc_id",
-        F.array_min(hashes).alias("winnow_min"),
-        md5_int60(F.col(text_col)).alias("content_hash"),
-    )
+    return documents.select("doc_id", *fingerprint_cols(text_col, window))
 
 
 # --------------------------------------------------------------- round 2:

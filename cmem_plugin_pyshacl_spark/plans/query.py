@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data_model import (
+    KIND_BNODE,
     KIND_IRI,
     KIND_LITERAL,
     XSD,
@@ -116,6 +117,20 @@ def sparql_select(
             raise ValueError(
                 f"projected variable ?{v} is not bound by the pattern"
             )
+    # RDF 1.1: a simple literal IS an xsd:string — normalize the datatype
+    # at the surface boundary (the data model stores either NULL or
+    # xsd:string depending on the source; readers mint xsd:string) so
+    # DISTINCT and the returned term columns treat the two forms as the
+    # one term they are
+    for v in proj:
+        bound = bound.withColumn(
+            f"{v}__datatype",
+            F.when(
+                (F.col(f"{v}__kind") == KIND_LITERAL)
+                & F.col(f"{v}__lang").isNull(),
+                F.coalesce(F.col(f"{v}__datatype"), F.lit(XSD_STRING)),
+            ).otherwise(F.col(f"{v}__datatype")),
+        )
     if q.distinct:
         cols = [f"{v}__{sfx}" for v in proj for sfx in _TERM_SUFFIXES]
         bound = bound.select(*cols).dropDuplicates()
@@ -166,10 +181,18 @@ def _instantiate(
                     "bound by the WHERE pattern"
                 )
             v = term.value
+            # simple literal ≡ xsd:string (RDF 1.1): normalize so a
+            # var-copied plain literal and a quoted template constant
+            # (minted as xsd:string) dedupe to the one term they are
+            dt = F.when(
+                (F.col(f"{v}__kind") == KIND_LITERAL)
+                & F.col(f"{v}__lang").isNull(),
+                F.coalesce(F.col(f"{v}__datatype"), F.lit(XSD_STRING)),
+            ).otherwise(F.col(f"{v}__datatype"))
             return (
                 F.col(f"{v}__value"),
                 F.col(f"{v}__kind"),
-                F.col(f"{v}__datatype"),
+                dt,
                 F.col(f"{v}__lang"),
             )
         if term.kind == "iri":
@@ -281,12 +304,11 @@ def _with_new(data: DataFrame, ins: DataFrame) -> DataFrame:
     return data.unionByName(fresh)
 
 
-def _ground_template(spark: SparkSession, body: str, what: str) -> list:
+def _ground_template(body: str, what: str) -> list:
     """Parse an INSERT/DELETE DATA block: triple patterns only, fully
-    ground (no variables, no paths, no filters)."""
-    patterns, _f, _b, groups = _parse_patterns(body, allow_filters=False)
-    if groups:
-        raise ValueError(f"{what} DATA cannot contain path alternations")
+    ground (no variables, no paths, no filters — allow_filters=False
+    rejects paths/FILTER/BIND at parse time)."""
+    patterns, _f, _b, _groups = _parse_patterns(body, allow_filters=False)
     for t in patterns:
         for term in (t.subj, t.obj):
             if term.kind in ("var", "this"):
@@ -341,7 +363,7 @@ def sparql_update(
         if text[end:].strip():
             raise ValueError("unexpected trailing text after the DATA block")
         what = m.group(1).upper()
-        template = _ground_template(spark, body, what)
+        template = _ground_template(body, what)
         rows = _instantiate(_seed(spark), set(), template, graph, what)
         if what == "INSERT":
             return _with_new(data, rows)
@@ -364,6 +386,16 @@ def sparql_update(
                     "property paths are not allowed in DELETE WHERE — "
                     "the pattern doubles as the deletion template"
                 )
+            # a sequence path desugars into chained patterns over fresh
+            # `_seqN` variables BEFORE this check — deleting those would
+            # destructively remove intermediate-hop triples the user
+            # never templated (SPARQL 1.1 forbids paths here entirely)
+            for term in (t.subj, t.obj):
+                if term.kind == "var" and term.value.startswith("_seq"):
+                    raise ValueError(
+                        "property paths are not allowed in DELETE WHERE — "
+                        "the pattern doubles as the deletion template"
+                    )
         block = _Block(tuple(patterns), (), (), ())
         bound_vars: set[str] = set()
         bound = _apply_block(
@@ -439,6 +471,8 @@ def sparql_describe(
     ``DESCRIBE ?v [?w …] WHERE { … }`` (each listed variable's IRI/bnode
     bindings are described; literal bindings have no description).
     """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
     text = _prepare(query)
     m = _DESCRIBE_RE.match(text)
     if not m:
@@ -496,7 +530,7 @@ def sparql_describe(
         # next frontier: blank-node objects only (CBD recursion) — with
         # skolemized graphs this is empty after the first hop
         frontier = (
-            layer.filter(F.col("o_kind") == "bnode")
+            layer.filter(F.col("o_kind") == KIND_BNODE)
             .select(F.col("o_value").alias("node"))
             .distinct()
         )

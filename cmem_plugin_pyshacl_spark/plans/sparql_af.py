@@ -2704,7 +2704,13 @@ def _join_patterns(
 
         if pvar is not None:
             if pvar in bound_vars:
-                conds.append(F.col(f"_p{sfx}") == F.col(f"{pvar}__value"))
+                # term matching is value+kind: a literal binding whose
+                # lexical form looks like an IRI must NOT match the
+                # predicate column (predicates are always IRIs)
+                conds.append(
+                    (F.col(f"_p{sfx}") == F.col(f"{pvar}__value"))
+                    & (F.col(f"{pvar}__kind") == KIND_IRI)
+                )
             elif pat.subj.kind == "var" and pat.subj.value == pvar:
                 # repeated variable within the pattern (?x ?x ?o)
                 rel = rel.filter(F.col(f"_p{sfx}") == F.col(f"_s{sfx}"))

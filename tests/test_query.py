@@ -123,7 +123,8 @@ def test_select_distinct_term_identity(spark, graph):
     assert out.count() == 2
     assert {r["v_datatype"] for r in out.collect()} == {
         XSD + "integer",
-        None,  # plain literal: no datatype column in the data model
+        # the surface normalizes simple literals to xsd:string (RDF 1.1)
+        XSD + "string",
     }
 
 
@@ -333,6 +334,53 @@ def test_update_insert_where_filter(spark, graph):
     )
     adults = [r["s"] for r in out.filter(out.o_value == EX + "Adult").collect()]
     assert adults == ["urn:bob"]
+
+
+def test_update_delete_where_rejects_paths(spark, graph):
+    # a sequence path would silently delete desugared intermediate hops
+    with pytest.raises(ValueError, match="paths are not allowed"):
+        sparql_update(
+            spark,
+            graph,
+            f"DELETE WHERE {{ ?s <{EX}knows>/<{EX}name> ?n }}",
+        )
+
+
+def test_var_predicate_bound_literal_no_match(spark):
+    # a literal binding whose lexical form is an IRI must NOT match a
+    # predicate slot (predicates are IRIs; term matching is value+kind)
+    rows = [
+        ("urn:a", EX + "p", lit_typed(EX + "q")),
+        ("urn:s2", EX + "q", iri("urn:y")),
+    ]
+    data = triples_from_rows(spark, rows)
+    out = sparql_select(
+        spark,
+        data,
+        f"SELECT ?s2 WHERE {{ <urn:a> <{EX}p> ?x . ?s2 ?x ?o2 }}",
+    )
+    assert out.count() == 0
+
+
+def test_construct_plain_literal_normalized(spark):
+    # a var-copied plain literal and a quoted template constant are the
+    # same RDF term (simple literal = xsd:string) — one row, not two
+    data = triples_from_rows(
+        spark, [("urn:1", EX + "v", lit_typed("x"))]
+    )
+    out = sparql_construct(
+        spark,
+        data,
+        f'CONSTRUCT {{ ?s <{EX}w> "x" . ?s <{EX}w> ?o }} '
+        f"WHERE {{ ?s <{EX}v> ?o }}",
+    )
+    assert out.count() == 1
+    assert out.collect()[0]["o_datatype"] == XSD + "string"
+
+
+def test_describe_max_hops_validation(spark, graph):
+    with pytest.raises(ValueError, match="max_hops"):
+        sparql_describe(spark, graph, "DESCRIBE <urn:alice>", max_hops=0)
 
 
 def test_update_ground_violation(spark, graph):
