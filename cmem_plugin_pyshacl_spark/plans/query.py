@@ -170,7 +170,15 @@ def _instantiate(
     """Instantiate a triple-pattern template from a binding set — the
     spec's rules: solutions with an unbound (OPTIONAL) template variable,
     a literal in subject position, or a non-IRI in predicate position
-    instantiate no triple. Shared by CONSTRUCT and the UPDATE forms."""
+    instantiate no triple. Shared by CONSTRUCT and the UPDATE forms.
+
+    plans/rules.py::_sparql_rule_dfs is the $this-bound sibling of this
+    helper, deliberately NOT unified: rule output feeds validate()
+    internals, which preserve the stored NULL-vs-xsd:string datatype and
+    normalize at comparison points, whereas this public surface
+    normalizes simple literals to xsd:string at instantiation (a rules
+    merge would churn the shacl_rules oracle's o_datatype column).
+    Template-grammar changes usually need mirroring in both."""
     null_s = F.lit(None).cast("string")
 
     def term_cols(term) -> tuple:

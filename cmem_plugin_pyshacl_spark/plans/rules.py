@@ -318,6 +318,9 @@ def _sparql_rule_dfs(
     template, block = parse_construct(rule.construct)
     bound, bound_vars = eval_bgp(data, focus, block)
 
+    # plans/query.py::_instantiate is the focus-free sibling of this
+    # instantiation (different datatype-normalization contract — see its
+    # docstring); template-grammar changes usually need mirroring there.
     def term_cols(term) -> tuple:
         if term.kind == "this":
             return (F.col("this"), F.lit(KIND_IRI), _null_str(), _null_str())
