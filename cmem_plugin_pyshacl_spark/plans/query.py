@@ -249,8 +249,32 @@ def sparql_construct(
     """Evaluate a SPARQL CONSTRUCT — returns a triples-schema DataFrame
     (set semantics: the emitted graph is deduplicated on term identity).
     ``graph`` stamps the emitted rows' graph column (None = default
-    graph)."""
-    template, block = parse_construct(_prepare(query))
+    graph). The ``CONSTRUCT WHERE { … }`` shorthand (SPARQL §10.2.3 —
+    the pattern doubles as the template) takes a plain triple-pattern
+    block, same restriction as DELETE WHERE."""
+    text = _prepare(query)
+    m = re.match(r"\s*CONSTRUCT\s+WHERE\s*\{(?P<body>.*)\}\s*$", text, re.S | re.I)
+    if m:
+        patterns, filters, binds, groups = _parse_patterns(m.group("body"))
+        if filters or binds or groups or not patterns:
+            raise ValueError(
+                "CONSTRUCT WHERE takes a plain non-empty triple-pattern "
+                "block (use CONSTRUCT { … } WHERE { … } otherwise)"
+            )
+        for t in patterns:
+            bad = not isinstance(t.pred, (str, _Term)) or any(
+                term.kind == "var" and term.value.startswith("_seq")
+                for term in (t.subj, t.obj)
+            )
+            if bad:
+                raise ValueError(
+                    "property paths are not allowed in CONSTRUCT WHERE — "
+                    "the pattern doubles as the template"
+                )
+        template = patterns
+        block = _Block(tuple(patterns), (), (), ())
+    else:
+        template, block = parse_construct(text)
     bound_vars: set[str] = set()
     bound = _apply_block(
         data, _seed(spark), bound_vars, block, "uc", has_this=False

@@ -225,6 +225,24 @@ def test_construct_spo_copy(spark, graph):
     assert out.filter(out.s == "urn:d").count() == 0
 
 
+def test_construct_where_shorthand(spark, graph):
+    out = sparql_construct(
+        spark, graph, f"CONSTRUCT WHERE {{ ?s <{EX}knows> ?o }}"
+    )
+    rows = {(r["s"], r["o_value"]) for r in out.collect()}
+    assert rows == {
+        ("urn:alice", "urn:bob"),
+        ("urn:bob", "urn:carol"),
+        ("urn:carol", "urn:carol"),
+    }
+    with pytest.raises(ValueError, match="paths are not allowed"):
+        sparql_construct(
+            spark,
+            graph,
+            f"CONSTRUCT WHERE {{ ?s <{EX}knows>/<{EX}name> ?n }}",
+        )
+
+
 def test_construct_set_semantics(spark, graph):
     out = sparql_construct(
         spark,
