@@ -1632,9 +1632,12 @@ def test_agg_errors(spark):
         # DISTINCT outside COUNT
         "SELECT $this (SUM(DISTINCT ?e) AS ?n) WHERE { "
         f"$this <{EX}email> ?e }} GROUP BY $this",
-        # trailing garbage (OFFSET is outside the subset)
+        # trailing garbage after the LIMIT/OFFSET tail
         "SELECT $this (COUNT(?e) AS ?n) WHERE { "
-        f"$this <{EX}email> ?e }} GROUP BY $this ORDER BY ?n LIMIT 1 OFFSET 5",
+        f"$this <{EX}email> ?e }} GROUP BY $this ORDER BY ?n LIMIT 1 BOGUS 5",
+        # OFFSET (like LIMIT) demands ORDER BY
+        "SELECT $this (COUNT(?e) AS ?n) WHERE { "
+        f"$this <{EX}email> ?e }} GROUP BY $this OFFSET 5",
     ):
         with pytest.raises(ValueError):
             validate(spark, data, _af_shapes(spark, bad), advanced=True)
