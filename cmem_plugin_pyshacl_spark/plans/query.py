@@ -60,6 +60,115 @@ from .sparql_af import (
 _TERM_SUFFIXES = ("value", "kind", "datatype", "lang")
 
 
+def _skip_string(text: str, i: int) -> int:
+    """Return the index just past the string literal starting at ``i``
+    (single- or double-quoted, backslash escapes honored)."""
+    q = text[i]
+    j = i + 1
+    while j < len(text):
+        if text[j] == "\\":
+            j += 2
+            continue
+        if text[j] == q:
+            return j + 1
+        j += 1
+    return len(text)
+
+
+def _extract_dataset(text: str) -> tuple[str, list[str], list[str]]:
+    """Strip ``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses (brace
+    depth 0 only — never inside a template/pattern block or a string
+    literal) and return (text without them, FROM IRIs, FROM NAMED IRIs).
+    Handles all four query forms' clause positions (SELECT/ASK/DESCRIBE:
+    before WHERE; CONSTRUCT: after the template block)."""
+    out: list[str] = []
+    default_graphs: list[str] = []
+    named_graphs: list[str] = []
+    i, n = 0, len(text)
+    depth = 0
+    while i < n:
+        c = text[i]
+        if c == "{":
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == "}":
+            depth -= 1
+            out.append(c)
+            i += 1
+        elif c in "\"'":
+            j = _skip_string(text, i)
+            out.append(text[i:j])
+            i = j
+        elif c == "<":
+            j = text.find(">", i)
+            j = n if j < 0 else j + 1
+            out.append(text[i:j])
+            i = j
+        else:
+            m = None
+            if depth == 0 and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+                m = re.match(r"FROM\s+(NAMED\s+)?<([^>]*)>\s*", text[i:], re.I)
+            if m:
+                (named_graphs if m.group(1) else default_graphs).append(
+                    m.group(2)
+                )
+                i += m.end()
+            else:
+                out.append(c)
+                i += 1
+    return "".join(out), default_graphs, named_graphs
+
+
+def _dataset(
+    data: DataFrame,
+    text: str,
+    default_graphs: list[str],
+    named_graphs: list[str],
+) -> DataFrame:
+    """Construct the query's RDF dataset (SPARQL §13.2) from the store:
+
+      * no dataset clauses → the store as-is (this engine's documented
+        model: plain patterns match ALL rows — a union default graph —
+        and GRAPH matches the named slices);
+      * ``FROM g…`` → the merge of those graphs becomes the default
+        graph (their rows' ``graph`` column is nulled);
+      * ``FROM NAMED n…`` → only those named graphs are visible to
+        GRAPH patterns (the slice is dropped entirely when the query
+        never says GRAPH — spec-correct: named graphs are unreachable
+        without it).
+
+    One documented deviation from §13.2: when a query combines FROM
+    NAMED with plain (non-GRAPH) patterns, those patterns also see the
+    named rows (the engine's union-default-graph model); per spec they
+    would see only the FROM merge. Queries that keep named-graph access
+    inside GRAPH blocks — the normal shape — behave exactly per spec."""
+    if not default_graphs and not named_graphs:
+        return data
+    if "graph" not in data.columns:
+        raise ValueError(
+            "FROM/FROM NAMED require the triples frame to carry its "
+            "`graph` column (it was projected away upstream)"
+        )
+    parts: list[DataFrame] = []
+    if default_graphs:
+        parts.append(
+            data.filter(F.col("graph").isin(default_graphs)).withColumn(
+                "graph", F.lit(None).cast("string")
+            )
+        )
+    if named_graphs and re.search(r"\bGRAPH\b", text, re.I):
+        parts.append(data.filter(F.col("graph").isin(named_graphs)))
+    if not parts:
+        # FROM NAMED only, and the query never says GRAPH: the default
+        # graph of the dataset is empty
+        return data.filter(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _prepare(query: str) -> str:
     """Expand the PREFIX prologue and reject $this — the focus-node
     pre-binding exists only inside a SHACL constraint context."""
@@ -99,8 +208,13 @@ def sparql_select(
     DISTINCT deduplicates on full RDF term identity (kind + datatype +
     lang, not just the lexical form) before ORDER BY/LIMIT, per the
     SPARQL algebra ordering of Distinct inside OrderBy/Slice.
+
+    ``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses construct the
+    queried dataset first (see ``_dataset``).
     """
-    q = parse_select_query(_prepare(query))
+    text, dg, ng = _extract_dataset(_prepare(query))
+    data = _dataset(data, text, dg, ng)
+    q = parse_select_query(text)
     bound_vars: set[str] = set()
     bound = _apply_block(
         data, _seed(spark), bound_vars, q.block, "uq", has_this=False
@@ -151,8 +265,11 @@ def sparql_select(
 def sparql_ask(spark: SparkSession, data: DataFrame, query: str) -> bool:
     """Evaluate a SPARQL ASK — True iff the pattern has any solution.
     The one-row probe (`LIMIT 1` under the hood) is the only driver-side
-    action; the result is a scalar by definition."""
-    block = parse_ask(_prepare(query))
+    action; the result is a scalar by definition. FROM / FROM NAMED
+    dataset clauses are honored (see ``_dataset``)."""
+    text, dg, ng = _extract_dataset(_prepare(query))
+    data = _dataset(data, text, dg, ng)
+    block = parse_ask(text)
     bound_vars: set[str] = set()
     bound = _apply_block(
         data, _seed(spark), bound_vars, block, "ua", has_this=False
@@ -251,8 +368,10 @@ def sparql_construct(
     ``graph`` stamps the emitted rows' graph column (None = default
     graph). The ``CONSTRUCT WHERE { … }`` shorthand (SPARQL §10.2.3 —
     the pattern doubles as the template) takes a plain triple-pattern
-    block, same restriction as DELETE WHERE."""
-    text = _prepare(query)
+    block, same restriction as DELETE WHERE. FROM / FROM NAMED dataset
+    clauses are honored (see ``_dataset``)."""
+    text, dg, ng = _extract_dataset(_prepare(query))
+    data = _dataset(data, text, dg, ng)
     m = re.match(r"\s*CONSTRUCT\s+WHERE\s*\{(?P<body>.*)\}\s*$", text, re.S | re.I)
     if m:
         patterns, filters, binds, groups = _parse_patterns(m.group("body"))
@@ -505,7 +624,8 @@ def sparql_describe(
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
-    text = _prepare(query)
+    text, dg, ng = _extract_dataset(_prepare(query))
+    data = _dataset(data, text, dg, ng)
     m = _DESCRIBE_RE.match(text)
     if not m:
         raise ValueError(

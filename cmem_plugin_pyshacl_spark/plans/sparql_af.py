@@ -2587,6 +2587,11 @@ def _join_patterns(
     gsel = (
         [F.col("graph")] if graph_var is not None else []
     )  # validated non-empty by the caller
+    if graph_var is not None:
+        # GRAPH ranges over the dataset's NAMED graphs only (SPARQL
+        # §13.3): rows in the default graph (NULL graph column) are not
+        # in any named graph and must not bind ?g
+        data = data.filter(F.col("graph").isNotNull())
 
     for i, pat in enumerate(patterns):
         sfx = f"{ns}{i}"
@@ -2797,14 +2802,17 @@ def _join_patterns(
 
 
 def _sub_block_keys(
-    bound_vars: set[str], sub: _Block, has_this: bool = True
+    bound_vars: set[str], sub: _Block, has_this: bool = True,
+    strict: bool = True,
 ) -> list[str]:
     """Join-key columns linking an outer binding set to a nested group:
     ``this`` when the outer frame carries it (every constraint solution
     does — it keeps a disconnected group from silently becoming a cross
     join of the whole outer set) plus every outer variable the group
     mentions. In a target select (no outer focus) the group must share a
-    variable explicitly."""
+    variable explicitly — except plain nested groups (``strict=False``),
+    whose disjoint case is SPARQL's legal join with an unrelated solution
+    set (the caller cross-multiplies)."""
     sub_vars = {
         t.value
         for p in sub.all_patterns()
@@ -2814,7 +2822,7 @@ def _sub_block_keys(
     keys = (["this"] if has_this else []) + sorted(
         f"{v}__value" for v in sub_vars & bound_vars
     )
-    if not keys:
+    if not keys and strict:
         raise ValueError(
             "OPTIONAL / FILTER EXISTS group in a target select must share "
             "a variable with the outer pattern"
@@ -2865,8 +2873,30 @@ def _group_join(
     back: outer solutions without a compatible group solution drop, and
     group-solution multiplicity multiplies (standard join semantics).
     Variables bound in only some UNION branches surface as NULL
-    (unbound) in the other branches' solutions."""
-    key_cols = _sub_block_keys(bound_vars, sub, has_this)
+    (unbound) in the other branches' solutions.
+
+    A group sharing NO variable with the outer set (possible only in
+    focus-free contexts — standalone queries, target selects; every
+    constraint solution carries ``this``) is SPARQL's join with a
+    disjoint solution set: evaluated once from a fresh 1-row seed, then
+    spliced (pristine seed) or cross-multiplied into the outer set."""
+    key_cols = _sub_block_keys(bound_vars, sub, has_this, strict=False)
+    if not key_cols:
+        seed = bound.sparkSession.range(1).select(F.lit(0).alias("_seed"))
+        inner_vars: set[str] = set()
+        matched = _apply_block(data, seed, inner_vars, sub, ns, has_this)
+        proj = [
+            f"{v}__{part}"
+            for v in sorted(inner_vars)
+            for part in ("value", "kind", "datatype", "lang")
+        ]
+        matched = matched.select(*proj)
+        if set(bound.columns) == {"_seed"}:
+            bound = matched.withColumn("_seed", F.lit(0))
+        else:
+            bound = bound.crossJoin(matched)
+        bound_vars |= inner_vars
+        return bound
     keys = bound.select(*key_cols).distinct()
     inner_vars = {c[: -len("__value")] for c in key_cols if c.endswith("__value")}
     shared = set(inner_vars)
