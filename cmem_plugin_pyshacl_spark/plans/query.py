@@ -455,20 +455,98 @@ def _with_new(data: DataFrame, ins: DataFrame) -> DataFrame:
     return data.unionByName(fresh)
 
 
-def _ground_template(body: str, what: str) -> list:
-    """Parse an INSERT/DELETE DATA block: triple patterns only, fully
-    ground (no variables, no paths, no filters — allow_filters=False
-    rejects paths/FILTER/BIND at parse time)."""
-    patterns, _f, _b, _groups = _parse_patterns(body, allow_filters=False)
+def _check_template_patterns(patterns: list, what: str, ground: bool) -> None:
+    """Reject property paths (incl. the ``_seqN`` variables a sequence
+    path desugars into) in any template; with ``ground`` also reject
+    variables (the DATA forms take ground triples only)."""
     for t in patterns:
+        if not isinstance(t.pred, (str, _Term)):
+            raise ValueError(f"property paths are not allowed in a {what} template")
         for term in (t.subj, t.obj):
-            if term.kind in ("var", "this"):
-                raise ValueError(f"{what} DATA requires ground triples")
-        if not isinstance(t.pred, str):
-            raise ValueError(f"{what} DATA requires ground triples")
-    if not patterns:
-        raise ValueError(f"{what} DATA block is empty")
-    return patterns
+            if term.kind == "var" and term.value.startswith("_seq"):
+                raise ValueError(
+                    f"property paths are not allowed in a {what} template"
+                )
+            if ground and term.kind in ("var", "this"):
+                raise ValueError(f"{what} requires ground triples")
+        if ground and not isinstance(t.pred, str):
+            raise ValueError(f"{what} requires ground triples")
+
+
+def _parse_quads(body: str, what: str, ground: bool) -> list[tuple]:
+    """Parse a template/DATA block into quad groups:
+    ``[(graph-IRI-or-None, [patterns])]``. Triples outside any GRAPH
+    block land in the None group; ``GRAPH <g> { … }`` groups carry their
+    IRI. Anything beyond plain triple patterns (FILTER/OPTIONAL/…,
+    variable graph names, nested GRAPH) is rejected."""
+    blk = _parse_group(body)
+    if (
+        blk.filters or blk.binds or blk.optionals or blk.exists
+        or blk.minuses or blk.alternatives or blk.subselects
+        or blk.values_clauses or blk.groups
+    ):
+        raise ValueError(f"{what} takes triple/quad patterns only")
+    out: list[tuple] = []
+    if blk.patterns:
+        _check_template_patterns(list(blk.patterns), what, ground)
+        out.append((None, list(blk.patterns)))
+    for gterm, sub in blk.graphs:
+        if gterm.kind != "iri":
+            raise ValueError(
+                f"{what}: a GRAPH name in a template must be an IRI"
+            )
+        if (
+            sub.filters or sub.binds or sub.optionals or sub.exists
+            or sub.minuses or sub.alternatives or sub.subselects
+            or sub.values_clauses or sub.groups or sub.graphs
+        ):
+            raise ValueError(
+                f"{what}: GRAPH template blocks take plain triple patterns only"
+            )
+        if not sub.patterns:
+            raise ValueError(f"{what}: empty GRAPH template block")
+        _check_template_patterns(list(sub.patterns), what, ground)
+        out.append((gterm.value, list(sub.patterns)))
+    if not out:
+        raise ValueError(f"{what} block is empty")
+    return out
+
+
+def _split_ops(text: str) -> list[str]:
+    """Split an update request into its ``;``-separated operations —
+    top level only (never inside braces, IRIs, or string literals)."""
+    ops: list[str] = []
+    depth = 0
+    start = 0
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "{":
+            depth += 1
+            i += 1
+        elif c == "}":
+            depth -= 1
+            i += 1
+        elif c in "\"'":
+            i = _skip_string(text, i)
+        elif c == "<":
+            j = text.find(">", i)
+            i = n if j < 0 else j + 1
+        elif c == ";" and depth == 0:
+            ops.append(text[start:i])
+            i += 1
+            start = i
+        else:
+            i += 1
+    ops.append(text[start:])
+    return [op for op in (o.strip() for o in ops) if op]
+
+
+_GM_TARGET = r"(?:GRAPH\s*<(?P<{0}>[^>]*)>|(?P<{0}def>DEFAULT))"
+
+
+def _graph_cond(g: str | None):
+    return F.col("graph").eqNullSafe(F.lit(g).cast("string"))
 
 
 def sparql_update(
@@ -477,27 +555,59 @@ def sparql_update(
     update: str,
     graph: str | None = None,
 ) -> DataFrame:
-    """Apply a SPARQL UPDATE to a triples-schema DataFrame and return the
-    updated frame (frames are immutable — the caller persists/writes the
-    result; `sources/sinks.py` handles the storage side).
+    """Apply a SPARQL 1.1 Update request to a triples-schema DataFrame
+    and return the updated frame (frames are immutable — the caller
+    persists/writes the result; `sources/sinks.py` handles storage).
 
-    Supported forms (SPARQL 1.1 Update §3.1):
-      * ``INSERT DATA { ground triples }``
-      * ``DELETE DATA { ground triples }``
-      * ``DELETE WHERE { pattern }`` (the pattern is the template)
-      * ``[DELETE { tpl }] [INSERT { tpl }] WHERE { pattern }``
+    A request is one or more ``;``-separated operations, applied in
+    order, each seeing its predecessors' result (§3). Supported:
 
-    Semantics: the WHERE pattern is evaluated once against the
-    PRE-update store and both templates instantiate from that one
+      * ``INSERT DATA`` / ``DELETE DATA`` — ground triples and
+        ``GRAPH <g> { … }`` quad groups
+      * ``DELETE WHERE { pattern }`` (the pattern, incl. GRAPH <iri>
+        blocks, doubles as the template)
+      * ``[WITH <g>] [DELETE { quads }] [INSERT { quads }]
+        [USING [NAMED] <g>]* WHERE { pattern }``
+      * graph management: ``CLEAR``/``DROP`` ``[SILENT]``
+        ``GRAPH <g> | DEFAULT | NAMED | ALL``, ``CREATE [SILENT]
+        GRAPH <g>`` (a no-op — the frame store has no empty-graph
+        registry, so CREATE/DROP cannot differ from their CLEAR
+        equivalents and SILENT is always implied), ``ADD``/``COPY``/
+        ``MOVE`` ``[SILENT] (GRAPH <g>|DEFAULT) TO (GRAPH <g>|DEFAULT)``,
+        and ``LOAD [SILENT] <path-iri> [INTO GRAPH <g>]`` via the
+        format-sniffing reader (sources/io.read_rdf; file: scheme or
+        plain path).
+
+    Semantics: each operation's WHERE pattern is evaluated once against
+    the PRE-operation store and both templates instantiate from that one
     binding set (the spec's simultaneous delete-then-insert). Deletion
-    matches on full term identity across the six term columns,
-    graph-agnostic unless ``graph`` is given; insertion stamps ``graph``
-    on the new rows and the result is set-deduplicated.
+    matches on full term identity across the six term columns; template
+    triples inside ``GRAPH <g>`` delete from / insert into that graph,
+    un-graphed template triples use ``WITH``'s graph when present, else
+    the ``graph`` argument, else (legacy store model) delete
+    graph-agnostically and insert into the default graph. ``WITH`` also
+    scopes the WHERE matching to its graph; ``USING``/``USING NAMED``
+    build the WHERE dataset exactly like FROM/FROM NAMED (see
+    ``_dataset``) and override ``WITH`` for matching (§3.1.5.2).
 
-    Scale posture: one pattern evaluation (the same progressive join the
-    query surface uses), one anti join, one union — no collects, no
-    per-row Python."""
-    text = _prepare(update).strip()
+    Scale posture: per operation, one pattern evaluation (the same
+    progressive join the query surface uses), one anti join per deletion
+    target, one union per insertion — no collects, no per-row Python."""
+    ops = _split_ops(_prepare(update).strip())
+    if not ops:
+        raise ValueError("empty update request")
+    for op in ops:
+        data = _apply_update_op(spark, data, op, graph)
+    return data
+
+
+def _apply_update_op(
+    spark: SparkSession,
+    data: DataFrame,
+    text: str,
+    graph: str | None,
+) -> DataFrame:
+    """Apply ONE update operation (see ``sparql_update``)."""
 
     def take_block(s: str, kw_end: int) -> tuple[str, int]:
         j = kw_end
@@ -508,92 +618,205 @@ def sparql_update(
         k = _delim_end(s, j, "{", "}")
         return s[j + 1 : k], k + 1
 
+    # ---------------------------------------------- graph management
+    m = re.match(r"CREATE\s+(?:SILENT\s+)?GRAPH\s*<[^>]*>\s*$", text, re.I)
+    if m:
+        # the frame store holds no registry of (possibly empty) graphs —
+        # a graph exists iff it has rows, so CREATE has nothing to do
+        return data
+
+    m = re.match(
+        r"(?:CLEAR|DROP)\s+(?:SILENT\s+)?"
+        r"(?:GRAPH\s*<(?P<g>[^>]*)>|(?P<kw>DEFAULT|NAMED|ALL))\s*$",
+        text,
+        re.I,
+    )
+    if m:
+        if m.group("g") is not None:
+            return data.filter(~_graph_cond(m.group("g")))
+        kw = m.group("kw").upper()
+        if kw == "DEFAULT":
+            return data.filter(F.col("graph").isNotNull())
+        if kw == "NAMED":
+            return data.filter(F.col("graph").isNull())
+        return data.filter(F.lit(False))  # ALL
+
+    m = re.match(
+        r"(?P<verb>ADD|COPY|MOVE)\s+(?:SILENT\s+)?"
+        + _GM_TARGET.format("src")
+        + r"\s+TO\s+"
+        + _GM_TARGET.format("dst")
+        + r"\s*$",
+        text,
+        re.I,
+    )
+    if m:
+        verb = m.group("verb").upper()
+        src = m.group("src")  # None for DEFAULT
+        dst = m.group("dst")
+        if src == dst:
+            return data  # §3.2.3-5: same-graph COPY/MOVE/ADD is a no-op
+        moved = data.filter(_graph_cond(src)).withColumn(
+            "graph", F.lit(dst).cast("string")
+        )
+        if verb == "ADD":
+            return _with_new(data, moved)
+        keep = ~_graph_cond(dst)
+        if verb == "MOVE":
+            keep = keep & ~_graph_cond(src)
+        return data.filter(keep).unionByName(moved)
+
+    m = re.match(
+        r"LOAD\s+(?P<silent>SILENT\s+)?<(?P<path>[^>]*)>"
+        r"(?:\s+INTO\s+GRAPH\s*<(?P<into>[^>]*)>)?\s*$",
+        text,
+        re.I,
+    )
+    if m:
+        from ..sources.io import read_rdf
+
+        path = re.sub(r"^file://", "", m.group("path"))
+        into = m.group("into")
+        try:
+            new = read_rdf(spark, path, graph=into)
+            if into is not None:
+                # INTO GRAPH overrides any per-statement graph the
+                # format carried (N-Quads/TriG)
+                new = new.withColumn("graph", F.lit(into))
+            return _with_new(data, new)
+        except Exception:
+            if m.group("silent"):
+                return data
+            raise
+
+    # ------------------------------------------------- the data forms
     m = re.match(r"(INSERT|DELETE)\s+DATA\b", text, re.I)
     if m:
         body, end = take_block(text, m.end())
         if text[end:].strip():
             raise ValueError("unexpected trailing text after the DATA block")
         what = m.group(1).upper()
-        template = _ground_template(body, what)
-        rows = _instantiate(_seed(spark), set(), template, graph, what)
+        quads = _parse_quads(body, f"{what} DATA", ground=True)
         if what == "INSERT":
+            frames = [
+                _instantiate(
+                    _seed(spark), set(), pats,
+                    g if g is not None else graph, "INSERT DATA",
+                )
+                for g, pats in quads
+            ]
+            rows = frames[0]
+            for f in frames[1:]:
+                rows = rows.unionByName(f)
             return _with_new(data, rows)
-        return _without(data, rows, graph)
+        for g, pats in quads:
+            rows = _instantiate(_seed(spark), set(), pats, None, "DELETE DATA")
+            data = _without(data, rows, g if g is not None else graph)
+        return data
 
     m = re.match(r"DELETE\s+WHERE\b", text, re.I)
     if m:
         body, end = take_block(text, m.end())
         if text[end:].strip():
             raise ValueError("unexpected trailing text after DELETE WHERE")
-        patterns, filters, binds, groups = _parse_patterns(body)
-        if filters or binds or groups:
+        blk = _parse_group(body)
+        if (
+            blk.filters or blk.binds or blk.optionals or blk.exists
+            or blk.minuses or blk.alternatives or blk.subselects
+            or blk.values_clauses or blk.groups
+        ):
             raise ValueError(
-                "DELETE WHERE takes a plain triple-pattern block "
+                "DELETE WHERE takes a plain triple/quad-pattern block "
                 "(use DELETE { … } WHERE { … } for filtered deletes)"
             )
-        for t in patterns:
-            if not isinstance(t.pred, (str, _Term)):
-                raise ValueError(
-                    "property paths are not allowed in DELETE WHERE — "
-                    "the pattern doubles as the deletion template"
-                )
-            # a sequence path desugars into chained patterns over fresh
-            # `_seqN` variables BEFORE this check — deleting those would
-            # destructively remove intermediate-hop triples the user
-            # never templated (SPARQL 1.1 forbids paths here entirely)
-            for term in (t.subj, t.obj):
-                if term.kind == "var" and term.value.startswith("_seq"):
-                    raise ValueError(
-                        "property paths are not allowed in DELETE WHERE — "
-                        "the pattern doubles as the deletion template"
-                    )
-        block = _Block(tuple(patterns), (), (), ())
+        # the pattern doubles as the deletion template — a sequence path
+        # desugars into chained `_seqN` patterns whose deletion would
+        # destructively remove intermediate-hop triples the user never
+        # templated (SPARQL 1.1 forbids paths here entirely)
+        quads = _parse_quads(body, "DELETE WHERE", ground=False)
         bound_vars: set[str] = set()
         bound = _apply_block(
-            data, _seed(spark), bound_vars, block, "ud", has_this=False
+            data, _seed(spark), bound_vars, blk, "ud", has_this=False
         )
-        dels = _instantiate(bound, bound_vars, patterns, None, "DELETE")
-        return _without(data, dels, graph)
+        for g, pats in quads:
+            dels = _instantiate(bound, bound_vars, pats, None, "DELETE")
+            data = _without(data, dels, g if g is not None else graph)
+        return data
 
-    delete_tpl: list | None = None
-    insert_tpl: list | None = None
+    # -------------------- [WITH] [DELETE] [INSERT] [USING]* WHERE form
     rest = text
+    with_graph: str | None = None
+    m = re.match(r"WITH\s*<([^>]*)>\s*", rest, re.I)
+    if m:
+        with_graph = m.group(1)
+        if graph is not None:
+            raise ValueError(
+                "both WITH and the graph= argument name a default graph — "
+                "drop one (ambiguous)"
+            )
+        rest = rest[m.end():]
+    delete_quads: list | None = None
+    insert_quads: list | None = None
     m = re.match(r"DELETE\b", rest, re.I)
     if m:
         body, end = take_block(rest, m.end())
-        delete_tpl, _f, _b, grps = _parse_patterns(body, allow_filters=False)
-        if grps:
-            raise ValueError("DELETE template cannot contain alternations")
+        delete_quads = _parse_quads(body, "DELETE", ground=False)
         rest = rest[end:].lstrip()
     m = re.match(r"INSERT\b", rest, re.I)
     if m:
         body, end = take_block(rest, m.end())
-        insert_tpl, _f, _b, grps = _parse_patterns(body, allow_filters=False)
-        if grps:
-            raise ValueError("INSERT template cannot contain alternations")
+        insert_quads = _parse_quads(body, "INSERT", ground=False)
         rest = rest[end:].lstrip()
-    if delete_tpl is None and insert_tpl is None:
+    if delete_quads is None and insert_quads is None:
         raise ValueError(
             "unsupported update (expected INSERT DATA / DELETE DATA / "
-            "DELETE WHERE / [DELETE {…}] [INSERT {…}] WHERE {…})"
+            "DELETE WHERE / [WITH <g>] [DELETE {…}] [INSERT {…}] "
+            "[USING …] WHERE {…} / CLEAR / DROP / CREATE / ADD / COPY / "
+            "MOVE / LOAD)"
         )
+    using: list[str] = []
+    using_named: list[str] = []
+    while True:
+        m = re.match(r"USING\s+(NAMED\s+)?<([^>]*)>\s*", rest, re.I)
+        if not m:
+            break
+        (using_named if m.group(1) else using).append(m.group(2))
+        rest = rest[m.end():]
     m = re.match(r"WHERE\b", rest, re.I)
     if not m:
         raise ValueError("DELETE/INSERT templates require a WHERE clause")
     body, end = take_block(rest, m.end())
     if rest[end:].strip():
         raise ValueError("unexpected trailing text after the WHERE block")
+    if using or using_named:
+        wdata = _dataset(data, body, using, using_named)
+    elif with_graph is not None:
+        # §3.1.3: WITH scopes the matching to its graph (USING overrides)
+        wdata = data.filter(F.col("graph") == with_graph)
+    else:
+        wdata = data
     block = _parse_group(body)
     bound_vars = set()
     bound = _apply_block(
-        data, _seed(spark), bound_vars, block, "uu", has_this=False
+        wdata, _seed(spark), bound_vars, block, "uu", has_this=False
     )
+    default_graph = with_graph if with_graph is not None else graph
     out = data
-    if delete_tpl:
-        dels = _instantiate(bound, bound_vars, delete_tpl, None, "DELETE")
-        out = _without(out, dels, graph)
-    if insert_tpl:
-        ins = _instantiate(bound, bound_vars, insert_tpl, graph, "INSERT")
+    if delete_quads:
+        for g, pats in delete_quads:
+            dels = _instantiate(bound, bound_vars, pats, None, "DELETE")
+            out = _without(out, dels, g if g is not None else default_graph)
+    if insert_quads:
+        frames = [
+            _instantiate(
+                bound, bound_vars, pats,
+                g if g is not None else default_graph, "INSERT",
+            )
+            for g, pats in insert_quads
+        ]
+        ins = frames[0]
+        for f in frames[1:]:
+            ins = ins.unionByName(f)
         out = _with_new(out, ins)
     return out
 

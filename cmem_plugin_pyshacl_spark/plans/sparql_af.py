@@ -1276,7 +1276,7 @@ def _parse_patterns(
     # path operators / ^ | ( ) * + ? tokenize individually — a bare `?`
     # only when the variable alternative did not consume it first), then
     # reject any leftover text (OPTIONAL, UNION, nested groups, ...)
-    tok_re = re.compile(_TERM_RE.pattern + r"|[.\/^|()*+?!]", re.X)
+    tok_re = re.compile(_TERM_RE.pattern + r"|[.\/^|()*+?!;,]", re.X)
     tokens = tok_re.findall(body)
     leftover = tok_re.sub(" ", body).strip()
     if leftover:
@@ -1424,13 +1424,7 @@ def _parse_patterns(
             )
         return ast
 
-    def _flush() -> None:
-        if not group:
-            return
-        if len(group) < 3:
-            raise ValueError(f"unsupported graph pattern {' '.join(group)!r}")
-        subj, obj = group[0], group[-1]
-        mid = group[1:-1]
+    def _emit_statement(subj: str, mid: list[str], obj: str) -> None:
         s_t, o_t = _parse_term(subj), _parse_term(obj)
         if len(mid) == 1 and (mid[0] == "a" or mid[0].startswith("<")):
             if s_t.kind == "lit":
@@ -1465,14 +1459,60 @@ def _parse_patterns(
                 patterns.append(_Pattern(s_t, _to_path_expr(ast), o_t))
             else:
                 _emit(s_t, ast, o_t, patterns, path_groups)
+
+    # statement assembly with the Turtle-style abbreviations: `;` keeps
+    # the subject for another predicate-object pair, `,` keeps subject
+    # AND predicate(/path) for another object. Re-emitting a sequence
+    # path per object mints fresh _seq hop variables each time — the
+    # correct per-object semantics.
+    pend_subj: str | None = None
+    pend_mid: list[str] | None = None
+
+    def _flush(sep: str) -> None:
+        nonlocal pend_subj, pend_mid
+        if not group:
+            # a trailing `.` (or `; .`) closes the statement; a bare `,`
+            # with nothing before it has no object to repeat
+            if sep == ",":
+                raise ValueError("empty ',' object-list continuation")
+            if sep == ".":
+                pend_subj = pend_mid = None
+            return
+        if pend_mid is not None:
+            if len(group) != 1:
+                raise ValueError(
+                    "an object-list continuation takes exactly one term, "
+                    f"got {' '.join(group)!r}"
+                )
+            subj, mid, obj = pend_subj, pend_mid, group[0]
+        elif pend_subj is not None:
+            if len(group) < 2:
+                raise ValueError(
+                    "a predicate-object continuation needs a predicate "
+                    f"and an object, got {' '.join(group)!r}"
+                )
+            subj, mid, obj = pend_subj, group[:-1], group[-1]
+        else:
+            if len(group) < 3:
+                raise ValueError(
+                    f"unsupported graph pattern {' '.join(group)!r}"
+                )
+            subj, mid, obj = group[0], group[1:-1], group[-1]
+        _emit_statement(subj, list(mid), obj)
+        if sep == ".":
+            pend_subj = pend_mid = None
+        elif sep == ";":
+            pend_subj, pend_mid = subj, None
+        else:  # ","
+            pend_subj, pend_mid = subj, list(mid)
         group.clear()
 
     for tok in tokens:
-        if tok == ".":
-            _flush()
+        if tok in (".", ";", ","):
+            _flush(tok)
         else:
             group.append(tok)
-    _flush()
+    _flush(".")
     return patterns, filters, binds, path_groups
 
 

@@ -405,7 +405,12 @@ def test_update_ground_violation(spark, graph):
     with pytest.raises(ValueError, match="ground"):
         sparql_update(spark, graph, "INSERT DATA { ?s a <urn:C> }")
     with pytest.raises(ValueError, match="unsupported update"):
+        sparql_update(spark, graph, "REIFY { <urn:a> a <urn:C> }")
+    # LOAD is a real operation now — an unreadable IRI fails in the
+    # reader (format sniff), not the parser
+    with pytest.raises(ValueError, match="cannot infer RDF format"):
         sparql_update(spark, graph, "LOAD <urn:x>")
+    assert sparql_update(spark, graph, "LOAD SILENT <urn:x>").count() == graph.count()
 
 
 def test_select_pushes_constant_predicate_to_scan(spark, tmp_path):
@@ -435,3 +440,53 @@ def test_describe_literal_bindings_skipped(spark, graph):
         f"DESCRIBE ?v WHERE {{ <urn:alice> <{EX}name> ?v }}",
     )
     assert out.count() == 0
+
+
+def test_predicate_object_and_object_lists(spark, graph):
+    """Turtle-style `;` and `,` abbreviations in graph patterns."""
+    out = sparql_select(
+        spark,
+        graph,
+        f"""SELECT ?p ?n WHERE {{
+            ?p a <{EX}Person> ; <{EX}name> ?n .
+        }}""",
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("urn:alice", "Alice"),
+        ("urn:carol", "17"),
+    ]
+    out = sparql_select(
+        spark,
+        graph,
+        f"SELECT ?s WHERE {{ ?s <{EX}knows> <urn:bob> , <urn:carol> }}",
+    )
+    # object list = conjunction: who knows BOTH bob and carol? nobody
+    assert out.count() == 0
+    out = sparql_select(
+        spark,
+        graph,
+        f"SELECT ?s WHERE {{ ?s <{EX}knows> ?k ; a <{EX}Person> , <{EX}Person> }}",
+    )
+    assert out.count() == 3
+
+
+def test_object_list_with_path_reemits_fresh_hops(spark, graph):
+    out = sparql_select(
+        spark,
+        graph,
+        f"SELECT ?s WHERE {{ ?s <{EX}knows>/<{EX}knows> <urn:carol> , <urn:carol> }}",
+    )
+    # alice→bob→carol, bob→carol→carol (self-loop), carol→carol→carol
+    assert sorted({r["s"] for r in out.collect()}) == [
+        "urn:alice", "urn:bob", "urn:carol",
+    ]
+
+
+def test_dangling_comma_rejected(spark, graph):
+    # a ',' before any complete statement has no (subject, path) to repeat
+    with pytest.raises(ValueError, match="unsupported graph pattern"):
+        sparql_select(spark, graph, f"SELECT ?s WHERE {{ ?s <{EX}p> , <urn:x> }}")
+    with pytest.raises(ValueError, match="object-list continuation"):
+        sparql_select(
+            spark, graph, f"SELECT ?s WHERE {{ ?s <{EX}p> <urn:x> , , <urn:y> }}"
+        )
