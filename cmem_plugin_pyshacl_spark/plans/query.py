@@ -223,7 +223,14 @@ def sparql_select(
         bound, bound_vars = _apply_aggregation(
             bound, bound_vars, q, has_this=False
         )
-    proj = sorted(bound_vars) if q.star else list(q.proj)
+    # SELECT * never projects internal desugar variables: `_seq` path
+    # hops and `_bp` bnode-list nodes (SPARQL does not project pattern
+    # bnodes); `_`-prefixed names are reserved for the engine
+    proj = (
+        sorted(v for v in bound_vars if not v.startswith("_"))
+        if q.star
+        else list(q.proj)
+    )
     if not proj:
         raise ValueError("the SELECT projects no variables")
     for v in proj:

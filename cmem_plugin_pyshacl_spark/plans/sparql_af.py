@@ -1213,6 +1213,53 @@ def _to_path_expr(ast: tuple):
     return _normalize_path(conv(ast))
 
 
+# process-global so two groups of one query can never mint the same
+# bnode-list variable (a bnode label's scope is its basic graph pattern
+# — a shared name would incorrectly join across groups)
+_BNODE_LIST_IDS = itertools.count()
+
+
+def _expand_bnode_lists(body: str) -> str:
+    """Desugar Turtle-style blank-node property lists in a pattern body:
+    ``?s <p> [ <q> ?v ; <r> ?w ]`` becomes ``?s <p> ?_bpN . ?_bpN <q> ?v .
+    ?_bpN <r> ?w`` with a fresh non-distinguished variable per bracket
+    (SPARQL treats a pattern bnode exactly as a variable that cannot be
+    projected). ``[]`` is the anonymous node — just the fresh variable.
+    Nested lists expand recursively; brackets inside strings/IRIs are
+    untouched."""
+    while True:
+        i, n = 0, len(body)
+        found = -1
+        while i < n:
+            c = body[i]
+            if c == '"' or c == "'":
+                i += 1
+                while i < n and (body[i] != c or body[i - 1] == "\\"):
+                    i += 1
+                i += 1
+            elif c == "<":
+                i = _iri_end(body, i) + 1
+            elif c == "[":
+                found = i
+                break
+            else:
+                i += 1
+        if found < 0:
+            return body
+        j = _delim_end(body, found, "[", "]")
+        inner = body[found + 1 : j].strip()
+        var = f"?_bp{next(_BNODE_LIST_IDS)}"
+        if inner:
+            # the appended statements go through the same loop, so nested
+            # brackets inside `inner` expand on a later iteration
+            body = (
+                body[:found] + var + body[j + 1 :]
+                + f" . {var} {inner} . "
+            )
+        else:
+            body = body[:found] + var + body[j + 1 :]
+
+
 def _parse_patterns(
     body: str, allow_filters: bool = True
 ) -> tuple[list[_Pattern], list[_Filter], list[tuple[str, str]], list[_Block]]:
@@ -1270,6 +1317,8 @@ def _parse_patterns(
         kept.append(c)
         i += 1
     body = "".join(kept)
+    if "[" in body:
+        body = _expand_bnode_lists(body)
 
     # tokenize the whole body (a "." splits statements only OUTSIDE <iri>
     # and string tokens — the term alternatives consume those first; the

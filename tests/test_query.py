@@ -490,3 +490,39 @@ def test_dangling_comma_rejected(spark, graph):
         sparql_select(
             spark, graph, f"SELECT ?s WHERE {{ ?s <{EX}p> <urn:x> , , <urn:y> }}"
         )
+
+
+def test_blank_node_property_lists(spark, graph):
+    """Turtle-style [ ... ] in patterns = fresh non-distinguished vars."""
+    out = sparql_select(
+        spark,
+        graph,
+        f'SELECT ?s WHERE {{ ?s <{EX}knows> [ <{EX}knows> <urn:carol> ] }}',
+    )
+    assert sorted({r["s"] for r in out.collect()}) == [
+        "urn:alice", "urn:bob", "urn:carol",
+    ]
+    # subject position + predicate-object list inside the brackets
+    out = sparql_select(
+        spark,
+        graph,
+        f'SELECT ?n WHERE {{ [ a <{EX}Person> ; <{EX}name> ?n ] <{EX}age> ?a }}',
+    )
+    assert [r["n"] for r in out.collect()] == ["Alice"]
+    # anonymous [] matches any object
+    assert sparql_ask(spark, graph, f"ASK {{ <urn:d> a [] }}")
+
+
+def test_select_star_hides_internal_desugar_vars(spark, graph):
+    """`SELECT *` must not leak `_seq` path hops or `_bp` bnode-list
+    variables — SPARQL never projects pattern bnodes."""
+    out = sparql_select(
+        spark,
+        graph,
+        f"SELECT * WHERE {{ ?s <{EX}knows>/<{EX}knows> ?o }}",
+    )
+    assert sorted(out.columns) == ["o", "s"]
+    out = sparql_select(
+        spark, graph, f"SELECT * WHERE {{ ?s <{EX}knows> [ a <{EX}Person> ] }}"
+    )
+    assert out.columns == ["s"]
