@@ -19,7 +19,9 @@ ValueError, matching validate()'s strictness for the unsupported rest):
   * SELECT list: ``$this`` plus any subset of pattern variables; the first
     non-$this variable becomes sh:value in the report.
   * graph patterns: ``subj pred obj .`` where subj/obj are ``$this``, a
-    ``?var``, an ``<iri>``, or a quoted literal; pred is an ``<iri>``,
+    ``?var``, an ``<iri>``, a quoted literal, a ``[ … ]`` blank-node
+    property list, or an RDF collection ``( e1 e2 … )`` (desugared onto
+    the stored rdf:first/rdf:rest chain; ``()`` is rdf:nil); pred is an ``<iri>``,
     the keyword ``a`` (rdf:type), or a property path built from ``/``
     (sequence — desugared to fresh-variable chains), ``^`` (inverse —
     operand swap), ``|`` (alternative — desugared to UNION sub-blocks),
@@ -1218,6 +1220,15 @@ def _to_path_expr(ast: tuple):
 # — a shared name would incorrectly join across groups)
 _BNODE_LIST_IDS = itertools.count()
 
+# the rdf: vocabulary a collection desugars onto (RDF_TYPE is
+# .../22-rdf-syntax-ns#type; first/rest/nil share its namespace)
+_RDF_NS = RDF_TYPE[: RDF_TYPE.rindex("#") + 1]
+RDF_FIRST = _RDF_NS + "first"
+RDF_REST = _RDF_NS + "rest"
+RDF_NIL = _RDF_NS + "nil"
+
+_COLLECTION_IDS = itertools.count()  # same scope rule as _BNODE_LIST_IDS
+
 
 def _expand_bnode_lists(body: str) -> str:
     """Desugar Turtle-style blank-node property lists in a pattern body:
@@ -1258,6 +1269,118 @@ def _expand_bnode_lists(body: str) -> str:
             )
         else:
             body = body[:found] + var + body[j + 1 :]
+
+
+def _is_collection(inner: str) -> bool:
+    """Classify the content of one balanced paren group in a pattern
+    body: RDF collection (True) or property-path group (False) — the
+    only two legal meanings of parens once FILTER/BIND are extracted.
+    A group holding a variable, literal, or number can only be a
+    collection (paths are built from IRIs alone); a group holding a
+    path operator can only be a path; an operator-free group of IRIs
+    is a collection unless it has exactly one member — ``(<p>)`` keeps
+    its established path-group meaning (write the rdf:first/rdf:rest
+    chain explicitly for a one-IRI list, a vanishingly rare shape)."""
+    terms = 0
+    for t in _COLL_TOK_RE.findall(inner):
+        if t in ("(", ")"):
+            continue
+        if len(t) == 1 and t in "/|^*+!?;,.":
+            return False
+        if t.startswith(("?", "$", '"')) or t[0].isdigit():
+            return True
+        terms += 1  # <iri> or `a`
+    return terms != 1
+
+
+_COLL_TOK_RE = re.compile(_TERM_RE.pattern + r"|[.\/^|()*+?!;,]", re.X)
+_COLL_ITEM_RE = re.compile(r"\$this|\?[A-Za-z_]\w*|[0-9]+(?:\.[0-9]+)?")
+
+
+def _collection_items(inner: str) -> list[str]:
+    """Split a collection body into member term texts (string- and
+    IRI-aware; a nested ``( … )`` stays one item for the re-scan loop)."""
+    items: list[str] = []
+    i, n = 0, len(inner)
+    while i < n:
+        c = inner[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "(":
+            j = _delim_end(inner, i, "(", ")")
+        elif c == "<":
+            j = _iri_end(inner, i)
+        elif c == '"':
+            j = i + 1
+            while j < n and (inner[j] != '"' or inner[j - 1] == "\\"):
+                j += 1
+        else:
+            m = _COLL_ITEM_RE.match(inner, i)
+            if not m:
+                raise ValueError(
+                    f"unsupported collection member near {inner[i:i + 30]!r}"
+                )
+            items.append(m.group(0))
+            i = m.end()
+            continue
+        items.append(inner[i : j + 1])
+        i = j + 1
+    return items
+
+
+def _expand_collections(body: str) -> str:
+    """Desugar RDF collections ``( e1 e2 … )`` in subject/object position
+    into the rdf:first/rdf:rest chain the data actually stores (Turtle
+    collections are pure surface syntax for that chain —
+    sources/turtle.py emits it on read; this lets patterns match it
+    back): ``?s <p> ( ?a ?b )`` becomes ``?s <p> ?_cl0 . ?_cl0 rdf:first
+    ?a . ?_cl0 rdf:rest ?_cl1 . ?_cl1 rdf:first ?b . ?_cl1 rdf:rest
+    rdf:nil`` with fresh non-distinguished variables; ``()`` is the
+    constant rdf:nil. Path groups are skipped whole (see
+    _is_collection). Nested collections land in the appended statements
+    and expand on a later sweep of the outer while loop. Runs AFTER
+    _expand_bnode_lists, so no ``[`` survives outside strings/IRIs.
+    In a CONSTRUCT/UPDATE template the minted chain variables are
+    unbound and instantiation rejects them — collections are a WHERE-
+    pattern (and INSERT/DELETE WHERE-side) device here."""
+    while True:
+        i, n = 0, len(body)
+        target = -1
+        while i < n:
+            c = body[i]
+            if c == '"':
+                i += 1
+                while i < n and (body[i] != '"' or body[i - 1] == "\\"):
+                    i += 1
+                i += 1
+            elif c == "<":
+                i = _iri_end(body, i) + 1
+            elif c == "(":
+                j = _delim_end(body, i, "(", ")")
+                if _is_collection(body[i + 1 : j]):
+                    target = i
+                    break
+                i = j + 1  # path group: skip it whole
+            else:
+                i += 1
+        if target < 0:
+            return body
+        j = _delim_end(body, target, "(", ")")
+        items = _collection_items(body[target + 1 : j])
+        if not items:
+            body = body[:target] + f"<{RDF_NIL}>" + body[j + 1 :]
+            continue
+        nodes = [f"?_cl{next(_COLLECTION_IDS)}" for _ in items]
+        stmts = []
+        for k, (node, item) in enumerate(zip(nodes, items)):
+            nxt = nodes[k + 1] if k + 1 < len(nodes) else f"<{RDF_NIL}>"
+            stmts.append(f"{node} <{RDF_FIRST}> {item}")
+            stmts.append(f"{node} <{RDF_REST}> {nxt}")
+        body = (
+            body[:target] + nodes[0] + body[j + 1 :]
+            + " . " + " . ".join(stmts) + " . "
+        )
 
 
 def _parse_patterns(
@@ -1319,6 +1442,8 @@ def _parse_patterns(
     body = "".join(kept)
     if "[" in body:
         body = _expand_bnode_lists(body)
+    if "(" in body:
+        body = _expand_collections(body)
 
     # tokenize the whole body (a "." splits statements only OUTSIDE <iri>
     # and string tokens — the term alternatives consume those first; the
