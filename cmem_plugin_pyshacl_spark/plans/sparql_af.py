@@ -46,12 +46,15 @@ ValueError, matching validate()'s strictness for the unsupported rest):
     accessors TIMEZONE() (xsd:dayTimeDuration; type error when the
     dateTime carries no zone) / TZ() (simple literal, "" when absent) —
     both read the zone from the stored lexical form.
-  * BIND(expr AS ?var) over the same value-expression subset — evaluated
-    after the group's patterns/nested groups, before its FILTERs; a
-    NULL-evaluating expression leaves the variable unbound. The bound
-    variable is projectable (usable as sh:value).
+  * BIND(expr AS ?var) over the same value-expression subset — plus
+    boolean expressions (``BIND(?a > 5 AS ?flag)`` binds an xsd:boolean
+    literal) — evaluated after the group's patterns/nested groups,
+    before its FILTERs; a NULL-evaluating expression leaves the
+    variable unbound. The bound variable is projectable (usable as
+    sh:value).
   * aggregates: ``SELECT $this (COUNT(?v) AS ?n) … GROUP BY $this [?g …]
-    HAVING (expr)`` — COUNT (incl. DISTINCT and ``*``), SUM, AVG, MIN,
+    [(expr AS ?k) …] HAVING (expr)`` — expression keys desugar to an
+    injected BIND — COUNT (incl. DISTINCT and ``*``), SUM, AVG, MIN,
     MAX (numeric via try_cast; non-numeric values turn NULL and drop
     from the aggregate, SPARQL's error-dropping behavior). Grouping is
     by full RDF term; HAVING takes the full FILTER expression grammar
@@ -117,6 +120,7 @@ from __future__ import annotations
 
 import itertools
 import re
+import dataclasses
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1855,6 +1859,7 @@ def parse_select_query(select: str) -> _SelectQuery:
 
     # trailing GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET
     group_by: list[str] = []
+    group_binds: list[tuple[str, str]] = []  # GROUP BY (expr AS ?var)
     having: str | None = None
     order_by: list[tuple[str, bool]] = []
     limit: int | None = None
@@ -1866,10 +1871,30 @@ def parse_select_query(select: str) -> _SelectQuery:
             j = gm.end()
             while True:
                 t = re.match(r"\s*[$?]([A-Za-z_]\w*)", tail[j:])
-                if not t:
-                    break
-                group_by.append(t.group(1))
-                j += t.end()
+                if t:
+                    group_by.append(t.group(1))
+                    j += t.end()
+                    continue
+                # GROUP BY (expr AS ?var) — SPARQL §18.2.4.1 extends the
+                # solution with the expression binding; desugared to an
+                # injected BIND on the WHERE block + a plain var key
+                ws = j + re.match(r"\s*", tail[j:]).end()
+                if ws < len(tail) and tail[ws] == "(":
+                    k = _delim_end(tail, ws, "(", ")")
+                    inner = tail[ws + 1 : k].strip()
+                    am = _BIND_AS_RE.search(inner)
+                    if not am:
+                        raise ValueError(
+                            "a GROUP BY expression must be named: "
+                            "GROUP BY (expr AS ?var)"
+                        )
+                    group_binds.append(
+                        (am.group(1), inner[: am.start()].strip())
+                    )
+                    group_by.append(am.group(1))
+                    j = k + 1
+                    continue
+                break
             if not group_by:
                 raise ValueError("GROUP BY lists no variables")
             tail = tail[j:].strip()
@@ -1942,6 +1967,17 @@ def parse_select_query(select: str) -> _SelectQuery:
     if star and (aggs or group_by or having):
         raise ValueError("SELECT * cannot combine with GROUP BY/aggregates")
     block = _parse_group(m.group("body"))
+    if group_binds:
+        if block.alternatives:
+            # an alternation block carries nothing but branches (parser
+            # invariant) — wrap it so the binds evaluate over the union
+            block = _Block(
+                (), (), (), (), (), (), (block,), tuple(group_binds)
+            )
+        else:
+            block = dataclasses.replace(
+                block, binds=block.binds + tuple(group_binds)
+            )
     if (
         not block.patterns
         and not block.optionals
@@ -2154,11 +2190,28 @@ class _FilterParser:
 
     def parse_value(self) -> "_Val":
         """Entry point for BIND(expr AS ?var): one term-valued expression
-        consuming the whole input."""
-        v = self._additive()
+        consuming the whole input. A boolean expression (comparison /
+        &&-||-! combination — ``BIND(?a > 5 AS ?flag)``) binds an
+        xsd:boolean literal; a type-erroring comparison (NULL) leaves
+        the variable unbound, per SPARQL effective-boolean semantics."""
+        save = self.i
+        try:
+            v = self._additive()
+            if self.i == len(self.toks):
+                return v
+        except ValueError:
+            pass
+        self.i = save
+        cond = self._or()
         if self.i != len(self.toks):
             raise ValueError(f"unsupported BIND expression {self.raw!r}")
-        return v
+        null_s = F.lit(None).cast("string")
+        return _Val(
+            F.when(cond, F.lit("true")).when(~cond, F.lit("false")),
+            F.lit(KIND_LITERAL),
+            F.lit(XSD + "boolean"),
+            null_s,
+        )
 
     def _or(self) -> Column:
         e = self._and()

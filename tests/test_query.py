@@ -174,6 +174,69 @@ def test_select_offset_pagination(spark, graph):
         )
 
 
+def test_group_by_expression(spark, graph):
+    out = sparql_select(
+        spark,
+        graph,
+        f"""SELECT ?band (COUNT(?p) AS ?n) WHERE {{ ?p <{EX}age> ?a }}
+            GROUP BY (IF(?a >= 18, "adult", "minor") AS ?band)""",
+    )
+    rows = sorted((r["band"], r["n"]) for r in out.collect())
+    assert rows == [("adult", "1"), ("minor", "1")]
+
+
+def test_group_by_expression_mixed_with_var(spark, graph):
+    # expression key alongside a plain var key
+    out = sparql_select(
+        spark,
+        graph,
+        f"""SELECT ?p ?tall (COUNT(?o) AS ?n)
+            WHERE {{ ?p a <{EX}Person> . ?p <{EX}knows> ?o }}
+            GROUP BY ?p (STRLEN(STR(?p)) > 7 AS ?tall)""",
+    )
+    rows = sorted((r["p"], r["tall"], r["n"]) for r in out.collect())
+    assert rows == [
+        ("urn:alice", "true", "1"),
+        ("urn:bob", "false", "1"),
+        ("urn:carol", "true", "1"),
+    ]
+
+
+def test_group_by_expression_over_union(spark, graph):
+    # a pure-UNION body gets wrapped so the key bind sees the union
+    out = sparql_select(
+        spark,
+        graph,
+        f"""SELECT ?k (COUNT(*) AS ?n) WHERE {{
+            {{ ?s a <{EX}Person> }} UNION {{ ?s a <{EX}Robot> }}
+        }} GROUP BY (SUBSTR(STR(?s), 1, 4) AS ?k)""",
+    )
+    assert [(r["k"], r["n"]) for r in out.collect()] == [("urn:", "4")]
+
+
+def test_bind_boolean_expression(spark, graph):
+    out = sparql_select(
+        spark,
+        graph,
+        f"""SELECT ?p ?adult WHERE {{
+            ?p <{EX}age> ?a . BIND(?a >= 18 AS ?adult)
+        }}""",
+    )
+    assert {(r["p"], r["adult"]) for r in out.collect()} == {
+        ("urn:alice", "false"),
+        ("urn:bob", "true"),
+    }
+
+
+def test_group_by_expression_must_be_named(spark, graph):
+    with pytest.raises(ValueError, match="must be named"):
+        sparql_select(
+            spark,
+            graph,
+            f"SELECT ?s WHERE {{ ?s <{EX}age> ?a }} GROUP BY (STR(?a))",
+        )
+
+
 def test_select_star_group_by_rejected(spark, graph):
     with pytest.raises(ValueError, match="SELECT \\*"):
         sparql_select(
