@@ -49,6 +49,7 @@ from .sparql_af import (
     _apply_block,
     _apply_order_limit,
     _delim_end,
+    _iri_end,
     _parse_group,
     _parse_patterns,
     expand_prefixes,
@@ -101,10 +102,16 @@ def _extract_dataset(text: str) -> tuple[str, list[str], list[str]]:
             out.append(text[i:j])
             i = j
         elif c == "<":
-            j = text.find(">", i)
-            j = n if j < 0 else j + 1
-            out.append(text[i:j])
-            i = j
+            # _iri_end distinguishes an IRI token from the bare '<'
+            # comparison operator (FILTER(?x < 18)) — the latter must
+            # not swallow text up to some later '>'
+            j = _iri_end(text, i)
+            if j > i:
+                out.append(text[i : j + 1])
+                i = j + 1
+            else:
+                out.append(c)
+                i += 1
         else:
             m = None
             if depth == 0 and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
@@ -118,6 +125,32 @@ def _extract_dataset(text: str) -> tuple[str, list[str], list[str]]:
                 out.append(c)
                 i += 1
     return "".join(out), default_graphs, named_graphs
+
+
+def _mentions_graph(text: str) -> bool:
+    """True when the GRAPH keyword appears outside string literals and
+    IRIs. A plain ``\\bGRAPH\\b`` search false-positives on IRIs like
+    ``<http://ex/GRAPH/p>`` and on literals containing the word, which
+    would wrongly keep FROM-NAMED rows visible to plain patterns."""
+    stripped: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in "\"'":
+            stripped.append(" ")
+            i = _skip_string(text, i)
+        elif c == "<":
+            j = _iri_end(text, i)
+            if j > i:
+                stripped.append(" ")
+                i = j + 1
+            else:
+                stripped.append(c)
+                i += 1
+        else:
+            stripped.append(c)
+            i += 1
+    return re.search(r"\bGRAPH\b", "".join(stripped), re.I) is not None
 
 
 def _dataset(
@@ -157,7 +190,7 @@ def _dataset(
                 "graph", F.lit(None).cast("string")
             )
         )
-    if named_graphs and re.search(r"\bGRAPH\b", text, re.I):
+    if named_graphs and _mentions_graph(text):
         parts.append(data.filter(F.col("graph").isin(named_graphs)))
     if not parts:
         # FROM NAMED only, and the query never says GRAPH: the default
@@ -474,19 +507,35 @@ def _check_template_patterns(patterns: list, what: str, ground: bool) -> None:
                 raise ValueError(
                     f"property paths are not allowed in a {what} template"
                 )
+            if term.kind == "var" and term.value.startswith(("_bp", "_cl")):
+                # the desugar mints fresh vars per parse, so a template
+                # bracket/paren could never match the WHERE side's chain —
+                # reject up front instead of leaking ?_bpN/?_clN in an
+                # 'unbound template variable' error later
+                raise ValueError(
+                    "blank-node property lists / RDF collections are not "
+                    f"allowed in a {what} template — write the explicit "
+                    "triples (rdf:first/rdf:rest for collections)"
+                )
             if ground and term.kind in ("var", "this"):
                 raise ValueError(f"{what} requires ground triples")
         if ground and not isinstance(t.pred, str):
             raise ValueError(f"{what} requires ground triples")
 
 
-def _parse_quads(body: str, what: str, ground: bool) -> list[tuple]:
+def _parse_quads(
+    body: str, what: str, ground: bool, blk: "_Block | None" = None
+) -> list[tuple]:
     """Parse a template/DATA block into quad groups:
     ``[(graph-IRI-or-None, [patterns])]``. Triples outside any GRAPH
     block land in the None group; ``GRAPH <g> { … }`` groups carry their
     IRI. Anything beyond plain triple patterns (FILTER/OPTIONAL/…,
-    variable graph names, nested GRAPH) is rejected."""
-    blk = _parse_group(body)
+    variable graph names, nested GRAPH) is rejected. Pass ``blk`` when
+    the caller already parsed the body (DELETE WHERE, where pattern and
+    template are the same block) — re-parsing would mint DIFFERENT fresh
+    ``_bp``/``_cl`` desugar variables on each pass."""
+    if blk is None:
+        blk = _parse_group(body)
     if (
         blk.filters or blk.binds or blk.optionals or blk.exists
         or blk.minuses or blk.alternatives or blk.subselects
@@ -537,8 +586,9 @@ def _split_ops(text: str) -> list[str]:
         elif c in "\"'":
             i = _skip_string(text, i)
         elif c == "<":
-            j = text.find(">", i)
-            i = n if j < 0 else j + 1
+            # see _extract_dataset: a bare '<' is a FILTER comparison
+            j = _iri_end(text, i)
+            i = j + 1 if j > i else i + 1
         elif c == ";" and depth == 0:
             ops.append(text[start:i])
             i += 1
@@ -690,6 +740,14 @@ def _apply_update_op(
                 # INTO GRAPH overrides any per-statement graph the
                 # format carried (N-Quads/TriG)
                 new = new.withColumn("graph", F.lit(into))
+            if m.group("silent"):
+                # the distributed text readers (nt/nq/ndjson) surface
+                # content errors lazily at the caller's first action —
+                # after this try/except has returned. SILENT promises to
+                # swallow them, so force evaluation here (one eager read,
+                # materialized executor-side; later ops reuse it instead
+                # of re-reading the file).
+                new = new.localCheckpoint(eager=True)
             return _with_new(data, new)
         except Exception:
             if m.group("silent"):
@@ -715,7 +773,11 @@ def _apply_update_op(
             rows = frames[0]
             for f in frames[1:]:
                 rows = rows.unionByName(f)
-            return _with_new(data, rows)
+            # cross-group dedup: _with_new anti-joins against the BASE
+            # only, so the same quad written in two GRAPH groups (or an
+            # un-graphed group resolving to the same target) would enter
+            # the store twice without this
+            return _with_new(data, dedupe_triples(rows))
         for g, pats in quads:
             rows = _instantiate(_seed(spark), set(), pats, None, "DELETE DATA")
             data = _without(data, rows, g if g is not None else graph)
@@ -740,7 +802,7 @@ def _apply_update_op(
         # desugars into chained `_seqN` patterns whose deletion would
         # destructively remove intermediate-hop triples the user never
         # templated (SPARQL 1.1 forbids paths here entirely)
-        quads = _parse_quads(body, "DELETE WHERE", ground=False)
+        quads = _parse_quads(body, "DELETE WHERE", ground=False, blk=blk)
         bound_vars: set[str] = set()
         bound = _apply_block(
             data, _seed(spark), bound_vars, blk, "ud", has_this=False
@@ -798,8 +860,18 @@ def _apply_update_op(
     if using or using_named:
         wdata = _dataset(data, body, using, using_named)
     elif with_graph is not None:
-        # §3.1.3: WITH scopes the matching to its graph (USING overrides)
-        wdata = data.filter(F.col("graph") == with_graph)
+        # §3.1.3: WITH sets the DEFAULT graph for matching (USING
+        # overrides); the store's named graphs stay visible to explicit
+        # GRAPH blocks. When the WHERE never says GRAPH the dataset
+        # reduces to exactly g's rows (spec-exact). When it does, we
+        # keep the whole store visible — the engine's documented
+        # union-default-graph model (plain patterns also see named
+        # rows) — rather than duplicating g's rows into both the
+        # default and named roles, which would inflate solution
+        # multiplicity for plain patterns.
+        wdata = data if _mentions_graph(body) else data.filter(
+            F.col("graph") == with_graph
+        )
     else:
         wdata = data
     block = _parse_group(body)
@@ -824,7 +896,8 @@ def _apply_update_op(
         ins = frames[0]
         for f in frames[1:]:
             ins = ins.unionByName(f)
-        out = _with_new(out, ins)
+        # cross-group dedup (see the INSERT DATA branch)
+        out = _with_new(out, dedupe_triples(ins))
     return out
 
 

@@ -320,6 +320,25 @@ def _iri_end(body: str, k: int) -> int:
     return k
 
 
+def _skip_str(body: str, i: int) -> int:
+    """body[i] is a quote. Return the index just PAST the closing quote,
+    honoring backslash escapes by consuming them pairwise — the naive
+    ``body[k-1] == '\\\\'`` check misreads the real closing quote after
+    an escaped backslash (``"x\\\\"``) as escaped and overshoots."""
+    q = body[i]
+    j = i + 1
+    n = len(body)
+    while j < n:
+        c = body[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == q:
+            return j + 1
+        j += 1
+    return n
+
+
 def _delim_end(body: str, j: int, open_c: str, close_c: str) -> int:
     """body[j] == open_c. Return the index of the matching close_c
     (string- and IRI-aware), raising on imbalance."""
@@ -327,9 +346,7 @@ def _delim_end(body: str, j: int, open_c: str, close_c: str) -> int:
     while k < n:
         ch = body[k]
         if ch == '"':
-            k += 1
-            while k < n and (body[k] != '"' or body[k - 1] == "\\"):
-                k += 1
+            k = _skip_str(body, k) - 1
         elif ch == "<":
             k = _iri_end(body, k)
         elif ch == open_c:
@@ -358,11 +375,9 @@ def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
     while i < n:
         c = body[i]
         if c == '"':
-            j = i + 1
-            while j < n and (body[j] != '"' or body[j - 1] == "\\"):
-                j += 1
-            kept.append(body[i : j + 1])
-            i = j + 1
+            j = _skip_str(body, i)
+            kept.append(body[i:j])
+            i = j
             continue
         if c == "<":
             j = _iri_end(body, i)
@@ -1164,6 +1179,26 @@ _TERM_RE = re.compile(
 )
 
 
+def _unescape_string(lex: str) -> str:
+    """Resolve SPARQL string-literal escapes (§19.7 ECHAR + UCODE):
+    ``\\\\`` FIRST into a sentinel so the pairs are never re-read by the
+    later passes (same order rationale as data_model.from_ntriples)."""
+    sent = "\x00"  # control chars cannot appear unescaped in the source
+    s = lex.replace("\\\\", sent)
+    s = (
+        s.replace("\\n", "\n")
+        .replace("\\r", "\r")
+        .replace("\\t", "\t")
+        .replace("\\b", "\b")
+        .replace("\\f", "\f")
+        .replace('\\"', '"')
+        .replace("\\'", "'")
+    )
+    s = re.sub(r"\\u([0-9A-Fa-f]{4})", lambda m: chr(int(m.group(1), 16)), s)
+    s = re.sub(r"\\U([0-9A-Fa-f]{8})", lambda m: chr(int(m.group(1), 16)), s)
+    return s.replace(sent, "\\")
+
+
 def _parse_term(tok: str) -> _Term:
     if tok == "$this":
         return _Term("this", "this")
@@ -1172,7 +1207,7 @@ def _parse_term(tok: str) -> _Term:
     if tok.startswith("<"):
         return _Term("iri", tok[1:-1])
     if tok.startswith('"'):
-        return _Term("lit", tok[1:-1].replace('\\"', '"'), dt=XSD + "string")
+        return _Term("lit", _unescape_string(tok[1:-1]), dt=XSD + "string")
     # bare number
     return _Term("lit", tok, dt=XSD + ("decimal" if "." in tok else "integer"))
 
@@ -1222,7 +1257,27 @@ def _to_path_expr(ast: tuple):
 # process-global so two groups of one query can never mint the same
 # bnode-list variable (a bnode label's scope is its basic graph pattern
 # — a shared name would incorrectly join across groups)
-_BNODE_LIST_IDS = itertools.count()
+class _FreshIds:
+    """Process-global fresh-variable counter that can be advanced past
+    any ids ALREADY PRESENT in a body — a user is free to write ``?_bp0``
+    (legal SPARQL), and a colliding mint would silently join their
+    pattern with a desugared bracket's chain."""
+
+    def __init__(self, prefix: str) -> None:
+        self.n = 0
+        self._re = re.compile(r"[?$]" + prefix + r"(\d+)\b")
+
+    def reserve(self, body: str) -> None:
+        for m in self._re.finditer(body):
+            self.n = max(self.n, int(m.group(1)) + 1)
+
+    def next(self) -> int:
+        v = self.n
+        self.n += 1
+        return v
+
+
+_BNODE_LIST_IDS = _FreshIds("_bp")
 
 # the rdf: vocabulary a collection desugars onto (RDF_TYPE is
 # .../22-rdf-syntax-ns#type; first/rest/nil share its namespace)
@@ -1231,7 +1286,7 @@ RDF_FIRST = _RDF_NS + "first"
 RDF_REST = _RDF_NS + "rest"
 RDF_NIL = _RDF_NS + "nil"
 
-_COLLECTION_IDS = itertools.count()  # same scope rule as _BNODE_LIST_IDS
+_COLLECTION_IDS = _FreshIds("_cl")  # same scope rule as _BNODE_LIST_IDS
 
 
 def _expand_bnode_lists(body: str) -> str:
@@ -1242,16 +1297,14 @@ def _expand_bnode_lists(body: str) -> str:
     projected). ``[]`` is the anonymous node — just the fresh variable.
     Nested lists expand recursively; brackets inside strings/IRIs are
     untouched."""
+    _BNODE_LIST_IDS.reserve(body)
     while True:
         i, n = 0, len(body)
         found = -1
         while i < n:
             c = body[i]
             if c == '"' or c == "'":
-                i += 1
-                while i < n and (body[i] != c or body[i - 1] == "\\"):
-                    i += 1
-                i += 1
+                i = _skip_str(body, i)
             elif c == "<":
                 i = _iri_end(body, i) + 1
             elif c == "[":
@@ -1263,7 +1316,7 @@ def _expand_bnode_lists(body: str) -> str:
             return body
         j = _delim_end(body, found, "[", "]")
         inner = body[found + 1 : j].strip()
-        var = f"?_bp{next(_BNODE_LIST_IDS)}"
+        var = f"?_bp{_BNODE_LIST_IDS.next()}"
         if inner:
             # the appended statements go through the same loop, so nested
             # brackets inside `inner` expand on a later iteration
@@ -1316,9 +1369,7 @@ def _collection_items(inner: str) -> list[str]:
         elif c == "<":
             j = _iri_end(inner, i)
         elif c == '"':
-            j = i + 1
-            while j < n and (inner[j] != '"' or inner[j - 1] == "\\"):
-                j += 1
+            j = _skip_str(inner, i) - 1
         else:
             m = _COLL_ITEM_RE.match(inner, i)
             if not m:
@@ -1348,16 +1399,14 @@ def _expand_collections(body: str) -> str:
     In a CONSTRUCT/UPDATE template the minted chain variables are
     unbound and instantiation rejects them — collections are a WHERE-
     pattern (and INSERT/DELETE WHERE-side) device here."""
+    _COLLECTION_IDS.reserve(body)
     while True:
         i, n = 0, len(body)
         target = -1
         while i < n:
             c = body[i]
             if c == '"':
-                i += 1
-                while i < n and (body[i] != '"' or body[i - 1] == "\\"):
-                    i += 1
-                i += 1
+                i = _skip_str(body, i)
             elif c == "<":
                 i = _iri_end(body, i) + 1
             elif c == "(":
@@ -1375,7 +1424,7 @@ def _expand_collections(body: str) -> str:
         if not items:
             body = body[:target] + f"<{RDF_NIL}>" + body[j + 1 :]
             continue
-        nodes = [f"?_cl{next(_COLLECTION_IDS)}" for _ in items]
+        nodes = [f"?_cl{_COLLECTION_IDS.next()}" for _ in items]
         stmts = []
         for k, (node, item) in enumerate(zip(nodes, items)):
             nxt = nodes[k + 1] if k + 1 < len(nodes) else f"<{RDF_NIL}>"
@@ -1403,11 +1452,9 @@ def _parse_patterns(
     while i < n:
         c = body[i]
         if c == '"':
-            j = i + 1
-            while j < n and (body[j] != '"' or body[j - 1] == "\\"):
-                j += 1
-            kept.append(body[i : j + 1])
-            i = j + 1
+            j = _skip_str(body, i)
+            kept.append(body[i:j])
+            i = j
             continue
         if c == "<":
             j = _iri_end(body, i)
@@ -1799,7 +1846,7 @@ def _mk_agg(mm: re.Match, alias: str) -> _Agg:
     arg = mm.group("arg")
     sep = mm.groupdict().get("sep")
     if sep is not None:
-        sep = sep.replace('\\"', '"').replace("\\\\", "\\")
+        sep = _unescape_string(sep)
     fn = mm.group("fn").lower()
     if sep is not None and fn != "group_concat":
         raise ValueError("SEPARATOR is only valid inside GROUP_CONCAT")
@@ -2350,7 +2397,7 @@ class _FilterParser:
             return self._var_val(text)
         if kind == "str":
             return _Val(
-                F.lit(text[1:-1].replace('\\"', '"')),
+                F.lit(_unescape_string(text[1:-1])),
                 F.lit(KIND_LITERAL),
                 F.lit(XSD_STRING),
                 F.lit(None).cast("string"),
@@ -2702,7 +2749,10 @@ class _FilterParser:
             pk, pt = self._take()
             if pk != "str":
                 raise ValueError("regex() pattern must be a string literal")
-            pat = pt[1:-1].replace('\\"', '"')
+            # SPARQL §17.4.3.14: the pattern argument is a string
+            # literal — string-unescape FIRST (so source "\\d" reaches
+            # the regex engine as \d), then hand to the regex engine
+            pat = _unescape_string(pt[1:-1])
             if self._accept(","):
                 fk, ft = self._take()
                 if fk != "str":
@@ -3086,6 +3136,23 @@ def _sub_block_keys(
         for t in (p.subj, p.obj)
         if t.kind == "var"
     } | _visible_subselect_proj(sub)
+    # variables the group can bind WITHOUT a pattern occurrence — BIND
+    # targets, VALUES variables, GRAPH ?g names. The seeded-rejoin
+    # evaluation can't pre-bind these (BIND to an in-scope var is a
+    # SPARQL error inside the group), and leaving them out of the key
+    # set would emit duplicate <v>__* columns into the outer frame —
+    # reject with a clear error instead of an AMBIGUOUS_REFERENCE crash
+    # (or, in the disjoint branch, a silently-wrong cross join).
+    extra = _bindable_extra_vars(sub) - sub_vars
+    clash = sorted(extra & bound_vars)
+    if clash:
+        raise ValueError(
+            "nested group binds "
+            + ", ".join(f"?{v}" for v in clash)
+            + " via BIND/VALUES/GRAPH while the outer pattern also binds "
+            "it — rename the inner variable (this engine joins nested "
+            "groups on pattern-shared variables only)"
+        )
     keys = (["this"] if has_this else []) + sorted(
         f"{v}__value" for v in sub_vars & bound_vars
     )
@@ -3095,6 +3162,30 @@ def _sub_block_keys(
             "a variable with the outer pattern"
         )
     return keys
+
+
+def _bindable_extra_vars(blk: _Block) -> set[str]:
+    """Variables a block tree can bind other than through a triple
+    pattern: BIND targets, VALUES variables, and GRAPH ?g names —
+    recursing the same scopes as ``all_patterns`` (subquery bodies
+    excluded; their projection is handled by _visible_subselect_proj)."""
+    out = {v for v, _expr in blk.binds}
+    for vc in blk.values_clauses:
+        out |= set(vc.vars)
+    for gterm, _b in blk.graphs:
+        if gterm.kind == "var":
+            out.add(gterm.value)
+    subs = (
+        list(blk.optionals)
+        + [b for _neg, b in blk.exists]
+        + list(blk.alternatives)
+        + list(blk.minuses)
+        + list(blk.groups)
+        + [b for _g, b in blk.graphs]
+    )
+    for b in subs:
+        out |= _bindable_extra_vars(b)
+    return out
 
 
 def _optional_join(
