@@ -478,9 +478,7 @@ def _extract_groups(body: str) -> tuple[str, list[tuple[str, str]]]:
             while k < n:
                 ch = body[k]
                 if ch == '"':
-                    k += 1
-                    while k < n and (body[k] != '"' or body[k - 1] == "\\"):
-                        k += 1
+                    k = _skip_str(body, k) - 1
                 elif ch == "<":
                     k = _iri_end(body, k)
                 elif ch == "{":
@@ -519,9 +517,7 @@ def _split_alternation(body: str) -> list[str] | None:
             while k < n:
                 ch = body[k]
                 if ch == '"':
-                    k += 1
-                    while k < n and (body[k] != '"' or body[k - 1] == "\\"):
-                        k += 1
+                    k = _skip_str(body, k) - 1
                 elif ch == "<":
                     k = _iri_end(body, k)
                 elif ch == "{":

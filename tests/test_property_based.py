@@ -390,3 +390,83 @@ def test_sparql_select_matches_python_reference(spark, case):
                     continue
             expected.add((s1, o1[1], o2[1]))
     assert got == expected
+
+
+# --------------------------- SPARQL syntax-invariance differentials (r4)
+
+
+def _sparql_escape(s: str) -> str:
+    """Render a Python string as a SPARQL double-quoted literal body."""
+    out = s.replace("\\", "\\\\").replace('"', '\\"')
+    return out.replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+
+@st.composite
+def _abbrev_case(draw):
+    """One subject with 2-3 predicates, some multi-valued — rendered both
+    as expanded triples and with Turtle ;/, abbreviations."""
+    n_preds = draw(st.integers(min_value=2, max_value=3))
+    po = []
+    for i in range(n_preds):
+        n_objs = draw(st.integers(min_value=1, max_value=2))
+        po.append((f"p{i}", [draw(st.sampled_from(["urn:a", "urn:b", "urn:c"]))
+                             for _ in range(n_objs)]))
+    return po
+
+
+@given(_abbrev_case())
+@settings(max_examples=6, deadline=None)
+def test_abbreviated_pattern_equals_expanded(spark, case):
+    """`?s p1 o1 ; p2 o2a , o2b .` must bind exactly like the expanded
+    triple list — the desugar is syntax only."""
+    from cmem_plugin_pyshacl_spark.plans.query import sparql_select
+
+    rows = []
+    for i, (p, objs) in enumerate(case):
+        for o in objs:
+            rows.append(("urn:s0", EX + p, iri(o)))
+    # an extra subject that matches only the first predicate
+    rows.append(("urn:s1", EX + case[0][0], iri(case[0][1][0])))
+    data = triples_from_rows(spark, rows)
+
+    expanded = " . ".join(
+        f"?s <{EX}{p}> <{o}>" for p, objs in case for o in objs
+    )
+    abbrev = " ; ".join(
+        f"<{EX}{p}> " + " , ".join(f"<{o}>" for o in objs)
+        for p, objs in case
+    )
+    q1 = f"SELECT ?s WHERE {{ {expanded} . }}"
+    q2 = f"SELECT ?s WHERE {{ ?s {abbrev} . }}"
+    r1 = sorted(r["s"] for r in sparql_select(spark, data, q1).collect())
+    r2 = sorted(r["s"] for r in sparql_select(spark, data, q2).collect())
+    assert r1 == r2
+
+
+_tricky = st.text(
+    st.characters(codec="utf-8", exclude_characters="\x00",
+                  min_codepoint=9),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(_tricky)
+@settings(max_examples=25, deadline=None)
+def test_filter_string_escape_roundtrip(spark, s):
+    """A literal containing arbitrary quotes/backslashes/control chars is
+    findable via FILTER(?o = "<escaped>") — parser unescape must invert
+    the writer escape exactly."""
+    from cmem_plugin_pyshacl_spark.plans.query import sparql_select
+
+    data = triples_from_rows(
+        spark,
+        [("urn:x", EX + "p", (s, "literal", None, None)),
+         ("urn:y", EX + "p", (s + "!", "literal", None, None))],
+    )
+    q = (
+        f'SELECT ?s WHERE {{ ?s <{EX}p> ?o . '
+        f'FILTER(?o = "{_sparql_escape(s)}") }}'
+    )
+    got = [r["s"] for r in sparql_select(spark, data, q).collect()]
+    assert got == ["urn:x"]

@@ -255,3 +255,21 @@ def test_load_not_silent_still_raises(spark, store, tmp_path):
         sparql_update(
             spark, store, f"LOAD <file://{bad}>"
         ).collect()
+
+
+# ----------------------------------- group collectors & escaped backslash
+
+
+def test_extract_groups_escaped_backslash_in_group():
+    from cmem_plugin_pyshacl_spark.plans.sparql_af import (
+        _extract_groups,
+        _split_alternation,
+    )
+
+    kept, groups = _extract_groups(
+        '?s <urn:p> ?o . OPTIONAL { ?s <urn:q> "x\\\\" }'
+    )
+    assert groups and groups[0][0] == "OPTIONAL"
+    assert '"x\\\\"' in groups[0][1]
+    parts = _split_alternation('{ ?s <urn:p> "a\\\\" } UNION { ?s <urn:q> ?o }')
+    assert parts is not None and len(parts) == 2
