@@ -470,3 +470,91 @@ def test_filter_string_escape_roundtrip(spark, s):
     )
     got = [r["s"] for r in sparql_select(spark, data, q).collect()]
     assert got == ["urn:x"]
+
+
+# ------------------------------------- SPARQL UPDATE sequence differential
+
+
+@st.composite
+def _update_case(draw):
+    """A random default-graph store plus a random ;-sequence of update
+    operations, mirrored by a pure-Python set reference."""
+    subs = ["urn:s0", "urn:s1", "urn:s2"]
+    objs = [("iri", "urn:o0"), ("iri", "urn:o1"),
+            ("lit", "v0"), ("lit", "v1")]
+    triple = st.tuples(
+        st.sampled_from(subs), st.sampled_from(["p0", "p1"]),
+        st.sampled_from(objs),
+    )
+    init = draw(st.sets(triple, min_size=1, max_size=8))
+    ops = []
+    for _ in range(draw(st.integers(min_value=1, max_value=3))):
+        kind = draw(st.sampled_from(
+            ["ins_data", "del_data", "del_where", "add", "rename"]
+        ))
+        if kind in ("ins_data", "del_data"):
+            ops.append((kind, draw(st.sets(triple, min_size=1, max_size=2))))
+        else:
+            ops.append((kind, None))
+    return sorted(init), ops
+
+
+def _term_sparql(o):
+    kind, v = o
+    return f"<{v}>" if kind == "iri" else f'"{v}"'
+
+
+@given(_update_case())
+@settings(max_examples=6, deadline=None)
+def test_update_sequence_matches_python_reference(spark, case):
+    """sparql_update over a ;-sequence of INSERT DATA / DELETE DATA /
+    DELETE WHERE / INSERT-WHERE / simultaneous-rename ops agrees with a
+    Python set evaluator (default graph only; spec §3 sequencing, the
+    rename op pins simultaneous delete-then-insert semantics)."""
+    from cmem_plugin_pyshacl_spark.plans.query import sparql_update
+
+    init, ops = case
+    rows = [
+        (s, EX + p, iri(v) if k == "iri" else (v, "literal", None, None))
+        for (s, p, (k, v)) in init
+    ]
+    data = triples_from_rows(spark, rows)
+
+    ref = {(s, p, o) for (s, p, o) in init}
+    rendered = []
+    for kind, arg in ops:
+        if kind == "ins_data":
+            body = " . ".join(
+                f"<{s}> <{EX}{p}> {_term_sparql(o)}" for s, p, o in sorted(arg)
+            )
+            rendered.append(f"INSERT DATA {{ {body} }}")
+            ref |= set(arg)
+        elif kind == "del_data":
+            body = " . ".join(
+                f"<{s}> <{EX}{p}> {_term_sparql(o)}" for s, p, o in sorted(arg)
+            )
+            rendered.append(f"DELETE DATA {{ {body} }}")
+            ref -= set(arg)
+        elif kind == "del_where":
+            rendered.append(f"DELETE WHERE {{ ?s <{EX}p0> ?o }}")
+            ref = {(s, p, o) for (s, p, o) in ref if p != "p0"}
+        elif kind == "add":
+            rendered.append(
+                f"INSERT {{ ?s <{EX}p2> ?o }} WHERE {{ ?s <{EX}p0> ?o }}"
+            )
+            ref |= {(s, "p2", o) for (s, p, o) in ref if p == "p0"}
+        else:  # rename: simultaneous delete+insert from ONE binding set
+            rendered.append(
+                f"DELETE {{ ?s <{EX}p0> ?o }} INSERT {{ ?s <{EX}p1> ?o }} "
+                f"WHERE {{ ?s <{EX}p0> ?o }}"
+            )
+            moved = {(s, "p1", o) for (s, p, o) in ref if p == "p0"}
+            ref = {t for t in ref if t[1] != "p0"} | moved
+
+    out = sparql_update(spark, data, " ; ".join(rendered))
+    got = {
+        (r.s, r.p.removeprefix(EX),
+         ("iri", r.o_value) if r.o_kind == "iri" else ("lit", r.o_value))
+        for r in out.collect()
+    }
+    assert got == ref
