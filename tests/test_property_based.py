@@ -558,3 +558,138 @@ def test_update_sequence_matches_python_reference(spark, case):
         for r in out.collect()
     }
     assert got == ref
+
+
+# ----------------------------- SPARQL algebra differentials (r4, fuzz)
+
+
+@st.composite
+def _algebra_graph(draw):
+    """Random triples over a tiny universe: iri objects are other
+    subjects (so chains exist); literal objects are small ints."""
+    subs = [f"urn:s{i}" for i in range(4)]
+    n = draw(st.integers(min_value=4, max_value=14))
+    triples = set()
+    for _ in range(n):
+        s = draw(st.sampled_from(subs))
+        p = draw(st.sampled_from(["p0", "p1"]))
+        if draw(st.booleans()):
+            o = ("iri", draw(st.sampled_from(subs)))
+        else:
+            o = ("lit", str(draw(st.integers(min_value=0, max_value=4))))
+        triples.add((s, p, o))
+    return sorted(triples)
+
+
+def _algebra_frame(spark, triples):
+    return triples_from_rows(
+        spark,
+        [
+            (s, EX + p, iri(o[1]) if o[0] == "iri" else lit_typed(o[1], XSD_INTEGER))
+            for (s, p, o) in triples
+        ],
+    )
+
+
+@given(_algebra_graph(), st.integers(min_value=0, max_value=4))
+@settings(max_examples=6, deadline=None)
+def test_optional_with_inner_filter_matches_reference(spark, triples, k):
+    """OPTIONAL { pattern FILTER } — the filter is part of the optional
+    group (a non-matching filter leaves the var unbound, it does NOT
+    drop the outer row)."""
+    from cmem_plugin_pyshacl_spark.plans.query import sparql_select
+
+    data = _algebra_frame(spark, triples)
+    q = (
+        f"SELECT ?x ?y ?z WHERE {{ ?x <{EX}p0> ?y . "
+        f"OPTIONAL {{ ?y <{EX}p1> ?z . FILTER(?z > {k}) }} }}"
+    )
+    got = {
+        (r["x"], r["y"], r["z"])
+        for r in sparql_select(spark, data, q).collect()
+    }
+    expected = set()
+    for s1, p1, o1 in triples:
+        if p1 != "p0":
+            continue
+        exts = []
+        for s2, p2, o2 in triples:
+            if p2 != "p1" or s2 != o1[1]:
+                continue
+            try:
+                keep = float(o2[1]) > k
+            except ValueError:
+                keep = o2[1] > str(k)
+            if keep:
+                exts.append(o2[1])
+        if exts:
+            expected |= {(s1, o1[1], z) for z in exts}
+        else:
+            expected.add((s1, o1[1], None))
+    assert got == expected
+
+
+@given(_algebra_graph())
+@settings(max_examples=6, deadline=None)
+def test_union_matches_reference(spark, triples):
+    """{A} UNION {B} is bag-free solution union over shared vars."""
+    from cmem_plugin_pyshacl_spark.plans.query import sparql_select
+
+    data = _algebra_frame(spark, triples)
+    q = (
+        f"SELECT ?x ?y WHERE {{ {{ ?x <{EX}p0> ?y }} UNION "
+        f"{{ ?x <{EX}p1> ?y }} }}"
+    )
+    got = {
+        (r["x"], r["y"]) for r in sparql_select(spark, data, q).collect()
+    }
+    expected = {(s, o[1]) for (s, p, o) in triples if p in ("p0", "p1")}
+    assert got == expected
+
+
+@given(_algebra_graph())
+@settings(max_examples=6, deadline=None)
+def test_minus_matches_reference(spark, triples):
+    """MINUS removes solutions with a compatible (shared-domain) minus
+    solution: here ?x ?y are shared, so it is an exact anti join."""
+    from cmem_plugin_pyshacl_spark.plans.query import sparql_select
+
+    data = _algebra_frame(spark, triples)
+    q = (
+        f"SELECT ?x ?y WHERE {{ ?x <{EX}p0> ?y . "
+        f"MINUS {{ ?x <{EX}p1> ?y }} }}"
+    )
+    got = {
+        (r["x"], r["y"]) for r in sparql_select(spark, data, q).collect()
+    }
+    p1_pairs = {(s, o[1]) for (s, p, o) in triples if p == "p1"}
+    expected = {
+        (s, o[1])
+        for (s, p, o) in triples
+        if p == "p0" and (s, o[1]) not in p1_pairs
+    }
+    assert got == expected
+
+
+@given(_algebra_graph())
+@settings(max_examples=6, deadline=None)
+def test_not_exists_matches_reference(spark, triples):
+    """FILTER NOT EXISTS { ?y p1 ?z } drops rows whose ?y has ANY
+    outgoing p1 edge."""
+    from cmem_plugin_pyshacl_spark.plans.query import sparql_select
+
+    data = _algebra_frame(spark, triples)
+    q = (
+        f"SELECT ?x ?y WHERE {{ ?x <{EX}p0> ?y . "
+        f"FILTER NOT EXISTS {{ ?y <{EX}p1> ?z }} }}"
+    )
+    got = {
+        (r["x"], r["y"]) for r in sparql_select(spark, data, q).collect()
+    }
+    p1_subjects = {s for (s, p, o) in triples if p == "p1"}
+    expected = {
+        (s, o[1])
+        for (s, p, o) in triples
+        if p == "p0" and o[1] not in p1_subjects
+    }
+    assert got == expected
