@@ -175,6 +175,14 @@ def jaccard_pairs_verified(
     has stayed hash-identical). xxhash64 here is engine-internal — it
     never reaches results, so oracle portability (md5 family) is not
     implicated."""
+    # the per-document shingle fold is CPU-heavy (len(text) substrings +
+    # distinct + hash); a small parquet input arrives as 1-2 splits and
+    # would serialize this stage on 1-2 cores while the 32-way pair join
+    # waits on it (measured at sf1: the whole verify ran 2-wide, 30 s ->
+    # 16 s after spreading). Same guard as lsh_banded / simhash.
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < parallelism:
+        documents = documents.repartition(parallelism)
     sh = documents.select(
         F.col(id_col).alias("_id"),
         F.expr(
