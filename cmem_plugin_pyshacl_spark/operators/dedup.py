@@ -169,6 +169,11 @@ def embedding_near_dup(
     LSH/IVF candidates from operators/similarity.py)."""
     from .similarity import cosine_expr
 
+    # per-pair cosine runs on these sides' partitioning — spread a small
+    # single-split input first (see lsh_banded / brute_force_topk)
+    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < parallelism:
+        embeddings = embeddings.repartition(parallelism)
     a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
     b = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
     if candidate_pairs is not None:

@@ -56,6 +56,14 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
+    # the scored pass runs on the CORPUS side's partitioning (the query
+    # side is broadcast) and its cost is |corpus| x |queries| dot
+    # products; a small single-file parquet corpus arrives as one split
+    # and serializes the whole scan on one core — spread it first (same
+    # guard as lsh_banded; a real 100-TB corpus is already many splits)
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < parallelism:
+        corpus = corpus.repartition(parallelism)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
@@ -113,6 +121,12 @@ def lsh_topk(
     within it. Recall/cost is tuned by n_planes (fewer planes = bigger
     buckets = higher recall). Multi-probe (flip 1 bit) widens recall."""
     planes = _hyperplanes(dim, n_planes, seed)
+    # corpus-side SRP bucketing + in-bucket scoring run on the corpus
+    # partitioning (probes are broadcast) — spread a small single-split
+    # input first (see brute_force_topk)
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < parallelism:
+        corpus = corpus.repartition(parallelism)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -293,6 +307,12 @@ def ivf_topk(
 
     Returns DataFrame[query_id, neighbor_id, cosine, rank].
     """
+    # cell assignment + in-cell scoring run on the corpus partitioning
+    # (probes are broadcast) — spread a small single-split input first
+    # (see brute_force_topk)
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < parallelism:
+        corpus = corpus.repartition(parallelism)
     c_base = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
