@@ -693,3 +693,103 @@ def test_not_exists_matches_reference(spark, triples):
         if p == "p0" and o[1] not in p1_subjects
     }
     assert got == expected
+
+
+# ------------------------- path EVALUATION differential (r4, fuzz of S5)
+
+
+def _rel_py(expr, edges, universe):
+    """Relation semantics of a path expression over an IRI-only graph:
+    set of (x, y) pairs. Mirrors SPARQL 1.1 §9.3 / SHACL path semantics;
+    zero-length arms are the identity over the universe (the engine
+    restricts identity to nodes it reaches, which composes to the same
+    final relation from any seed set)."""
+    if isinstance(expr, PPred):
+        return {(s, o) for (s, p, o) in edges if p == expr.iri}
+    if isinstance(expr, PInv):
+        return {(y, x) for (x, y) in _rel_py(expr.sub, edges, universe)}
+    if isinstance(expr, PSeq):
+        rel = {(x, x) for x in universe}
+        for part in expr.parts:
+            step = _rel_py(part, edges, universe)
+            rel = {(x, z) for (x, y) in rel for (y2, z) in step if y == y2}
+        return rel
+    if isinstance(expr, PAlt):
+        out = set()
+        for part in expr.parts:
+            out |= _rel_py(part, edges, universe)
+        return out
+    # PClosure
+    base = _rel_py(expr.sub, edges, universe)
+    ident = {(x, x) for x in universe}
+    if expr.kind == "zeroOrOne":
+        return base | ident
+    closure = set(base)
+    while True:
+        nxt = closure | {
+            (x, z) for (x, y) in closure for (y2, z) in base if y == y2
+        }
+        if nxt == closure:
+            break
+        closure = nxt
+    return closure | ident if expr.kind == "zeroOrMore" else closure
+
+
+@st.composite
+def _path_eval_case(draw):
+    nodes = [f"urn:n{i}" for i in range(5)]
+    n_edges = draw(st.integers(min_value=3, max_value=10))
+    edges = set()
+    for _ in range(n_edges):
+        edges.add((
+            draw(st.sampled_from(nodes)),
+            draw(st.sampled_from(["a", "b"])),
+            draw(st.sampled_from(nodes)),
+        ))
+    tree = draw(
+        st.recursive(
+            st.sampled_from(["a", "b"]).map(PPred),
+            lambda kids: st.one_of(
+                kids.map(PInv),
+                st.lists(kids, min_size=2, max_size=2).map(
+                    lambda xs: PSeq(tuple(xs))
+                ),
+                st.lists(kids, min_size=2, max_size=2).map(
+                    lambda xs: PAlt(tuple(xs))
+                ),
+                st.tuples(
+                    kids,
+                    st.sampled_from(["zeroOrMore", "oneOrMore", "zeroOrOne"]),
+                ).map(lambda t: PClosure(*t)),
+            ),
+            max_leaves=4,
+        )
+    )
+    focus = draw(st.sets(st.sampled_from(nodes), min_size=1, max_size=2))
+    return sorted(edges), tree, sorted(focus)
+
+
+@given(_path_eval_case())
+@settings(max_examples=6, deadline=None)
+def test_path_evaluation_matches_relation_reference(spark, case):
+    """_eval_path_expr (sequence/alternative/inverse/closure over an
+    IRI-only graph) agrees with a brute-force relation-algebra reference
+    — the value-extraction core every path constraint rides on (S5).
+    The engine contract: expressions are NORMALIZED before evaluation
+    (the shape compiler always calls _normalize_path; _path_step only
+    handles PInv-of-PPred), and normalization itself is pinned
+    semantics-preserving here because the reference relation is computed
+    from the RAW tree."""
+    from cmem_plugin_pyshacl_spark.plans.shacl import _eval_path_expr
+
+    edges, tree, focus = case
+    nodes = {n for (s, _p, o) in edges for n in (s, o)} | set(focus)
+    data = triples_from_rows(spark, [(s, p, iri(o)) for (s, p, o) in edges])
+    focus_df = spark.createDataFrame([(f,) for f in focus], "focus string")
+    got = {
+        (r.focus, r.v_value)
+        for r in _eval_path_expr(data, focus_df, _normalize_path(tree)).collect()
+    }
+    rel = _rel_py(tree, set(edges), nodes)
+    expected = {(f, y) for (f, y) in rel if f in set(focus)}
+    assert got == expected
