@@ -139,8 +139,16 @@ RLBL = RDFS_LABEL
 # =====================================================================
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    return generate_pages(spark, n)
+    """Pages for exactly the fixture's doc_ids: the analytic oracles
+    recompute page content from documents.doc_id, so deriving pages from
+    the ACTUAL id set (pages_from_ids) keeps the identity valid even on
+    fixtures with non-contiguous ids (a locally-replicated sf1 offsets
+    replica doc_ids by 10^6); on the driver's contiguous-id tables this
+    is byte-identical to the old generate_pages(count) path."""
+    from cmem_plugin_pyshacl_spark.sources.pages import pages_from_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pages_from_ids(docs.select(F.col("doc_id").alias("id")))
 
 
 def kg_shapes(spark: SparkSession) -> DataFrame:

@@ -78,10 +78,27 @@ def _html_udf(idx: pd.Series) -> pd.Series:
 def generate_pages(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:
     """Distributed deterministic pages table with part_id = id % 64 lineage
     column (FIXTURES.md §1)."""
+    df = spark.range(0, n, 1, num_partitions or max(1, min(64, n // 250 or 1)))
+    return pages_from_ids(df, spread=False)  # caller controls partitioning
+
+
+def pages_from_ids(ids: DataFrame, spread: bool = True) -> DataFrame:
+    """Pages derived for an ARBITRARY id set (column ``id``) — the same
+    pure per-id derivation generate_pages feeds with ``spark.range``. Lets
+    a caller build the page a given ``documents.doc_id`` analytically maps
+    to even when ids are non-contiguous (e.g. locally-replicated scale
+    fixtures offset replica ids to keep them unique). ``spread`` applies
+    the small-split repartition guard (the html/text templating is a
+    CPU-heavy pandas UDF; an id frame read from a small parquet arrives
+    as 1-2 splits and would serialize it) — generate_pages turns it off
+    because its num_partitions argument IS the partitioning contract."""
     from ..functions.extract import extract_text_udf
 
-    df = spark.range(0, n, 1, num_partitions or max(1, min(64, n // 250 or 1)))
-    df = df.select(
+    if spread:
+        parallelism = ids.sparkSession.sparkContext.defaultParallelism
+        if ids.rdd.getNumPartitions() < parallelism:
+            ids = ids.repartition(parallelism)
+    df = ids.select(
         F.concat(
             F.lit("https://example.org/site"),
             (F.col("id") % 97).cast("string"),

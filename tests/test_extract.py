@@ -66,3 +66,25 @@ def test_extract_in_spark(spark):
         F.col("re") != F.col("text")
     )
     assert diff.count() == 0
+
+
+def test_pages_from_ids_offset_parity(spark):
+    """pages_from_ids on a NON-contiguous id set derives exactly the page
+    the pure-python template maps each id to (the analytic-oracle
+    identity the kg_* queries rely on), and generate_pages' explicit
+    num_partitions contract is untouched by the spread guard."""
+    from pyspark.sql import functions as F
+
+    from cmem_plugin_pyshacl_spark.functions.extract import extract_text_bytes
+    from cmem_plugin_pyshacl_spark.sources.pages import (
+        generate_pages,
+        page_html,
+        pages_from_ids,
+    )
+
+    ids = spark.range(0, 5).select((F.col("id") + 1_000_000).alias("id"))
+    got = {r.id: r.text for r in pages_from_ids(ids).select("id", "text").collect()}
+    assert set(got) == {1_000_000 + i for i in range(5)}
+    for i, text in got.items():
+        assert text == extract_text_bytes(page_html(i).encode())
+    assert generate_pages(spark, 100, num_partitions=4).rdd.getNumPartitions() == 4
