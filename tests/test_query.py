@@ -589,3 +589,44 @@ def test_select_star_hides_internal_desugar_vars(spark, graph):
         spark, graph, f"SELECT * WHERE {{ ?s <{EX}knows> [ a <{EX}Person> ] }}"
     )
     assert out.columns == ["s"]
+
+
+def test_optional_subquery_aggregate(spark):
+    """A subquery is legal INSIDE an OPTIONAL group: outer rows keep
+    their bindings, the aggregate joins where its key matches, and
+    non-matching rows get an unbound ?n."""
+    from cmem_plugin_pyshacl_spark.data_model import lit_typed
+
+    XSDI = "http://www.w3.org/2001/XMLSchema#integer"
+    data = triples_from_rows(spark, [
+        ("urn:a", EX + "p", iri("urn:x")),
+        ("urn:b", EX + "p", iri("urn:y")),
+        ("urn:x", EX + "v", lit_typed("1", XSDI)),
+        ("urn:x", EX + "v", lit_typed("2", XSDI)),
+    ])
+    out = sparql_select(
+        spark,
+        data,
+        f"SELECT ?s ?n WHERE {{ ?s <{EX}p> ?o . OPTIONAL {{ "
+        f"{{ SELECT ?o (SUM(?w) AS ?n) WHERE {{ ?o <{EX}v> ?w }} "
+        f"GROUP BY ?o }} }} }}",
+    )
+    assert sorted((r.s, r.n) for r in out.collect()) == [
+        ("urn:a", "3.0"), ("urn:b", None),
+    ]
+
+
+def test_minus_subquery(spark):
+    """A subquery as the MINUS group: solutions whose shared vars match a
+    subquery row are removed."""
+    data = triples_from_rows(spark, [
+        ("urn:a", EX + "p", iri("urn:x")),
+        ("urn:b", EX + "p", iri("urn:y")),
+    ])
+    out = sparql_select(
+        spark,
+        data,
+        f"SELECT ?s WHERE {{ ?s <{EX}p> ?o . MINUS {{ "
+        f"{{ SELECT ?s WHERE {{ ?s <{EX}p> <urn:x> }} }} }} }}",
+    )
+    assert sorted(r.s for r in out.collect()) == ["urn:b"]
