@@ -44,6 +44,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # the ivf_topk oracle inlines centroids trained on ITS table — when
+    # checking a non-default sf dir, point it there (the driver's gate
+    # runs at the env default, so __spark_entry__ keeps that default)
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+
     import __spark_entry__ as entrymod
     from cmem_plugin_pyshacl_spark.session import get_spark
 
