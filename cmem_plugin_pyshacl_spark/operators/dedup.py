@@ -100,12 +100,12 @@ def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFr
     )
 
 
-def simhash_duplicates(
-    documents: DataFrame, text_col: str = "text", max_hamming: int = 3
+def simhash_chunk_buckets(
+    documents: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of 4 15-bit chunks
-    (pigeonhole: hamming<=3 over 60 bits => >=1 of 4 chunks equal), then
-    exact hamming filter. Returns (a_id, b_id, hamming)."""
+    """SimHash pigeonhole buckets: each doc lands in 4 buckets keyed by
+    (chunk_id, 15-bit chunk value); members carried as (doc_id, simhash)
+    structs sorted by doc_id. ONE scan of the fingerprint pass."""
     fp = simhash_fingerprints(documents, text_col)
     chunks = fp.select(
         "doc_id",
@@ -124,19 +124,64 @@ def simhash_duplicates(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
-    a = chunks.select(
-        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"), "chunk_id", "chunk_val"
+    return chunks.groupBy("chunk_id", "chunk_val").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id").alias("id"), F.col("simhash").alias("sh")))
+        ).alias("members")
     )
-    b = chunks.select(
-        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"), "chunk_id", "chunk_val"
+
+
+def simhash_duplicates(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    return_dropped: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Near-dup pairs by SimHash: candidates share one of 4 15-bit chunks
+    (pigeonhole: hamming<=3 over 60 bits => >=1 of 4 chunks equal), then
+    exact hamming filter. Returns (a_id, b_id, hamming).
+
+    Scale posture (round-4 VERDICT finding 2): chunk space is only 15 bits
+    (32,768 values), so at 10^9+ docs the average bucket holds ~30k docs
+    and a naive self-join explodes to O(width^2) pairs per bucket (~10^13
+    total). Mirror of the MinHash-LSH guard (plans/linking.py): ONE shuffle
+    groups each (chunk_id, chunk_val) bucket, width is CAPPED at
+    `max_bucket` BEFORE pair explosion, and in-bucket pairs come from an
+    array expression over the sorted member list — a hot bucket can never
+    emit O(width^2) rows, and the fingerprint pass is scanned once instead
+    of twice (the old self-join re-ran it for each side).
+
+    With return_dropped=True also returns the (chunk_id, chunk_val, width)
+    frame of buckets the cap dropped, so callers can surface recall loss
+    as a metric instead of silently missing pairs.
+    """
+    buckets = simhash_chunk_buckets(documents, text_col)
+    kept = buckets.filter(
+        (F.size("members") >= 2) & (F.size("members") <= max_bucket)
     )
-    return (
-        a.join(b, on=["chunk_id", "chunk_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", hamming64(F.col("a_sh"), F.col("b_sh")).alias("hamming"))
+    pairs_expr = (
+        "flatten(transform(sequence(1, size(members) - 1), "
+        "i -> transform(slice(members, i + 1, size(members) - i), "
+        "x -> struct(element_at(members, i).id as a_id, "
+        "element_at(members, i).sh as a_sh, x.id as b_id, x.sh as b_sh))))"
+    )
+    pairs = (
+        kept.select(F.explode(F.expr(pairs_expr)).alias("_pr"))
+        .select(
+            F.col("_pr.a_id").alias("a_id"),
+            F.col("_pr.b_id").alias("b_id"),
+            hamming64(F.col("_pr.a_sh"), F.col("_pr.b_sh")).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if not return_dropped:
+        return pairs
+    dropped = buckets.filter(F.size("members") > max_bucket).select(
+        "chunk_id", "chunk_val", F.size("members").alias("width")
+    )
+    return pairs, dropped
 
 
 def ngram_jaccard_pairs(

@@ -122,6 +122,38 @@ def test_triples_match_golden_exactly(spark):
     assert got == golden
 
 
+def test_triples_stage_mapping_broadcast_is_gated(spark, monkeypatch):
+    """Round-4 VERDICT finding 1: the canonical-surface mapping broadcast in
+    triples_stage must go through the 3-tier size gate, not an unconditional
+    hint — the mention detector is open-pattern, so distinct surfaces grow
+    with the corpus and a forced broadcast OOMs at 10^12-page scale.
+
+    Large/unknown estimate -> NO broadcast hint anywhere in the analyzed
+    plan (AQE decides at runtime); small estimate -> hint kept; and both
+    plans produce identical triples."""
+    import cmem_plugin_pyshacl_spark.plans.shacl as shacl_mod
+
+    pages = generate_pages(spark, N)
+    rel = relations_fused_stage(pages)
+    mapping = canonicalize_stage(rel)
+
+    # force "large": the gate must leave both mapping joins unhinted
+    monkeypatch.setattr(shacl_mod, "_plan_size_bytes", lambda df: 1 << 40)
+    unhinted = triples_stage(rel, mapping)
+    plan = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in plan.lower(), plan
+    got_unhinted = {(r.s, r.p, r.o_value) for r in unhinted.collect()}
+
+    # force "small": the hint is kept (fresh mapping frame — the gate
+    # memoizes its verdict on the DataFrame object)
+    mapping2 = canonicalize_stage(rel)
+    monkeypatch.setattr(shacl_mod, "_plan_size_bytes", lambda df: 1 << 10)
+    hinted = triples_stage(rel, mapping2)
+    plan2 = hinted._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in plan2.lower(), plan2
+    assert {(r.s, r.p, r.o_value) for r in hinted.collect()} == got_unhinted
+
+
 def test_pipeline_checkpoint_resume(spark, tmp_path):
     pages = generate_pages(spark, N)
     shapes = _shapes(spark)
