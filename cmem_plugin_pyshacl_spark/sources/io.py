@@ -69,15 +69,28 @@ def _sniff(path: str, format: str | None) -> str:
     )
 
 
+# Turtle/TriG are NOT line-splittable (multi-line statements, prefix state),
+# so they parse on the DRIVER — right for shapes-sized graphs, a silent OOM
+# for a bulk corpus someone exported as .trig. Guard the collect with a byte
+# threshold (round-4 VERDICT watch item) and point users at the splittable
+# formats instead of letting the driver die.
+_DRIVER_PARSE_MAX_BYTES = 256 << 20
+
+
 def read_rdf(
     spark: SparkSession,
     path: str,
     format: str | None = None,
     graph: str | None = None,
+    max_driver_bytes: int = _DRIVER_PARSE_MAX_BYTES,
 ) -> DataFrame:
     """Read an RDF file/directory into the triples relation, dispatching
     on extension (or explicit `format`). `graph` names the default graph
-    for formats that don't carry one per statement."""
+    for formats that don't carry one per statement.
+
+    Turtle/TriG inputs are parsed driver-side and therefore refused above
+    `max_driver_bytes` (raise the limit explicitly if you really mean it);
+    N-Triples/N-Quads/NDJSON-LD/parquet scale distributed."""
     fmt = _sniff(path, format)
     if fmt == "parquet":
         return spark.read.parquet(path)
@@ -92,8 +105,28 @@ def read_rdf(
     if fmt in ("turtle", "trig"):
         from .turtle import from_turtle
 
+        lines = spark.read.text(path)
+        # file-size-backed Catalyst estimate (no job) — same trustworthy
+        # upper bound the broadcast gate relies on; works for any
+        # filesystem Spark can read (local/HDFS/S3), unlike os.stat
+        try:
+            est = int(
+                lines._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # pragma: no cover - connect mode
+            est = 0
+        if est > max_driver_bytes:
+            raise ValueError(
+                f"{path!r} is ~{est >> 20} MiB of {fmt}; Turtle/TriG parse "
+                f"on the DRIVER (not line-splittable) and this exceeds "
+                f"max_driver_bytes={max_driver_bytes >> 20} MiB. For bulk "
+                f"graphs use a splittable format instead — N-Triples (.nt), "
+                f"N-Quads (.nq), NDJSON-LD (.ndjson), or parquet — or pass "
+                f"max_driver_bytes explicitly if the driver really has the "
+                f"memory."
+            )
         # one driver-side document per part file; directories concatenate
-        texts = [r.value for r in spark.read.text(path).collect()]
+        texts = [r.value for r in lines.collect()]
         return from_turtle(spark, "\n".join(texts), graph)
     if fmt == "jsonld":
         from .jsonld import read_jsonld_document

@@ -83,12 +83,13 @@ def write_triples(
         use_iceberg = iceberg_available(spark)
 
     if use_iceberg:
-        writer = df.writeTo(target).using("iceberg")
-        for col in partition_by:
-            writer = writer.partitionedBy(col)
         if mode == "overwrite":
+            writer = df.writeTo(target).using("iceberg")
+            for col in partition_by:
+                writer = writer.partitionedBy(col)
             writer.createOrReplace()
         elif mode == "overwrite_partitions":
+            # partition spec lives in the existing table's metadata
             df.writeTo(target).overwritePartitions()
         elif mode == "append":
             df.writeTo(target).append()

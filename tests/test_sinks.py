@@ -83,6 +83,62 @@ def test_iceberg_gate_is_honest(spark):
     assert iceberg_available(spark) is False
 
 
+class _RecordingWriterV2:
+    """Stand-in for DataFrameWriterV2 that records the call chain — the
+    container has no Iceberg jar (and no network to vendor one), so this
+    contract-tests the Iceberg branch's CALL SHAPE: which writer methods
+    write_triples invokes, in what order, for each mode. The live-JVM
+    behavior stays covered by the env-gated subprocess test below."""
+
+    def __init__(self, calls):
+        self.calls = calls
+
+    def __getattr__(self, name):
+        def _m(*args):
+            self.calls.append((name, args))
+            return self
+
+        return _m
+
+
+def test_iceberg_branch_call_shape(spark):
+    """Exercise every write_triples mode on the use_iceberg=True branch
+    against a recording writer: overwrite -> using/partitionedBy/
+    createOrReplace; overwrite_partitions -> overwritePartitions (NO
+    using/partitionedBy — partition spec lives in the existing table);
+    append -> append; unknown mode still raises."""
+    df = _df(spark, [("a", 1, 0)])
+    calls: list = []
+    df.writeTo = lambda target: (
+        calls.append(("writeTo", (target,))) or _RecordingWriterV2(calls)
+    )
+
+    write_triples(df, "cat.db.t", mode="overwrite", use_iceberg=True)
+    assert calls == [
+        ("writeTo", ("cat.db.t",)),
+        ("using", ("iceberg",)),
+        ("partitionedBy", ("part_id",)),
+        ("createOrReplace", ()),
+    ]
+
+    calls.clear()
+    write_triples(df, "cat.db.t", mode="overwrite_partitions", use_iceberg=True)
+    assert calls == [
+        ("writeTo", ("cat.db.t",)),
+        ("overwritePartitions", ()),
+    ]
+
+    calls.clear()
+    write_triples(df, "cat.db.t", mode="append", use_iceberg=True)
+    assert calls == [
+        ("writeTo", ("cat.db.t",)),
+        ("append", ()),
+    ]
+
+    with pytest.raises(ValueError, match="sink mode"):
+        write_triples(df, "cat.db.t", mode="upsert", use_iceberg=True)
+
+
 @pytest.mark.skipif(
     not os.environ.get("ICEBERG_SPARK_RUNTIME_JAR"),
     reason="no Iceberg runtime jar in this container (no network to vendor "
