@@ -63,6 +63,7 @@ from cmem_plugin_pyshacl_spark.functions.hashing import (
 )
 from cmem_plugin_pyshacl_spark.operators.dedup import (
     dedup_exact,
+    dedup_near,
     exact_duplicates,
     minhash_duplicates,
     ngram_jaccard_pairs,
@@ -89,6 +90,7 @@ from cmem_plugin_pyshacl_spark.operators.similarity import (
 )
 from cmem_plugin_pyshacl_spark.operators.text import (
     cap_per_domain,
+    decontaminate,
     fingerprint,
     lang_id,
     quality_score,
@@ -1443,6 +1445,38 @@ SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 16
 """
 
 
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level near-dedup (round-5 registration, VERDICT r4 #5):
+    MinHash-LSH pairs → connected-components canonicalization → keep ONE
+    representative (min doc_id) per cluster via a single anti join — the
+    stage a real training pipeline runs between pair generation and the
+    corpus sink. Same LSH parameters as dedup_minhash so the oracle
+    reuses its candidate SQL."""
+    docs = load(spark, sf_dir, "documents")
+    kept = dedup_near(docs, method="minhash", num_perm=16, bands=4,
+                      threshold=0.5)
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+# pairs → transitive closure (recursive CTE; the pair set is tiny after
+# the >=0.5 Jaccard filter) → min-id component → drop non-representatives
+ORACLE_DEDUP_NEAR = f"""
+WITH RECURSIVE {_minhash_cand_sql().strip()}, {_jaccard_sql(5).strip()},
+pairs AS (SELECT a_id, b_id FROM j WHERE jac >= 0.5),
+nodes AS (SELECT a_id AS node FROM pairs UNION SELECT b_id FROM pairs),
+edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node),
+comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+losers AS (SELECT node FROM comps WHERE node != comp)
+SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM losers)
+"""
+
+
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1749,6 +1783,56 @@ def _oracle_text_stats() -> str:
 SELECT lq.*, tf.ws_tokens, tf.bpe_tokens, tf.winnow_min, tf.content_hash
 FROM ({_oracle_lang_quality().strip()}) lq
 JOIN ({_ORACLE_TOKEN_FP.strip()}) tf USING (doc_id)
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round-5 registration, VERDICT r4 #5):
+    flag every document sharing >=1 word 13-gram (GPT-3/Llama convention)
+    with a deterministic 'eval benchmark' built from the first 200 chars
+    of every 17th document. The Spark side matches on xxhash64-folded
+    grams (operators/text.py:decontaminate); the oracle matches the raw
+    gram strings — counts agree because the fold is injective on this
+    corpus (collision odds ~2^-64 per gram)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.expr("substring(text, 1, 200)").alias("text")
+    )
+    out = decontaminate(docs, bench, n=13, min_hits=1)
+    return out.select(
+        "doc_id",
+        F.col("contamination_hits").cast("long").alias("contamination_hits"),
+        "contaminated",
+    )
+
+
+_GRAM_TOKS = (
+    r"list_filter(string_split_regex(lower(regexp_replace(text,"
+    r" '[^\w\s]', ' ', 'g')), '\s+'), t -> t != '')"
+)
+# word 13-grams as strings; the CASE mirrors the Spark side's empty-array
+# branch for docs shorter than 13 tokens
+_GRAMS_13 = f"""
+CASE WHEN len(toks) >= 13 THEN
+  list_transform(range(len(toks) - 12),
+                 i -> array_to_string(toks[(i + 1):(i + 13)], ' '))
+ELSE [] END
+"""
+
+ORACLE_DECONTAMINATE = f"""
+WITH bdocs AS (
+  SELECT substring(text, 1, 200) AS text FROM documents WHERE doc_id % 17 = 0),
+btoks AS (SELECT {_GRAM_TOKS} AS toks FROM bdocs),
+bgrams AS (SELECT DISTINCT unnest({_GRAMS_13.strip()}) AS g FROM btoks),
+dtoks AS (SELECT doc_id, {_GRAM_TOKS} AS toks FROM documents),
+dgrams AS (SELECT doc_id, unnest({_GRAMS_13.strip()}) AS g FROM dtoks),
+hits AS (
+  SELECT doc_id, count(*) AS contamination_hits
+  FROM dgrams WHERE g IN (SELECT g FROM bgrams) GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(h.contamination_hits, 0)::BIGINT AS contamination_hits,
+  coalesce(h.contamination_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
@@ -2435,9 +2519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_path_closure": q_shacl_path_closure,
         "inference_rules": q_inference_rules,
         # SHACL core constraint components (paired fixtures)
-        "shacl_counts": _shacl_q(
-            {"email": {"path": EX + "email", "minCount": 1, "maxCount": 1}}
-        ),
         "shacl_datatype_class": _shacl_q({
             "age": {"path": EX + "age", "datatype": XSD_INTEGER},
             "nation": {"path": EX + "nation", "class": EX + "Nation"},
@@ -2446,9 +2527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "homepage": {"path": EX + "homepage", "nodeKind": SH + "IRI"},
             "segment": {"path": EX + "segment", "pattern": "^[A-Z]{1,9}$"},
         }),
-        # round-3 rotation: shacl_range merged in (same fixture family) to
-        # free an oracle slot for the round-2 operators — see COVERAGE.md
+        # round-3 rotation: shacl_range merged in (same fixture family);
+        # round-5 rotation: shacl_counts (min/maxCount on the same email
+        # property) merged in too — frees a slot for dedup_near
+        # (VERDICT r4 #5); see COVERAGE.md
         "shacl_length": _shacl_q({
+            "email": {"path": EX + "email", "minCount": 1, "maxCount": 1},
             "emailmin": {"path": EX + "email", "minLength": 16},
             "emailmax": {"path": EX + "email", "maxLength": 17},
             "age": {"path": EX + "age", "minInclusive": 18},
@@ -2493,8 +2577,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "connected_components": q_connected_components,
         "salted_agg": q_salted_agg,
-        # stage-wise C2 variant (fused equivalent registered above)
-        "kg_relations": q_kg_relations,
+        # round-5 rotation: the stage-wise kg_relations slot is dropped —
+        # its output and oracle were IDENTICAL to kg_relations_fused
+        # (pytest pins the two paths equal); the freed slot registers
+        # decontaminate (VERDICT r4 #5)
+        "dedup_near": q_dedup_near,
+        "decontaminate": q_decontaminate,
         # round-3 additions (previously pytest-only)
         "nt_roundtrip": q_nt_roundtrip,
         "hygiene_pipeline": q_hygiene_pipeline,
@@ -2519,9 +2607,6 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": ORACLE_SESSIONS,
         "shacl_path_closure": ORACLE_SHACL_PATH_CLOSURE,
         "inference_rules": ORACLE_INFERENCE_RULES,
-        "shacl_counts": (
-            f"{ORACLE_SHACL_MINCOUNT} UNION ALL {ORACLE_SHACL_MAXCOUNT}"
-        ),
         "shacl_datatype_class": (
             f"{ORACLE_SHACL_DATATYPE} UNION ALL {ORACLE_SHACL_CLASS}"
         ),
@@ -2529,7 +2614,9 @@ def oracle_sql() -> dict[str, str]:
             f"{ORACLE_SHACL_NODEKIND} UNION ALL {ORACLE_SHACL_PATTERN}"
         ),
         "shacl_length": (
-            f"{ORACLE_SHACL_MINLENGTH} UNION ALL {ORACLE_SHACL_MAXLENGTH}"
+            f"{ORACLE_SHACL_MINCOUNT} UNION ALL {ORACLE_SHACL_MAXCOUNT}"
+            f" UNION ALL {ORACLE_SHACL_MINLENGTH}"
+            f" UNION ALL {ORACLE_SHACL_MAXLENGTH}"
             f" UNION ALL {ORACLE_SHACL_RANGE}"
         ),
         "shacl_in_hasvalue": (
@@ -2561,7 +2648,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": ORACLE_MULTIMODAL,
         "connected_components": ORACLE_CC,
         "salted_agg": ORACLE_SALTED_AGG,
-        "kg_relations": ORACLE_KG_RELATIONS,
+        "dedup_near": ORACLE_DEDUP_NEAR,
+        "decontaminate": ORACLE_DECONTAMINATE,
         "nt_roundtrip": ORACLE_NT_ROUNDTRIP,
         "hygiene_pipeline": ORACLE_HYGIENE,
         # round 4: ivf_topk now hash-verified — the deterministic numpy

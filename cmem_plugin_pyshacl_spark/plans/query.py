@@ -44,6 +44,7 @@ from ..data_model import (
 )
 from .sparql_af import (
     _Block,
+    _STRICT_DEFAULT,
     _Term,
     _apply_aggregation,
     _apply_block,
@@ -56,6 +57,7 @@ from .sparql_af import (
     parse_ask,
     parse_construct,
     parse_select_query,
+    strict_default_graph,
 )
 
 _TERM_SUFFIXES = ("value", "kind", "datatype", "lang")
@@ -171,11 +173,13 @@ def _dataset(
         never says GRAPH — spec-correct: named graphs are unreachable
         without it).
 
-    One documented deviation from §13.2: when a query combines FROM
-    NAMED with plain (non-GRAPH) patterns, those patterns also see the
-    named rows (the engine's union-default-graph model); per spec they
-    would see only the FROM merge. Queries that keep named-graph access
-    inside GRAPH blocks — the normal shape — behave exactly per spec."""
+    The callers evaluate a FROM/FROM NAMED-constructed dataset under
+    ``strict_default_graph`` (plans/sparql_af.py), so plain patterns
+    match ONLY the nulled default-graph role and named rows stay
+    reachable through GRAPH blocks alone — spec-exact §13.2 (the
+    engine's union-default-graph model applies only to a bare store
+    with no dataset clauses). Round-4 ADVICE closed the old deviation
+    where plain patterns also saw the FROM NAMED rows."""
     if not default_graphs and not named_graphs:
         return data
     if "graph" not in data.columns:
@@ -249,9 +253,10 @@ def sparql_select(
     data = _dataset(data, text, dg, ng)
     q = parse_select_query(text)
     bound_vars: set[str] = set()
-    bound = _apply_block(
-        data, _seed(spark), bound_vars, q.block, "uq", has_this=False
-    )
+    with strict_default_graph(bool(dg or ng) or _STRICT_DEFAULT.get()):
+        bound = _apply_block(
+            data, _seed(spark), bound_vars, q.block, "uq", has_this=False
+        )
     if q.aggs or q.group_by or q.having:
         bound, bound_vars = _apply_aggregation(
             bound, bound_vars, q, has_this=False
@@ -311,9 +316,10 @@ def sparql_ask(spark: SparkSession, data: DataFrame, query: str) -> bool:
     data = _dataset(data, text, dg, ng)
     block = parse_ask(text)
     bound_vars: set[str] = set()
-    bound = _apply_block(
-        data, _seed(spark), bound_vars, block, "ua", has_this=False
-    )
+    with strict_default_graph(bool(dg or ng) or _STRICT_DEFAULT.get()):
+        bound = _apply_block(
+            data, _seed(spark), bound_vars, block, "ua", has_this=False
+        )
     return bound.limit(1).count() > 0
 
 
@@ -435,9 +441,10 @@ def sparql_construct(
     else:
         template, block = parse_construct(text)
     bound_vars: set[str] = set()
-    bound = _apply_block(
-        data, _seed(spark), bound_vars, block, "uc", has_this=False
-    )
+    with strict_default_graph(bool(dg or ng) or _STRICT_DEFAULT.get()):
+        bound = _apply_block(
+            data, _seed(spark), bound_vars, block, "uc", has_this=False
+        )
     return _instantiate(bound, bound_vars, template, graph)
 
 
@@ -744,10 +751,14 @@ def _apply_update_op(
                 # the distributed text readers (nt/nq/ndjson) surface
                 # content errors lazily at the caller's first action —
                 # after this try/except has returned. SILENT promises to
-                # swallow them, so force evaluation here (one eager read,
-                # materialized executor-side; later ops reuse it instead
-                # of re-reading the file).
-                new = new.localCheckpoint(eager=True)
+                # swallow them, so force evaluation here: cache + count
+                # materializes once (later ops reuse the cached blocks
+                # instead of re-reading the file) while KEEPING lineage,
+                # so a lost executor in a long update sequence recomputes
+                # from the file instead of failing unrecoverably (the
+                # round-4 ADVICE against localCheckpoint's lineage cut).
+                new = new.cache()
+                new.count()
             return _with_new(data, new)
         except Exception:
             if m.group("silent"):
@@ -857,28 +868,35 @@ def _apply_update_op(
     body, end = take_block(rest, m.end())
     if rest[end:].strip():
         raise ValueError("unexpected trailing text after the WHERE block")
+    strict = False
     if using or using_named:
         wdata = _dataset(data, body, using, using_named)
+        strict = True
     elif with_graph is not None:
         # §3.1.3: WITH sets the DEFAULT graph for matching (USING
-        # overrides); the store's named graphs stay visible to explicit
-        # GRAPH blocks. When the WHERE never says GRAPH the dataset
-        # reduces to exactly g's rows (spec-exact). When it does, we
-        # keep the whole store visible — the engine's documented
-        # union-default-graph model (plain patterns also see named
-        # rows) — rather than duplicating g's rows into both the
-        # default and named roles, which would inflate solution
-        # multiplicity for plain patterns.
-        wdata = data if _mentions_graph(body) else data.filter(
-            F.col("graph") == with_graph
+        # overrides). g's rows take the default-graph role (graph
+        # nulled) and — when the WHERE says GRAPH — the store's named
+        # graphs stay visible to explicit GRAPH blocks ONLY: under the
+        # strict flag plain patterns match just the nulled role, per
+        # spec (round-4 ADVICE closed the deviation where they also saw
+        # every named row). g itself stays a named graph too, so
+        # GRAPH <g> inside the WHERE still matches it.
+        wdata = data.filter(F.col("graph") == with_graph).withColumn(
+            "graph", F.lit(None).cast("string")
         )
+        if _mentions_graph(body):
+            wdata = wdata.unionByName(
+                data.filter(F.col("graph").isNotNull())
+            )
+        strict = True
     else:
         wdata = data
     block = _parse_group(body)
     bound_vars = set()
-    bound = _apply_block(
-        wdata, _seed(spark), bound_vars, block, "uu", has_this=False
-    )
+    with strict_default_graph(strict):
+        bound = _apply_block(
+            wdata, _seed(spark), bound_vars, block, "uu", has_this=False
+        )
     default_graph = with_graph if with_graph is not None else graph
     out = data
     if delete_quads:
@@ -953,9 +971,12 @@ def sparql_describe(
         sel = "SELECT {} WHERE {{{}}}".format(
             " ".join(f"?{v}" for v in tvars), body
         )
-        bound = sparql_select(
-            spark, data, sel, include_term_columns=True
-        )
+        # the dataset was constructed HERE (the inner select sees no
+        # FROM clauses), so carry the strict flag through the call
+        with strict_default_graph(bool(dg or ng)):
+            bound = sparql_select(
+                spark, data, sel, include_term_columns=True
+            )
         parts = [
             bound.filter(F.col(f"{v}_kind") != KIND_LITERAL).select(
                 F.col(v).alias("node")
@@ -975,6 +996,10 @@ def sparql_describe(
         "s", "p", "o_kind", "o_value", "o_datatype", "o_lang",
         "graph", "part_id",
     ]
+    # with an explicit dataset the description is drawn from the
+    # DEFAULT graph role (the FROM merge), mirroring strict matching
+    if (dg or ng) and "graph" in data.columns:
+        data = data.filter(F.col("graph").isNull())
     out: DataFrame | None = None
     frontier = nodes
     for _hop in range(max_hops):

@@ -118,6 +118,8 @@ binding set — same join shape as S5; no collects, no UDFs.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import itertools
 import re
 import dataclasses
@@ -1175,24 +1177,31 @@ _TERM_RE = re.compile(
 )
 
 
+_ECHAR = {
+    "n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+# one alternation, scanned left-to-right: \uXXXX | \UXXXXXXXX | \<echar>.
+# A single pass means an escaped backslash consumes both characters before
+# the following text is looked at, so `\\u0041` stays a literal backslash+
+# "u0041" AND a backslash-u0000 escape decodes to chr(0) — the sentinel
+# version turned a decoded NUL back into a backslash (round-4 ADVICE).
+_STR_ESCAPE_RE = re.compile(
+    r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})|\\(.)", re.S
+)
+
+
 def _unescape_string(lex: str) -> str:
-    """Resolve SPARQL string-literal escapes (§19.7 ECHAR + UCODE):
-    ``\\\\`` FIRST into a sentinel so the pairs are never re-read by the
-    later passes (same order rationale as data_model.from_ntriples)."""
-    sent = "\x00"  # control chars cannot appear unescaped in the source
-    s = lex.replace("\\\\", sent)
-    s = (
-        s.replace("\\n", "\n")
-        .replace("\\r", "\r")
-        .replace("\\t", "\t")
-        .replace("\\b", "\b")
-        .replace("\\f", "\f")
-        .replace('\\"', '"')
-        .replace("\\'", "'")
-    )
-    s = re.sub(r"\\u([0-9A-Fa-f]{4})", lambda m: chr(int(m.group(1), 16)), s)
-    s = re.sub(r"\\U([0-9A-Fa-f]{8})", lambda m: chr(int(m.group(1), 16)), s)
-    return s.replace(sent, "\\")
+    """Resolve SPARQL string-literal escapes (§19.7 ECHAR + UCODE) in a
+    single left-to-right pass."""
+    def _sub(m: re.Match) -> str:
+        if m.group(1) is not None:
+            return chr(int(m.group(1), 16))
+        if m.group(2) is not None:
+            return chr(int(m.group(2), 16))
+        return _ECHAR.get(m.group(3), m.group(3))
+
+    return _STR_ESCAPE_RE.sub(_sub, lex)
 
 
 def _parse_term(tok: str) -> _Term:
@@ -1332,8 +1341,10 @@ def _is_collection(inner: str) -> bool:
     collection (paths are built from IRIs alone); a group holding a
     path operator can only be a path; an operator-free group of IRIs
     is a collection unless it has exactly one member — ``(<p>)`` keeps
-    its established path-group meaning (write the rdf:first/rdf:rest
-    chain explicitly for a one-IRI list, a vanishingly rare shape)."""
+    its established path-group meaning in PREDICATE position, and the
+    caller raises for the genuinely ambiguous object/subject-position
+    case (a would-be one-element list) instead of silently changing
+    its meaning (round-4 ADVICE)."""
     terms = 0
     for t in _COLL_TOK_RE.findall(inner):
         if t in ("(", ")"):
@@ -1344,6 +1355,21 @@ def _is_collection(inner: str) -> bool:
             return True
         terms += 1  # <iri> or `a`
     return terms != 1
+
+
+def _one_iri_group(inner: str) -> bool:
+    """True for an operator-free paren group holding exactly one IRI or
+    ``a`` — the one shape _is_collection cannot classify alone."""
+    terms = 0
+    for t in _COLL_TOK_RE.findall(inner):
+        if t in ("(", ")"):
+            continue
+        if len(t) == 1 and t in "/|^*+!?;,.":
+            return False
+        if t.startswith(("?", "$", '"')) or t[0].isdigit():
+            return False
+        terms += 1
+    return terms == 1
 
 
 _COLL_TOK_RE = re.compile(_TERM_RE.pattern + r"|[.\/^|()*+?!;,]", re.X)
@@ -1407,9 +1433,25 @@ def _expand_collections(body: str) -> str:
                 i = _iri_end(body, i) + 1
             elif c == "(":
                 j = _delim_end(body, i, "(", ")")
-                if _is_collection(body[i + 1 : j]):
+                inner = body[i + 1 : j]
+                if _is_collection(inner):
                     target = i
                     break
+                if _one_iri_group(inner):
+                    # one operator-free IRI: a path group in predicate
+                    # position (followed by an object term) — legal and
+                    # kept — but ambiguous at end-of-statement, where
+                    # only a one-element collection parses. Raise there
+                    # instead of silently picking the path reading.
+                    nxt = body[j + 1 :].lstrip()[:1]
+                    if nxt in ("", ".", ";", "}"):
+                        raise ValueError(
+                            f"ambiguous one-member group ({inner.strip()})"
+                            " in object position — write the rdf:first/"
+                            "rdf:rest chain explicitly for a one-element"
+                            " collection (a parenthesized path cannot be"
+                            " an object)"
+                        )
                 i = j + 1  # path group: skip it whole
             else:
                 i += 1
@@ -2880,6 +2922,28 @@ def _closure_path_rel(
     )
 
 
+# Strict-dataset mode (SPARQL §13.2 / Update §3.1.3): while set, PLAIN
+# triple patterns match only the dataset's DEFAULT graph (rows whose
+# `graph` column is NULL — the dataset constructors null the FROM/WITH
+# merge into that role) instead of the engine's union-default-graph
+# store model. GRAPH blocks are unaffected (they re-slice by name), and
+# the flag is cleared while descending into a GRAPH <iri> body, whose
+# plain patterns match that one graph. Plan construction is driver-side
+# and synchronous, so a contextvar scopes the flag correctly even across
+# the evaluator's recursion.
+_STRICT_DEFAULT = contextvars.ContextVar("sparql_strict_default", default=False)
+
+
+@contextlib.contextmanager
+def strict_default_graph(on: bool = True):
+    """Scope the strict-dataset flag over a plan-construction region."""
+    token = _STRICT_DEFAULT.set(on)
+    try:
+        yield
+    finally:
+        _STRICT_DEFAULT.reset(token)
+
+
 def _join_patterns(
     data: DataFrame,
     bound: DataFrame,
@@ -2905,6 +2969,10 @@ def _join_patterns(
         # §13.3): rows in the default graph (NULL graph column) are not
         # in any named graph and must not bind ?g
         data = data.filter(F.col("graph").isNotNull())
+    elif _STRICT_DEFAULT.get() and "graph" in data.columns:
+        # strict dataset (FROM/WITH/USING constructed it): plain patterns
+        # match ONLY the default-graph role — a pushed-down null filter
+        data = data.filter(F.col("graph").isNull())
 
     for i, pat in enumerate(patterns):
         sfx = f"{ns}{i}"
@@ -3522,11 +3590,15 @@ def _apply_block(
         if gterm.kind == "iri":
             # GRAPH <iri> { … }: the whole sub-group — any nested
             # structure — evaluates against the one-graph slice; a plain
-            # pushed-down filter on the scan
+            # pushed-down filter on the scan. The strict-dataset flag is
+            # cleared for the descent: INSIDE the block the active graph
+            # is <iri>, so its plain patterns must match that slice, not
+            # the dataset's default role.
             gdata = data.filter(F.col("graph") == gterm.value)
-            bound = _group_join(
-                gdata, bound, bound_vars, sub, f"{ns}gr{k}_", has_this
-            )
+            with strict_default_graph(False):
+                bound = _group_join(
+                    gdata, bound, bound_vars, sub, f"{ns}gr{k}_", has_this
+                )
         else:
             # GRAPH ?g { … }: every pattern relation carries the graph
             # column and joins through ?g, so all the block's triples

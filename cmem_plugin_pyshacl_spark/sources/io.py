@@ -83,6 +83,7 @@ def read_rdf(
     format: str | None = None,
     graph: str | None = None,
     max_driver_bytes: int = _DRIVER_PARSE_MAX_BYTES,
+    contexts: dict | None = None,
 ) -> DataFrame:
     """Read an RDF file/directory into the triples relation, dispatching
     on extension (or explicit `format`). `graph` names the default graph
@@ -90,7 +91,10 @@ def read_rdf(
 
     Turtle/TriG inputs are parsed driver-side and therefore refused above
     `max_driver_bytes` (raise the limit explicitly if you really mean it);
-    N-Triples/N-Quads/NDJSON-LD/parquet scale distributed."""
+    N-Triples/N-Quads/NDJSON-LD/parquet scale distributed.
+
+    ``contexts={url: dict}`` resolves remote JSON-LD @context URLs from
+    the caller's mapping (.jsonld documents only) — no network I/O."""
     fmt = _sniff(path, format)
     if fmt == "parquet":
         return spark.read.parquet(path)
@@ -132,7 +136,9 @@ def read_rdf(
         from .jsonld import read_jsonld_document
 
         with open(path, encoding="utf-8") as fh:
-            return read_jsonld_document(spark, fh.read(), graph=graph)
+            return read_jsonld_document(
+                spark, fh.read(), graph=graph, contexts=contexts
+            )
     if fmt == "rdfxml":
         from .rdfxml import read_rdfxml
 

@@ -264,19 +264,30 @@ class JsonLdContextError(ValueError):
     pass
 
 
-def _merge_context(ctx, merged: dict) -> dict:
+def _merge_context(ctx, merged: dict, contexts: dict | None = None) -> dict:
     """Fold one @context value (dict, or array of dicts) into the active
-    term map. Remote contexts (string URLs) raise — this engine performs
-    no network I/O (same posture as the reference's offline graph moves)."""
+    term map. Remote contexts (string URLs) resolve through the caller-
+    injected ``contexts={url: dict}`` mapping when one is given (round-4
+    VERDICT #6 — compacted documents citing well-known context URLs load
+    without network I/O); an unmapped URL raises — this engine performs
+    no network fetches (same posture as the reference's offline graph
+    moves)."""
     if ctx is None:
         return merged
     if isinstance(ctx, list):
         for c in ctx:
-            merged = _merge_context(c, merged)
+            merged = _merge_context(c, merged, contexts)
         return merged
     if isinstance(ctx, str):
+        if contexts is not None and ctx in contexts:
+            resolved = contexts[ctx]
+            if isinstance(resolved, dict) and "@context" in resolved:
+                # accept the full fetched document form too
+                resolved = resolved["@context"]
+            return _merge_context(resolved, merged, contexts)
         raise JsonLdContextError(
-            f"remote @context {ctx!r} is outside the subset (inline it)"
+            f"remote @context {ctx!r} is outside the subset — inline it "
+            "or supply contexts={url: dict}"
         )
     if not isinstance(ctx, dict):
         raise JsonLdContextError(f"unsupported @context value {ctx!r}")
@@ -355,10 +366,11 @@ class _Expander:
     of authored ``_:label``s, and the flat node-object accumulator that
     nested node objects / @list chains / @reverse edges append to."""
 
-    def __init__(self) -> None:
+    def __init__(self, contexts: dict | None = None) -> None:
         self.n = 0
         self.labels: dict[str, str] = {}
         self.out: list[dict] = []
+        self.contexts = contexts  # injected {url: dict} remote-context map
 
     def fresh(self) -> str:
         self.n += 1
@@ -433,7 +445,7 @@ class _Expander:
         """Expand one node object (merging its local @context), append it
         to the accumulator, and return its @id (fresh blank node when the
         object declares none — nested property shapes etc.)."""
-        ctx = _merge_context(doc.get("@context"), ctx)
+        ctx = _merge_context(doc.get("@context"), ctx, self.contexts)
         node: dict = {}
         reverse = None
         for key, vals in doc.items():
@@ -491,7 +503,9 @@ class _Expander:
         return subj
 
 
-def expand_jsonld(doc, context: dict | None = None) -> list[dict]:
+def expand_jsonld(
+    doc, context: dict | None = None, contexts: dict | None = None
+) -> list[dict]:
     """Expand a COMPACTED JSON-LD document (inline ``@context``: prefix,
     @vocab/@base, aliased and type-/language-coerced terms, @container
     @list coercion; top-level ``@graph`` arrays; nested node objects;
@@ -506,9 +520,13 @@ def expand_jsonld(doc, context: dict | None = None) -> list[dict]:
     a compacted document is one unsplittable JSON value, so distributing
     the parse would serialize on one task anyway; this path is for the
     kilobyte-to-megabyte shapes/ontology graphs. Bulk data stays on the
-    splittable expanded-NDJSON / N-Triples / parquet paths."""
-    exp = _Expander()
-    ctx0 = _merge_context(context, {})
+    splittable expanded-NDJSON / N-Triples / parquet paths.
+
+    ``contexts={url: dict}`` resolves remote-@context URLs from the
+    caller's mapping (each value is the context term map, or the whole
+    fetched document holding an "@context" key) — no network I/O."""
+    exp = _Expander(contexts)
+    ctx0 = _merge_context(context, {}, contexts)
 
     def _top(d, ctx: dict) -> None:
         if isinstance(d, list):
@@ -519,7 +537,7 @@ def expand_jsonld(doc, context: dict | None = None) -> list[dict]:
             raise JsonLdContextError(
                 f"expected a JSON-LD object, got {type(d)}"
             )
-        ctx = _merge_context(d.get("@context"), ctx)
+        ctx = _merge_context(d.get("@context"), ctx, contexts)
         if "@graph" in d:
             extra = set(d) - {"@context", "@graph"}
             if extra:
@@ -541,13 +559,16 @@ def read_jsonld_document(
     text: str,
     graph: str | None = None,
     part_id: int = 0,
+    contexts: dict | None = None,
 ) -> DataFrame:
     """Parse a (possibly compacted) JSON-LD document string into the
     triples relation: driver-side @context expansion (expand_jsonld) →
-    one NDJSON line per node → the distributed expanded reader."""
+    one NDJSON line per node → the distributed expanded reader.
+    ``contexts={url: dict}`` injects remote-context documents (see
+    expand_jsonld)."""
     import json
 
-    nodes = expand_jsonld(json.loads(text))
+    nodes = expand_jsonld(json.loads(text), contexts=contexts)
     lines = spark.createDataFrame(
         [(json.dumps(n),) for n in nodes], "line string"
     )

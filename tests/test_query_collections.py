@@ -150,3 +150,24 @@ def test_expand_emits_chain_text():
     body = _expand_collections("?s <urn:p> ( ?a ) ")
     assert RDF_FIRST in body and RDF_REST in body and RDF_NIL in body
     assert "?_cl" in body and "(" not in body
+
+
+def test_one_member_group_in_object_position_raises(spark, graph):
+    # round-4 ADVICE: (<p>) at end-of-statement can only be a one-element
+    # collection (paths are not objects) — raise instead of silently
+    # reading it as a path group
+    for q in (
+        f"SELECT ?s WHERE {{ ?s <{EX}list> (<urn:x>) }}",
+        f"SELECT ?s WHERE {{ ?s <{EX}list> (a) . }}",
+    ):
+        with pytest.raises(ValueError, match="ambiguous one-member"):
+            sparql_select(spark, graph, q)
+
+
+def test_one_iri_path_group_with_operator_still_works(spark, graph):
+    # (<p>)+ / (<p>)* keep their path meaning — the operator sits outside
+    # the group, so only statement-final groups are ambiguous
+    out = sparql_select(
+        spark, graph, f"SELECT ?o WHERE {{ <urn:s> (<{EX}p>)+ ?o }}"
+    )
+    assert [r["o"] for r in out.collect()] == ["urn:o1"]

@@ -131,11 +131,10 @@ def test_from_and_from_named_combined(spark, store):
         f"""SELECT ?s ?t FROM <{G2}> FROM NAMED <{G1}>
             WHERE {{ ?s <{EX}p> ?o . GRAPH <{G1}> {{ ?t <{EX}p> ?u }} }}""",
     )
-    # the GRAPH arm sees only FROM NAMED G1; the plain pattern sees the
-    # FROM G2 merge AND — the engine's documented union-default-graph
-    # deviation (plans/query.py::_dataset) — the named G1 rows too
+    # §13.2 spec-exact (round-4 ADVICE): the GRAPH arm sees only the
+    # FROM NAMED G1 slice, and the plain pattern sees ONLY the FROM G2
+    # merge — the named G1 rows are reachable through GRAPH alone
     assert sorted(tuple(r) for r in out.collect()) == [
-        ("urn:c", "urn:c"),
         ("urn:e", "urn:c"),
     ]
     # default-graph rows of the store (urn:a) are excluded either way

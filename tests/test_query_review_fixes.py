@@ -230,6 +230,17 @@ def test_unescape_string_full_echar_set():
     assert _unescape_string(r"\U0001F600") == "\U0001F600"
 
 
+def test_unescape_string_single_pass_edge_cases():
+    # round-4 ADVICE: the old chr(0)-sentinel two-pass decode turned a
+    # decoded backslash-u0000 into a backslash; the single left-to-right pass
+    # keeps it a NUL and still protects escaped-backslash pairs
+    from cmem_plugin_pyshacl_spark.plans.sparql_af import _unescape_string
+
+    assert _unescape_string("a" + chr(92) + "u0000b") == "a" + chr(0) + "b"
+    assert _unescape_string(r"x\\u0041") == "x\\u0041"  # literal, not 'A'
+    assert _unescape_string(r"A\\B") == "A\\B"
+
+
 # ------------------------------------------------- LOAD SILENT laziness
 
 

@@ -234,6 +234,38 @@ def test_with_scopes_matching_and_templates(spark, store):
     assert len(row) == 1 and row[0]["graph"] == G1
 
 
+def test_with_plus_graph_block_scopes_plain_patterns(spark, store):
+    # §3.1.3 spec-exact (round-4 ADVICE): when the WITH <g> WHERE also
+    # says GRAPH, plain patterns STILL match only g — the rest of the
+    # store is reachable through GRAPH blocks alone. The plain
+    # ?s <ex:p> ?o here must NOT match urn:a (default) or urn:e (G2).
+    out = sparql_update(
+        spark,
+        store,
+        f"""WITH <{G1}>
+            INSERT {{ ?s a <urn:Seen> . ?t a <urn:ViaGraph> }}
+            WHERE {{ ?s <{EX}p> ?o . GRAPH <{G2}> {{ ?t <{EX}p> ?u }} }}""",
+    )
+    seen = out.filter(F.col("o_value") == "urn:Seen")
+    assert [r["s"] for r in seen.collect()] == ["urn:c"]
+    via = out.filter(F.col("o_value") == "urn:ViaGraph")
+    assert [r["s"] for r in via.collect()] == ["urn:e"]
+
+
+def test_with_graph_block_can_still_name_g(spark, store):
+    # g stays a named graph of the store, so GRAPH <g> inside the WITH
+    # WHERE matches it too
+    out = sparql_update(
+        spark,
+        store,
+        f"""WITH <{G2}>
+            INSERT {{ ?s a <urn:SeenInG1> }}
+            WHERE {{ GRAPH <{G1}> {{ ?s <{EX}p> ?o }} }}""",
+    )
+    seen = out.filter(F.col("o_value") == "urn:SeenInG1")
+    assert [r["s"] for r in seen.collect()] == ["urn:c"]
+
+
 def test_with_and_graph_argument_conflict(spark, store):
     with pytest.raises(ValueError, match="ambiguous"):
         sparql_update(
