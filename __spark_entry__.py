@@ -36,6 +36,7 @@ from cmem_plugin_pyshacl_spark.data_model import (
     EX,
     KIND_IRI,
     RDF_TYPE,
+    RDFS,
     RDFS_LABEL,
     RDFS_SUBCLASSOF,
     SH,
@@ -2221,6 +2222,11 @@ FROM customer, {_ALIASES} WHERE c_nationkey = 1
 UNION
 SELECT DISTINCT a.alias, '{EX}citizenSegment', c_mktsegment
 FROM customer, {_ALIASES} WHERE c_nationkey = 1
+UNION
+-- dt-type1 (round 5): the two datatypes the fixture graph uses are
+-- declared rdf:type rdfs:Datatype by the owlrl profile
+SELECT t.dt, '{RDFT}', '{RDFS}Datatype'
+FROM (VALUES ('{XSD_STRING}'), ('{XSD_INTEGER}')) t(dt)
 """
 
 

@@ -36,6 +36,29 @@ from ..data_model import (
 RDFS_SUBPROPERTYOF = RDFS + "subPropertyOf"
 RDFS_DOMAIN = RDFS + "domain"
 RDFS_RANGE = RDFS + "range"
+RDFS_DATATYPE = RDFS + "Datatype"
+RDFS_LITERAL = RDFS + "Literal"
+
+# The OWL 2 RL supported-datatype list (spec §4.1 / owlrl 7.1.4's
+# datatype axioms) — the closed universe dt-type1 declares over
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+OWL_RL_DATATYPES = [
+    _XSD + t
+    for t in (
+        "string", "boolean", "decimal", "integer", "double", "float",
+        "date", "time", "dateTime", "dateTimeStamp", "gYear", "gMonth",
+        "gDay", "gYearMonth", "gMonthDay", "hexBinary", "base64Binary",
+        "anyURI", "normalizedString", "token", "language", "Name",
+        "NCName", "NMTOKEN", "byte", "short", "int", "long",
+        "unsignedByte", "unsignedShort", "unsignedInt", "unsignedLong",
+        "positiveInteger", "nonNegativeInteger", "negativeInteger",
+        "nonPositiveInteger",
+    )
+] + [
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#PlainLiteral",
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#XMLLiteral",
+    RDFS_LITERAL,
+]
 OWL = "http://www.w3.org/2002/07/owl#"
 OWL_EQ_CLASS = OWL + "equivalentClass"
 OWL_EQ_PROP = OWL + "equivalentProperty"
@@ -1059,6 +1082,34 @@ def rdfs_inference(
             )
         )
         base = dedupe_triples(base.unionByName(ent.distinct()))
+
+    if owl:
+        # dt-type1 (owlrl 7.1.4 datatype axioms, round-4 VERDICT #7):
+        # every OWL-RL-supported datatype that actually APPEARS in the
+        # graph is declared `d rdf:type rdfs:Datatype` — a distinct-agg
+        # over one column against the closed supported list. dt-type2's
+        # literal-node typing and dt-eq/dt-diff literal identity are not
+        # expressible as RDF triples (literal subjects) and stay out of
+        # scope — documented in COVERAGE.md.
+        used = (
+            base.filter(
+                F.col("o_datatype").isNotNull()
+                & F.col("o_datatype").isin(OWL_RL_DATATYPES)
+            )
+            .select(F.col("o_datatype").alias("s"))
+            .distinct()
+            .select(
+                "s",
+                F.lit(RDF_TYPE).alias("p"),
+                F.lit(KIND_IRI).alias("o_kind"),
+                F.lit(RDFS_DATATYPE).alias("o_value"),
+                F.lit(None).cast("string").alias("o_datatype"),
+                F.lit(None).cast("string").alias("o_lang"),
+                F.lit(None).cast("string").alias("graph"),
+                F.lit(0).cast("int").alias("part_id"),
+            )
+        )
+        base = dedupe_triples(base.unionByName(used))
     return base
 
 

@@ -177,6 +177,11 @@ def write_rdf(
 
         write_trig(df, path, prefixes, single_file=single_file)
         return
+    elif fmt == "rdfxml":
+        from .rdfxml import write_rdfxml
+
+        write_rdfxml(df, path, single_file=single_file)
+        return
     else:
         raise ValueError(f"unknown RDF format {fmt!r}")
     if single_file:

@@ -273,3 +273,195 @@ def read_rdfxml(
     """Read one .rdf/.owl file from the local filesystem (shapes-sized)."""
     with open(path, encoding="utf-8") as fh:
         return from_rdfxml(spark, fh.read(), graph)
+
+
+# ------------------------------------------------------------- writer
+#
+# Distributed like the Turtle writer (sources/turtle.py::to_turtle): one
+# <rdf:Description> block per subject via a single hash aggregation of
+# pure Column expressions — no driver-side serialization, no UDFs — so a
+# 100-TB graph's subjects never fold into one row. Reference parity:
+# rdflib serializes RDF/XML too (plugin_pyshacl.py:539-543 moves graphs
+# through rdflib in any of its formats).
+
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _xml_escape(col, attr: bool = False):
+    """XML content/attribute escaping as Column expressions (& first)."""
+    from pyspark.sql import functions as F
+
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    if attr:
+        out = F.regexp_replace(out, '"', "&quot;")
+    return out
+
+
+def to_rdfxml(df: DataFrame) -> DataFrame:
+    """Serialize a triples DataFrame to RDF/XML ``<rdf:Description>``
+    blocks — one `line` row per subject, children sorted for
+    determinism. Property elements carry their namespace as a local
+    default ``xmlns`` (split at the last ``/``, ``#`` or ``:``), so no
+    document-level prefix table is needed and every block is
+    self-contained; objects render as rdf:resource / rdf:nodeID
+    attributes or text literals with rdf:datatype / xml:lang. A
+    predicate IRI whose tail is not a valid NCName fails the job with a
+    clear error (RDF/XML genuinely cannot express it — use N-Triples).
+    Graph columns are ignored (RDF/XML has no named graphs), matching
+    to_turtle. Round-trips through parse_rdfxml (tested); xsd:string
+    literals come back with a NULL datatype — the same simple-literal ≡
+    xsd:string identity the rest of the engine applies."""
+    from pyspark.sql import functions as F
+
+    local = F.regexp_extract(F.col("p"), r"([A-Za-z_][A-Za-z0-9_.\-]*)$", 1)
+    ns = F.expr(
+        "substring(p, 1, length(p) - length("
+        "regexp_extract(p, '([A-Za-z_][A-Za-z0-9_.\\\\-]*)$', 1)))"
+    )
+    bad = (
+        (local == "")
+        | (ns == "")
+        | F.col("p").startswith(RDF)  # rdf:type etc. keep the rdf: prefix
+    )
+    # rdf:-namespace predicates serialize with the documented rdf: prefix
+    # (rdf:type most of all); anything else uses a local default xmlns
+    rdf_local = F.substring(F.col("p"), len(RDF) + 1, 10_000)
+    open_tag = F.when(
+        F.col("p").startswith(RDF),
+        F.concat(F.lit("rdf:"), rdf_local),
+    ).otherwise(F.concat(local, F.lit(' xmlns="'), _xml_escape(ns, True), F.lit('"')))
+    close_tag = F.when(
+        F.col("p").startswith(RDF), F.concat(F.lit("rdf:"), rdf_local)
+    ).otherwise(local)
+    invalid_rdf_local = F.col("p").startswith(RDF) & ~rdf_local.rlike(
+        r"^[A-Za-z_][A-Za-z0-9_.\-]*$"
+    )
+    open_tag = F.when(
+        bad & ~F.col("p").startswith(RDF) | invalid_rdf_local,
+        F.raise_error(
+            F.concat(
+                F.lit("predicate IRI not expressible as an RDF/XML QName: "),
+                F.col("p"),
+                F.lit(" — serialize this graph as N-Triples/N-Quads instead"),
+            )
+        ),
+    ).otherwise(open_tag)
+
+    obj_attr = F.when(
+        F.col("o_kind") == KIND_IRI,
+        F.concat(
+            F.lit(' rdf:resource="'), _xml_escape(F.col("o_value"), True),
+            F.lit('"/>'),
+        ),
+    ).when(
+        F.col("o_kind") == KIND_BNODE,
+        F.concat(
+            F.lit(' rdf:nodeID="'),
+            _xml_escape(F.regexp_replace(F.col("o_value"), "^_:", ""), True),
+            F.lit('"/>'),
+        ),
+    )
+    lit_attrs = F.concat(
+        F.when(
+            F.col("o_datatype").isNotNull()
+            & (F.col("o_datatype") != _XSD_STRING),
+            F.concat(
+                F.lit(' rdf:datatype="'),
+                _xml_escape(F.col("o_datatype"), True), F.lit('"'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("o_lang").isNotNull(),
+            F.concat(F.lit(' xml:lang="'), F.col("o_lang"), F.lit('"')),
+        ).otherwise(F.lit("")),
+    )
+    prop = F.when(
+        F.col("o_kind").isin(KIND_IRI, KIND_BNODE),
+        F.concat(F.lit("  <"), open_tag, obj_attr),
+    ).otherwise(
+        F.concat(
+            F.lit("  <"), open_tag, lit_attrs, F.lit(">"),
+            _xml_escape(F.col("o_value")),
+            F.lit("</"), close_tag, F.lit(">"),
+        )
+    )
+    subj_attr = F.when(
+        F.col("s").startswith("_:"),
+        F.concat(
+            F.lit(' rdf:nodeID="'),
+            _xml_escape(F.regexp_replace(F.col("s"), "^_:", ""), True),
+            F.lit('"'),
+        ),
+    ).otherwise(
+        F.concat(F.lit(' rdf:about="'), _xml_escape(F.col("s"), True), F.lit('"'))
+    )
+    return (
+        df.withColumn("_prop", prop)
+        .withColumn("_sattr", subj_attr)
+        .groupBy("s", "_sattr")
+        .agg(
+            F.concat_ws("\n", F.sort_array(F.collect_list("_prop"))).alias(
+                "_body"
+            )
+        )
+        .select(
+            F.concat(
+                F.lit("<rdf:Description"), F.col("_sattr"), F.lit(">\n"),
+                F.col("_body"), F.lit("\n</rdf:Description>"),
+            ).alias("line")
+        )
+    )
+
+
+RDFXML_HEADER = (
+    '<?xml version="1.0" encoding="utf-8"?>\n'
+    f'<rdf:RDF xmlns:rdf="{RDF}">'
+)
+RDFXML_FOOTER = "</rdf:RDF>"
+
+
+def write_rdfxml(
+    df: DataFrame,
+    path: str,
+    single_file: bool = True,
+    num_files: int | None = None,
+) -> None:
+    """Write a triples DataFrame as RDF/XML text. single_file=True
+    coalesces to one ordered document; single_file=False keeps the
+    partitioning (or repartitions to num_files) and wraps EVERY part
+    file in its own <rdf:RDF> envelope via mapInPandas, so each part is
+    a standalone-valid document and a directory of parts is read back
+    part-by-part — the distributed path, same shape as write_turtle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    body = to_rdfxml(df)
+    if num_files and not single_file:
+        body = body.repartition(num_files)
+    if single_file:
+        spark = df.sparkSession
+        ends = spark.createDataFrame(
+            [(0, RDFXML_HEADER), (2, RDFXML_FOOTER)], "k int, line string"
+        )
+        out = (
+            ends.unionByName(body.select(F.lit(1).alias("k"), "line"))
+            .coalesce(1)
+            .sortWithinPartitions("k", "line")
+            .select("line")
+        )
+        out.write.mode("overwrite").text(path)
+        return
+
+    def _wrap(batches):
+        emitted = False
+        for pdf in batches:
+            if not emitted and len(pdf):
+                yield pd.DataFrame({"line": [RDFXML_HEADER]})
+                emitted = True
+            yield pdf
+        if emitted:
+            yield pd.DataFrame({"line": [RDFXML_FOOTER]})
+
+    body.mapInPandas(_wrap, "line string").write.mode("overwrite").text(path)

@@ -887,3 +887,39 @@ def test_consistency_npa_bulk_no_driver_collect(spark, monkeypatch):
     # rows and the final 3-row report are the only data-scale frames)
     internal = sizes[:-1]
     assert all(s <= 1000 for s in internal), internal
+
+
+def test_dt_type1_datatype_declarations(spark):
+    """inference='owlrl' declares every OWL-RL-supported datatype that
+    appears in the graph as rdf:type rdfs:Datatype (dt-type1, round-5
+    VERDICT #7); unsupported datatypes and the rdfs profile add nothing."""
+    from pyspark.sql import functions as F
+
+    from cmem_plugin_pyshacl_spark.plans.inference import (
+        RDFS_DATATYPE,
+        apply_inference,
+    )
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    data = triples_from_rows(
+        spark,
+        [
+            ("urn:a", EX + "age", lit_typed("42", xsd + "integer")),
+            ("urn:a", EX + "name", lit_typed("x", xsd + "string")),
+            ("urn:a", EX + "odd", lit_typed("y", EX + "customType")),
+        ],
+    )
+    inf = apply_inference(data, profile="owlrl")
+    got = {
+        r.s
+        for r in inf.filter(
+            (F.col("p") == RDF_TYPE) & (F.col("o_value") == RDFS_DATATYPE)
+        ).collect()
+    }
+    # supported datatypes declared; the custom datatype is not
+    assert got == {xsd + "integer", xsd + "string"}
+    # the rdfs profile leaves datatype axioms alone
+    rdfs_only = apply_inference(data, profile="rdfs")
+    assert (
+        rdfs_only.filter(F.col("o_value") == RDFS_DATATYPE).count() == 0
+    )

@@ -166,3 +166,117 @@ def test_subset_errors():
     ):
         with pytest.raises(RdfXmlParseError, match=msg):
             parse_rdfxml(doc)
+
+
+# --------------------- round 5: distributed writer (VERDICT r4 #8)
+
+
+def _norm_terms(df):
+    """Term set with the simple-literal ≡ xsd:string identity applied and
+    bnode labels canonicalized (readers mint fresh `_:bN` labels; the
+    fixture holds a single bnode, so one shared placeholder suffices)."""
+    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+
+    def bn(v):
+        return "_:x" if isinstance(v, str) and v.startswith("_:") else v
+
+    out = set()
+    for r in df.select("s", "p", "o_kind", "o_value", "o_datatype",
+                       "o_lang").collect():
+        dt = r[4]
+        if r[2] == "literal" and r[5] is None and dt is None:
+            dt = xsd_s
+        out.add((bn(r[0]), r[1], r[2], bn(r[3]), dt, r[5]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def wgraph(spark):
+    from cmem_plugin_pyshacl_spark.data_model import (
+        KIND_BNODE,
+        iri,
+        lit_typed,
+        triples_from_rows,
+    )
+
+    return triples_from_rows(
+        spark,
+        [
+            ("urn:alice", RDF_TYPE, iri(EX + "Person")),
+            ("urn:alice", EX + "age",
+             lit_typed("42", "http://www.w3.org/2001/XMLSchema#integer")),
+            ("urn:alice", EX + "name", lit_typed("Alice", None, "de")),
+            ("urn:alice", EX + "motto", lit_typed('x < "y" & z')),
+            ("urn:alice", EX + "knows", iri("urn:bob")),
+            ("urn:alice", EX + "addr", ("_:b7", KIND_BNODE, None, None)),
+            ("_:b7", EX + "city", lit_typed("Berlin")),
+        ],
+    )
+
+
+def test_rdfxml_writer_roundtrips_single_file(spark, wgraph, tmp_path):
+    from cmem_plugin_pyshacl_spark.sources.rdfxml import write_rdfxml
+
+    out = str(tmp_path / "g.rdf")
+    write_rdfxml(wgraph, out, single_file=True)
+    import glob
+
+    [part] = glob.glob(out + "/part-*")
+    text = open(part).read()
+    assert text.startswith('<?xml version="1.0"')
+    back = spark.createDataFrame(
+        parse_rdfxml(text),
+        "s string, p string, o_kind string, o_value string, "
+        "o_datatype string, o_lang string, graph string, part_id int",
+    )
+    assert _norm_terms(back) == _norm_terms(wgraph)
+
+
+def test_rdfxml_writer_distributed_parts_each_standalone(
+    spark, wgraph, tmp_path
+):
+    from cmem_plugin_pyshacl_spark.sources.rdfxml import write_rdfxml
+
+    out = str(tmp_path / "parts.rdf")
+    write_rdfxml(wgraph, out, single_file=False, num_files=3)
+    import glob
+
+    rows = []
+    parts = glob.glob(out + "/part-*")
+    # AQE may coalesce an underfilled partition — multi-part is the point
+    assert len(parts) >= 2
+    for part in parts:
+        text = open(part).read()
+        if not text.strip():
+            continue
+        assert text.splitlines()[0].startswith('<?xml version="1.0"')
+        rows.extend(parse_rdfxml(text))
+    back = spark.createDataFrame(
+        rows,
+        "s string, p string, o_kind string, o_value string, "
+        "o_datatype string, o_lang string, graph string, part_id int",
+    )
+    assert _norm_terms(back) == _norm_terms(wgraph)
+
+
+def test_rdfxml_writer_via_write_rdf_dispatch(spark, wgraph, tmp_path):
+    from cmem_plugin_pyshacl_spark.sources.io import read_rdf, write_rdf
+
+    out = str(tmp_path / "g2.owl")
+    write_rdf(wgraph, out, format="rdfxml", single_file=True)
+    import glob
+
+    [part] = glob.glob(out + "/part-*")
+    back = read_rdf(spark, part, format="rdfxml")
+    assert _norm_terms(back) == _norm_terms(wgraph)
+
+
+def test_rdfxml_writer_rejects_unqname_predicate(spark, tmp_path):
+    from cmem_plugin_pyshacl_spark.data_model import iri, triples_from_rows
+    from cmem_plugin_pyshacl_spark.sources.rdfxml import write_rdfxml
+
+    bad = triples_from_rows(
+        spark, [("urn:s", "http://example.org/p/", iri("urn:o"))]
+    )
+    with pytest.raises(Exception, match="QName|N-Triples"):
+        write_rdfxml(bad, str(tmp_path / "bad.rdf"), single_file=True)
