@@ -182,22 +182,39 @@ def entity_iri(canonical_col, type_col):
 def triples_stage(relations: DataFrame, mapping: DataFrame, graph: str = EX + "graph/kg") -> DataFrame:
     """C6: materialize (subj, pred, obj) triples with type and label
     triples, deduped, carrying part_id lineage."""
+    # The mapping is USUALLY small relative to relations (distinct surfaces)
+    # — but the mention detector is open-pattern, not gazetteer-bounded, so
+    # the surface vocabulary grows with the corpus and an UNCONDITIONAL
+    # broadcast hint would OOM at north-rule 10^12-page scale (round-4
+    # VERDICT finding 1; Spark honors user hints regardless of size). Route
+    # both sides through the SHACL engine's FULL 3-tier gate: tier 1/2 trust
+    # the free Catalyst estimate; tier 3 rescues the verdict when the
+    # estimate is large/saturated (CC-derived plans multiply unknowns and
+    # carry no information) by persisting the mapping and taking ONE real
+    # count — the same persisted-count pattern the round-4 shacl_full
+    # bisect landed (plans/shacl.py). The persist is a win regardless of
+    # the verdict: BOTH join projections consume the mapping, so an
+    # unpersisted mapping recomputes its CC join twice; and without the
+    # rescue an estimate-only gate silently unhints the common small case,
+    # leaving the expensive relations frame (the fused mention mapInPandas)
+    # to be shuffle-written by two SortMergeJoins — measured 47 s → 120 s
+    # on 2M pages (BENCH.md round 5). A genuinely web-scale mapping pays
+    # one bounded count, stays unhinted, and spills under MEMORY_AND_DISK.
+    mapping_small = _is_small(mapping)
+    if not mapping_small:
+        from pyspark import StorageLevel
+
+        from .shacl import _BROADCAST_GATE_ROWS
+
+        if mapping.storageLevel == StorageLevel.NONE:
+            mapping = mapping.persist(StorageLevel.MEMORY_AND_DISK)
+        mapping_small = mapping.count() <= _BROADCAST_GATE_ROWS
     m_subj = mapping.select(
         F.col("surface").alias("subj_surface"), F.col("canonical").alias("subj_canon")
     )
     m_obj = mapping.select(
         F.col("surface").alias("obj_surface"), F.col("canonical").alias("obj_canon")
     )
-    # The mapping is USUALLY small relative to relations (distinct surfaces)
-    # — but the mention detector is open-pattern, not gazetteer-bounded, so
-    # the surface vocabulary grows with the corpus and an UNCONDITIONAL
-    # broadcast hint would OOM at north-rule 10^12-page scale (round-4
-    # VERDICT finding 1; Spark honors user hints regardless of size). Route
-    # both sides through the SHACL engine's 3-tier size gate: provably-small
-    # estimates keep the hint; anything estimated large (or saturated) goes
-    # unhinted and AQE converts from real shuffle stats when it turns out
-    # small. One gate call — m_subj/m_obj are projections of the same plan.
-    mapping_small = _is_small(mapping)
     r = relations.join(_b(m_subj, mapping_small), on="subj_surface").join(
         _b(m_obj, mapping_small), on="obj_surface"
     )
