@@ -125,9 +125,10 @@ def read_rdf(
                 f"on the DRIVER (not line-splittable) and this exceeds "
                 f"max_driver_bytes={max_driver_bytes >> 20} MiB. For bulk "
                 f"graphs use a splittable format instead — N-Triples (.nt), "
-                f"N-Quads (.nq), NDJSON-LD (.ndjson), or parquet — or pass "
-                f"max_driver_bytes explicitly if the driver really has the "
-                f"memory."
+                f"N-Quads (.nq), NDJSON-LD (.ndjson), parquet, or "
+                f"line-delimited TriG via sources.trig_bulk.read_trig_bulk "
+                f"— or pass max_driver_bytes explicitly if the driver "
+                f"really has the memory."
             )
         # one driver-side document per part file; directories concatenate
         texts = [r.value for r in lines.collect()]

@@ -754,7 +754,11 @@ def write_turtle(
     ).text(path)
 
 
-def to_trig(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+def to_trig(
+    df: DataFrame,
+    prefixes: dict[str, str] | None = None,
+    line_delimited: bool = False,
+) -> DataFrame:
     """Serialize a triples DataFrame to TriG — the named-graph twin of
     to_turtle. Each subject block renders exactly as to_turtle does but
     grouped per (graph, subject); named-graph subjects wrap in their own
@@ -763,10 +767,17 @@ def to_trig(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
     the sink fully DISTRIBUTED — no graph-level aggregation that would
     fold a 100-TB graph's subjects into one row. Null-graph rows render
     as bare (default-graph) Turtle statements, so a graph-column-free
-    frame round-trips as plain Turtle."""
+    frame round-trips as plain Turtle.
+
+    ``line_delimited=True`` renders each statement on ONE physical line
+    (``;`` separators and graph braces inline) — the splittable subset
+    `sources.trig_bulk.read_trig_bulk` ingests distributed, so bulk TriG
+    round-trips with both the writer and the reader scale-out."""
     from pyspark.sql import functions as F
 
     pfx = prefixes or {}
+    po_sep = " ; " if line_delimited else " ;\n    "
+    g_open, g_close = (" { ", " }") if line_delimited else (" {\n", "\n}")
     pred = F.when(F.col("p") == RDF_TYPE, F.lit("a")).otherwise(
         _compact_iri(F.col("p"), pfx)
     )
@@ -792,7 +803,7 @@ def to_trig(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
         per_pred.withColumn("_po", po)
         .groupBy("graph", "s")
         .agg(
-            F.concat_ws(" ;\n    ", F.sort_array(F.collect_list("_po"))).alias(
+            F.concat_ws(po_sep, F.sort_array(F.collect_list("_po"))).alias(
                 "_body"
             )
         )
@@ -810,9 +821,9 @@ def to_trig(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
             F.col("graph").isNotNull(),
             F.concat(
                 _compact_iri(F.col("graph"), pfx),
-                F.lit(" {\n"),
+                F.lit(g_open),
                 stmt,
-                F.lit("\n}"),
+                F.lit(g_close),
             ),
         )
         .otherwise(stmt)
@@ -826,15 +837,20 @@ def write_trig(
     prefixes: dict[str, str] | None = None,
     single_file: bool = True,
     num_files: int | None = None,
+    line_delimited: bool = False,
 ) -> None:
     """Write a triples DataFrame as .trig text — same header/partitioning
     contract as write_turtle (every part file standalone-valid, parts
-    concatenate validly because repeated graph labels union)."""
+    concatenate validly because repeated graph labels union).
+
+    ``line_delimited=True`` emits the one-statement-per-line subset that
+    `sources.trig_bulk.read_trig_bulk` reads back fully distributed —
+    the bulk-export shape (pair with ``single_file=False`` at scale)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     pfx = prefixes or {}
-    body = to_trig(df, pfx)
+    body = to_trig(df, pfx, line_delimited=line_delimited)
     if num_files and not single_file:
         body = body.repartition(num_files)
     header = turtle_header(pfx).rstrip("\n")
