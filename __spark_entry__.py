@@ -2271,13 +2271,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # =====================================================================
 
 
-def q_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R12 source twin: serialize the label graph to N-Triples lines and
-    parse them back with the codegen NT reader (from_ntriples). graph and
-    part_id lineage are not carried by the text format (NULL / 0)."""
-    from cmem_plugin_pyshacl_spark.data_model import from_ntriples, to_ntriples
+def q_trig_bulk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 source twin, round-5 rotation of nt_roundtrip (whose writer
+    half stayed covered by the `ntriples` slot and whose reader half by
+    pytest differentials): stamp the label graph with a named graph,
+    serialize to LINE-DELIMITED TriG (to_trig line_delimited=True), and
+    parse the lines back with the splittable bulk reader core
+    (sources/trig_bulk.from_trig_lines) — writer and reader both fully
+    distributed, graph fidelity carried through the text format.
+    part_id lineage is not carried (parser placeholder 0)."""
+    from cmem_plugin_pyshacl_spark.sources.trig_bulk import from_trig_lines
+    from cmem_plugin_pyshacl_spark.sources.turtle import to_trig
 
-    back = from_ntriples(to_ntriples(derive_label_graph(spark, sf_dir)))
+    g = derive_label_graph(spark, sf_dir).withColumn(
+        "graph", F.lit("urn:g:labels")
+    )
+    lines = to_trig(g, line_delimited=True)
+    back = from_trig_lines(lines, line_col="line")
     return back.select(
         "s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "graph",
         F.col("part_id").cast("long").alias("part_id"),
@@ -2288,23 +2298,23 @@ _SKOS_PL = "http://www.w3.org/2004/02/skos/core#prefLabel"
 _SKOSXL_PL = "http://www.w3.org/2008/05/skos-xl#prefLabel"
 _SKOSXL_LF = "http://www.w3.org/2008/05/skos-xl#literalForm"
 
-ORACLE_NT_ROUNDTRIP = f"""
+ORACLE_TRIG_BULK_ROUNDTRIP = f"""
 SELECT 'urn:part:' || p_partkey AS s, '{_SKOS_PL}' AS p,
   'literal' AS o_kind, 'skos ' || p_name AS o_value,
   '{XSD_STRING}' AS o_datatype, NULL::VARCHAR AS o_lang,
-  NULL::VARCHAR AS graph, 0::BIGINT AS part_id
+  'urn:g:labels' AS graph, 0::BIGINT AS part_id
 FROM part
 UNION ALL
 SELECT 'urn:part:' || p_partkey, '{RDFS_LABEL}', 'literal',
-  'rdfs ' || p_name, '{XSD_STRING}', NULL, NULL, 0
+  'rdfs ' || p_name, '{XSD_STRING}', NULL, 'urn:g:labels', 0
 FROM part WHERE p_partkey % 2 = 0
 UNION ALL
 SELECT 'urn:part:' || p_partkey, '{_SKOSXL_PL}', 'iri',
-  'urn:xl:' || p_partkey, NULL, NULL, NULL, 0
+  'urn:xl:' || p_partkey, NULL, NULL, 'urn:g:labels', 0
 FROM part WHERE p_partkey % 3 = 0
 UNION ALL
 SELECT 'urn:xl:' || p_partkey, '{_SKOSXL_LF}', 'literal',
-  'xl ' || p_name, '{XSD_STRING}', NULL, NULL, 0
+  'xl ' || p_name, '{XSD_STRING}', NULL, 'urn:g:labels', 0
 FROM part WHERE p_partkey % 3 = 0
 """
 
@@ -2589,8 +2599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate (VERDICT r4 #5)
         "dedup_near": q_dedup_near,
         "decontaminate": q_decontaminate,
-        # round-3 additions (previously pytest-only)
-        "nt_roundtrip": q_nt_roundtrip,
+        # round-3 additions (previously pytest-only); round 5 rotates
+        # nt_roundtrip into the splittable line-delimited TriG round-trip
+        "trig_bulk_roundtrip": q_trig_bulk_roundtrip,
         "hygiene_pipeline": q_hygiene_pipeline,
         "ivf_topk": q_ivf_topk,
         "windowed_event_counts": q_windowed_event_counts,
@@ -2656,7 +2667,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": ORACLE_SALTED_AGG,
         "dedup_near": ORACLE_DEDUP_NEAR,
         "decontaminate": ORACLE_DECONTAMINATE,
-        "nt_roundtrip": ORACLE_NT_ROUNDTRIP,
+        "trig_bulk_roundtrip": ORACLE_TRIG_BULK_ROUNDTRIP,
         "hygiene_pipeline": ORACLE_HYGIENE,
         # round 4: ivf_topk now hash-verified — the deterministic numpy
         # quantizer's centroids are inlined as SQL literals (VERDICT #2)

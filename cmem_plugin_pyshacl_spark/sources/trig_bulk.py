@@ -119,20 +119,19 @@ def _check_redeclaration(
         )
 
 
-def read_trig_bulk(
-    spark: SparkSession,
-    path: str,
+def from_trig_lines(
+    lines: DataFrame,
+    prologue: str = "",
+    line_col: str = "value",
     graph: str | None = None,
-    prologue_max_lines: int = 1024,
 ) -> DataFrame:
-    """Read line-delimited TriG (module docstring) into the triples
-    relation, fully distributed. `graph` names the default graph for
-    top-level statements and bare ``{ … }`` blocks, like `read_rdf`."""
-    lines = spark.read.text(path)
-    # take() touches only the leading split(s) — the prologue is at the
-    # top of the first file by contract
-    head = [r.value for r in lines.take(prologue_max_lines)]
-    prologue = _scan_prologue(head)
+    """Parse a DataFrame of line-delimited TriG statements (one complete
+    statement per row of `line_col`) into the triples relation — the
+    distributed core of :func:`read_trig_bulk`, usable directly when the
+    lines come from something other than a text file (a serializer's
+    output, a message stream). `prologue` carries the ``@prefix``/``@base``
+    directives the lines were written against. part_id arrives as the
+    parser's placeholder 0 (callers that care stamp their own)."""
     proto = _Parser(prologue, None)
     proto.parse()  # directives only; raises on a malformed prologue
     prefixes, base = proto.prefixes, proto.base
@@ -145,7 +144,7 @@ def read_trig_bulk(
         seq = 0
         for pdf in batches:
             rows: list[tuple] = []
-            for raw in pdf["value"]:
+            for raw in pdf[line_col]:
                 t = (raw or "").strip()
                 if not t or t.startswith("#"):
                     continue
@@ -168,9 +167,28 @@ def read_trig_bulk(
                     ) from e
             yield pd.DataFrame(rows, columns=_COLUMNS)
 
-    parsed = lines.mapInPandas(parse_batches, schema=TRIPLES_SCHEMA)
-    # part_id arrives as the parser's placeholder 0 — restamp with the
-    # real split id via the same cheap expression the NT reader offers
+    return lines.select(line_col).mapInPandas(
+        parse_batches, schema=TRIPLES_SCHEMA
+    )
+
+
+def read_trig_bulk(
+    spark: SparkSession,
+    path: str,
+    graph: str | None = None,
+    prologue_max_lines: int = 1024,
+) -> DataFrame:
+    """Read line-delimited TriG (module docstring) into the triples
+    relation, fully distributed. `graph` names the default graph for
+    top-level statements and bare ``{ … }`` blocks, like `read_rdf`."""
+    lines = spark.read.text(path)
+    # take() touches only the leading split(s) — the prologue is at the
+    # top of the first file by contract
+    head = [r.value for r in lines.take(prologue_max_lines)]
+    prologue = _scan_prologue(head)
+    parsed = from_trig_lines(lines, prologue, line_col="value", graph=graph)
+    # restamp the placeholder part_id with the real split id, matching the
+    # NT reader's lineage convention
     from pyspark.sql import functions as F
 
     return parsed.withColumn("part_id", F.spark_partition_id())
