@@ -60,6 +60,7 @@ def main() -> None:
         canonicalize_stage,
         relations_fused_stage,
         triples_stage,
+        unique_relations_stage,
     )
     from cmem_plugin_pyshacl_spark.plans.shacl import partition_reports, validate
     from cmem_plugin_pyshacl_spark.session import get_spark
@@ -103,11 +104,13 @@ def main() -> None:
     state: dict = {}
 
     def kg_construct():
-        rel = relations_fused_stage(pages).persist()
-        mapping = canonicalize_stage(rel).persist()
-        t = triples_stage(rel, mapping).persist()
+        # same dataflow as run_pipeline: the UDF streams into ONE map-side-
+        # combining reduction; only the unique-relations frame persists
+        rel_u = unique_relations_stage(relations_fused_stage(pages)).persist()
+        mapping = canonicalize_stage(rel_u).persist()
+        t = triples_stage(rel_u, mapping).persist()
         n = t.count()
-        rel.unpersist()
+        rel_u.unpersist()
         state["triples"] = t
         return n
 

@@ -130,6 +130,29 @@ def relations_stage(pages: DataFrame) -> DataFrame:
     )
 
 
+def unique_relations_stage(relations: DataFrame) -> DataFrame:
+    """Reduce mention-level relations to UNIQUE relation tuples with
+    min-part_id lineage — the canonical shuffle-shrinker between the
+    extraction UDF and everything downstream.
+
+    A web corpus states the same fact many times (the fixture grammar
+    ~40x per page-batch; a real 10^12-page crawl far more): carrying
+    mention-level rows into the mapping joins and the 5-way triple fan-out
+    multiplies every downstream shuffle by the duplication factor. This
+    groupBy is ONE map-side-combining shuffle over narrow columns — each
+    input partition first collapses to its local distinct tuples, so the
+    wire volume is (#partitions x #unique), not #mentions — after which
+    canonicalization, the mapping joins, and the triple build all run on
+    the deduplicated relation set. min(part_id) keeps the lineage
+    deterministic (same convention as dedupe_triples_lineage).
+    part_id-LEVEL consumers (incremental revalidation fingerprints) keep
+    reading the mention-level frame; this stage feeds the construct path.
+    """
+    return relations.groupBy(
+        "subj_surface", "subj_type", "pred", "obj_surface", "obj_type"
+    ).agg(F.min("part_id").alias("part_id"))
+
+
 def canonicalize_stage(relations: DataFrame) -> DataFrame:
     """C5: canonicalize entity surfaces.
 
@@ -182,6 +205,12 @@ def entity_iri(canonical_col, type_col):
 def triples_stage(relations: DataFrame, mapping: DataFrame, graph: str = EX + "graph/kg") -> DataFrame:
     """C6: materialize (subj, pred, obj) triples with type and label
     triples, deduped, carrying part_id lineage."""
+    # Collapse mention-level duplication FIRST (round 5): the 5-way triple
+    # fan-out and its set-semantics dedupe below otherwise shuffle
+    # 5 x #mentions rows; after this one map-side-combining reduction they
+    # shuffle 5 x #unique-relations. Idempotent — callers that already
+    # pass the unique_relations_stage frame pay one trivial re-group.
+    relations = unique_relations_stage(relations)
     # The mapping is USUALLY small relative to relations (distinct surfaces)
     # — but the mention detector is open-pattern, not gazetteer-bounded, so
     # the surface vocabulary grows with the corpus and an UNCONDITIONAL
@@ -303,23 +332,27 @@ def run_pipeline(
         triples = spark.read.parquet(triples_path)
         metrics["triples_resumed"] = True
     else:
-        # persist: relations feed the CC fixpoint (edges), the canonical
-        # mapping join, AND the triple build — without materialization the
-        # html->text->relations UDF chain re-executes once per consumer
-        # (~5x at small scale, catastrophic at 100 TB). MEMORY_AND_DISK via
-        # persist() spills instead of OOMing on big partitions.
-        relations = relations_fused_stage(pages).persist()
+        # The UDF output feeds exactly ONE consumer (the unique-relations
+        # reduction), so the expensive html->text->relations pass streams
+        # straight into the groupBy with no mention-level persist at all
+        # (round 5; the previous shape cached #mentions rows to guard the
+        # multi-consumer fan-out — now the fan-out consumes the REDUCED
+        # frame). rel_u is the shared persist point: the CC fixpoint, the
+        # two mapping joins, and the triple build all read it, and it is
+        # #unique-relations sized, not corpus-sized.
+        relations = relations_fused_stage(pages)
+        rel_u = unique_relations_stage(relations).persist()
         # mapping is consumed twice (subject + object sides of the triple
         # build); persist so the CC fixpoint result isn't re-derived
-        mapping = canonicalize_stage(relations).persist()
-        triples = triples_stage(relations, mapping)
+        mapping = canonicalize_stage(rel_u).persist()
+        triples = triples_stage(rel_u, mapping)
         if triples_path:
             from ..sources.sinks import write_triples
 
             write_triples(triples, triples_path, mode="overwrite")
             triples = spark.read.parquet(triples_path)
             # safe to drop only once triples are materialized on disk
-            relations.unpersist()
+            rel_u.unpersist()
     metrics["t_construct"] = e_t(t0)
 
     t1 = time.time()

@@ -40,7 +40,8 @@ sys.path.insert(0, "/root/repo")
 from cmem_plugin_pyshacl_spark.session import get_spark
 from cmem_plugin_pyshacl_spark.sources.pages import generate_pages
 from cmem_plugin_pyshacl_spark.plans.pipeline import (
-    relations_fused_stage, canonicalize_stage, triples_stage)
+    relations_fused_stage, canonicalize_stage, triples_stage,
+    unique_relations_stage)
 
 master = sys.argv[1]
 label = sys.argv[2]
@@ -59,12 +60,12 @@ pages_all = spark.read.parquet(pages_path)
 def construct(n_pages):
     pages = pages_all.filter(pages_all.id < n_pages)
     t0 = time.time()
-    rel = relations_fused_stage(pages).persist()
-    mapping = canonicalize_stage(rel).persist()
-    t = triples_stage(rel, mapping).persist()
+    rel_u = unique_relations_stage(relations_fused_stage(pages)).persist()
+    mapping = canonicalize_stage(rel_u).persist()
+    t = triples_stage(rel_u, mapping).persist()
     n_triples = t.count()
     dt = time.time() - t0
-    rel.unpersist(); mapping.unpersist(); t.unpersist()
+    rel_u.unpersist(); mapping.unpersist(); t.unpersist()
     return dt, n_triples
 
 reps = int(os.environ.get("SCALE_REPS", "2"))
