@@ -328,6 +328,42 @@ def test_trig_roundtrip_property(spark, case):
     )
 
 
+@given(_quad_rows())
+@settings(max_examples=8, deadline=None)
+def test_trig_bulk_roundtrip_property(spark, case):
+    """to_trig(line_delimited=True) ∘ from_trig_lines is the identity on
+    term content + graph for arbitrary lexical forms — the DISTRIBUTED
+    round-trip (escaped newlines/quotes must survive the one-statement-
+    per-line subset; differential vs the driver-side parse above)."""
+    from cmem_plugin_pyshacl_spark.sources.trig_bulk import from_trig_lines
+    from cmem_plugin_pyshacl_spark.sources.turtle import to_trig
+
+    rows, graphs = case
+    frames = []
+    for (s, p, obj), g in zip(rows, graphs):
+        frames.append(triples_from_rows(spark, [(s, p, obj)], graph=g))
+    t = frames[0]
+    for f in frames[1:]:
+        t = t.unionByName(f)
+    back = from_trig_lines(to_trig(t, line_delimited=True), line_col="line")
+
+    def norm_expected(r):
+        dt = r.o_datatype
+        if r.o_kind == "literal" and dt is None and r.o_lang is None:
+            dt = XSD_STRING
+        return (r.s, r.p, r.o_kind, r.o_value, dt, r.o_lang, r.graph)
+
+    def norm_got(r):
+        dt = r.o_datatype
+        if r.o_kind == "literal" and dt is None and r.o_lang is None:
+            dt = XSD_STRING
+        return (r.s, r.p, r.o_kind, r.o_value, dt, r.o_lang, r.graph)
+
+    assert sorted(norm_got(r) for r in back.collect()) == sorted(
+        norm_expected(r) for r in t.collect()
+    )
+
+
 # --------------------------------------------- SPARQL BGP differential
 @st.composite
 def _bgp_case(draw):
