@@ -13,15 +13,23 @@ Subset contract (each constraint exists to keep splits independent):
   * every physical line is a COMPLETE TriG statement — a directive, a
     default-graph triples statement, or an entire ``<g> { … }`` /
     ``GRAPH <g> { … }`` block (graph blocks may repeat; TriG unions them);
-  * ``@prefix`` / ``@base`` directives form a contiguous prologue at the
-    top of the (first) file; directive lines elsewhere are allowed only if
-    they RE-declare the prologue bindings identically (a mid-corpus
-    redefinition would change the meaning of lines after it depending on
-    split boundaries, so it raises);
-  * blank-node labels are line-scoped (a label cannot span lines; each
-    line's bnodes are namespaced `_:p{partition}s{statement}b{n}` so lines
-    never collide — content-address them with operators/graph_ops.skolemize
-    before any identity-sensitive use, per the engine's bnode contract).
+  * ``@prefix`` / ``@base`` directives are ONE CONSISTENT set for the
+    whole corpus — they may appear anywhere (each file conventionally
+    repeats the shared prologue at its top), but a conflicting
+    redefinition raises, because line meaning would otherwise depend on
+    split boundaries. ``read_trig_bulk`` gathers the directive set with
+    one distributed scan (order-independent by that consistency rule), or
+    accepts it explicitly via ``prologue=``;
+  * blank-node labels are line-scoped BY DEFAULT (each line's bnodes are
+    namespaced `_:p{partition}s{statement}b{n}` so independently-authored
+    lines never collide — content-address them with
+    operators/graph_ops.skolemize before any identity-sensitive use, per
+    the engine's bnode contract). A corpus with globally-consistent
+    authored labels — e.g. one written by ``write_trig(
+    line_delimited=True)``, which serializes one frame's labels verbatim —
+    reads with ``keep_bnode_labels=True`` to preserve cross-line bnode
+    co-references (the writer REFUSES to emit a label that spans lines
+    unless told its reader will do so; see write_trig).
 
 ``to_trig(..., line_delimited=True)`` / ``write_trig(...,
 line_delimited=True)`` emit exactly this subset, so bulk TriG round-trips
@@ -41,6 +49,7 @@ re-expression for corpora that outgrow it.
 from __future__ import annotations
 
 import re
+from collections import ChainMap
 from typing import Iterator
 
 import pandas as pd
@@ -57,7 +66,12 @@ _COLUMNS = [f.name for f in TRIPLES_SCHEMA.fields]
 class _LineParser(_Parser):
     """One-statement parser seeded with the shared prologue state and a
     per-line blank-node namespace (labels must not collide across lines
-    that parsed in different splits)."""
+    that parsed in different splits).
+
+    The prologue prefix map is shared across ALL lines of a batch via a
+    copy-on-write ChainMap (a mid-line directive — a contract violation —
+    writes into the private front map, never the shared one), so per-line
+    setup is O(1), not a map copy per line."""
 
     def __init__(
         self,
@@ -66,30 +80,27 @@ class _LineParser(_Parser):
         prefixes: dict[str, str],
         base: str | None,
         bnode_ns: str,
+        keep_labels: bool = False,
     ):
         super().__init__(text, graph)
-        self.prefixes = dict(prefixes)
+        self.prefixes = ChainMap({}, prefixes)
         self.base = base
         self._bnode_ns = bnode_ns
+        self._keep_labels = keep_labels
 
     def _fresh_bnode(self) -> str:
         self.bnode_n += 1
         return f"_:{self._bnode_ns}b{self.bnode_n}"
 
-
-def _scan_prologue(head_lines: list[str]) -> str:
-    """Collect the contiguous directive prologue from the first lines of
-    the corpus (blank/comment lines may interleave)."""
-    out: list[str] = []
-    for raw in head_lines:
-        t = (raw or "").strip()
-        if not t or t.startswith("#"):
-            continue
-        if _DIRECTIVE_RE.match(t):
-            out.append(t)
-            continue
-        break
-    return "\n".join(out)
+    def _named_bnode(self, label: str) -> str:
+        # keep_labels: the corpus guarantees globally-consistent authored
+        # labels (e.g. it was written by write_trig(line_delimited=True),
+        # whose single source frame makes them so), so cross-line bnode
+        # co-references survive; anonymous []-nodes still get the
+        # collision-free per-line namespace via _fresh_bnode.
+        if self._keep_labels:
+            return label
+        return super()._named_bnode(label)
 
 
 def _check_redeclaration(
@@ -119,11 +130,65 @@ def _check_redeclaration(
         )
 
 
+def gather_prologue(lines: DataFrame, line_col: str = "value") -> str:
+    """Collect the corpus's directive lines DISTRIBUTED and merge them
+    into one prologue, order-independently: a pushed-down prefix filter +
+    distinct + collect of the (tiny) directive set. Unlike a head-of-
+    partition-0 ``take()``, this is correct for multi-file directories
+    regardless of Spark's split ordering (splits are packed largest-file-
+    first, so partition 0 is NOT necessarily the first file). Conflicting
+    declarations raise — consistency is what makes order irrelevant.
+    Cost: one extra scan of the text; callers that already know the
+    prologue pass it to :func:`read_trig_bulk`/:func:`from_trig_lines`
+    explicitly and skip the scan."""
+    from pyspark.sql import functions as F
+
+    c = F.trim(F.col(line_col))
+    directive = (
+        c.startswith("@prefix") | c.startswith("@base")
+        | c.startswith("PREFIX") | c.startswith("BASE")
+        | c.startswith("prefix") | c.startswith("base")
+    )
+    rows = [r[0] for r in lines.filter(directive).select(c).distinct().collect()]
+    rows = [t for t in rows if _DIRECTIVE_RE.match(t)]
+    # bases first (they resolve the prefix IRIs); >1 distinct base is a
+    # conflict by construction
+    bases = [t for t in rows if re.match(r"^(?:@base|BASE)\b", t, re.I)]
+    prefixes: dict[str, str] = {}
+    base: str | None = None
+    for t in bases + [t for t in rows if t not in bases]:
+        q = _Parser(t, None)
+        q.base = base
+        q.parse()
+        for k, v in q.prefixes.items():
+            if k in prefixes and prefixes[k] != v:
+                raise ValueError(
+                    f"read_trig_bulk: conflicting @prefix declarations for "
+                    f"'{k}:' ({prefixes[k]!r} vs {v!r}) — the line-delimited "
+                    f"subset requires one consistent prologue"
+                )
+            prefixes[k] = v
+        if q.base is not None:
+            if base is not None and q.base != base:
+                raise ValueError(
+                    f"read_trig_bulk: conflicting @base declarations "
+                    f"({base!r} vs {q.base!r}) — the line-delimited subset "
+                    f"requires one consistent prologue"
+                )
+            base = q.base
+    out = []
+    if base is not None:
+        out.append(f"@base <{base}> .")
+    out.extend(f"@prefix {k}: <{v}> ." for k, v in sorted(prefixes.items()))
+    return "\n".join(out)
+
+
 def from_trig_lines(
     lines: DataFrame,
     prologue: str = "",
     line_col: str = "value",
     graph: str | None = None,
+    keep_bnode_labels: bool = False,
 ) -> DataFrame:
     """Parse a DataFrame of line-delimited TriG statements (one complete
     statement per row of `line_col`) into the triples relation — the
@@ -131,7 +196,14 @@ def from_trig_lines(
     lines come from something other than a text file (a serializer's
     output, a message stream). `prologue` carries the ``@prefix``/``@base``
     directives the lines were written against. part_id arrives as the
-    parser's placeholder 0 (callers that care stamp their own)."""
+    parser's placeholder 0 (callers that care stamp their own).
+
+    ``keep_bnode_labels=True`` preserves authored ``_:label``s verbatim —
+    REQUIRED to round-trip cross-line bnode co-references, and safe only
+    when the corpus's labels are globally consistent (one writer, e.g.
+    ``write_trig(line_delimited=True)``); the default renames labels into
+    a per-line namespace so independently-authored files can never
+    collide."""
     proto = _Parser(prologue, None)
     proto.parse()  # directives only; raises on a malformed prologue
     prefixes, base = proto.prefixes, proto.base
@@ -152,7 +224,10 @@ def from_trig_lines(
                     _check_redeclaration(t, prefixes, base)
                     continue
                 seq += 1
-                p = _LineParser(t, graph, prefixes, base, f"p{pid}s{seq}")
+                p = _LineParser(
+                    t, graph, prefixes, base, f"p{pid}s{seq}",
+                    keep_labels=keep_bnode_labels,
+                )
                 try:
                     rows.extend(p.parse())
                 except TurtleParseError as e:
@@ -176,17 +251,25 @@ def read_trig_bulk(
     spark: SparkSession,
     path: str,
     graph: str | None = None,
-    prologue_max_lines: int = 1024,
+    prologue: str | None = None,
+    keep_bnode_labels: bool = False,
 ) -> DataFrame:
     """Read line-delimited TriG (module docstring) into the triples
     relation, fully distributed. `graph` names the default graph for
-    top-level statements and bare ``{ … }`` blocks, like `read_rdf`."""
+    top-level statements and bare ``{ … }`` blocks, like `read_rdf`.
+
+    When `prologue` is None the corpus's directives are gathered with one
+    distributed scan (:func:`gather_prologue` — correct for multi-file
+    directories in any split order); pass the prologue explicitly to skip
+    that scan on a corpus you control. `keep_bnode_labels` as in
+    :func:`from_trig_lines`."""
     lines = spark.read.text(path)
-    # take() touches only the leading split(s) — the prologue is at the
-    # top of the first file by contract
-    head = [r.value for r in lines.take(prologue_max_lines)]
-    prologue = _scan_prologue(head)
-    parsed = from_trig_lines(lines, prologue, line_col="value", graph=graph)
+    if prologue is None:
+        prologue = gather_prologue(lines)
+    parsed = from_trig_lines(
+        lines, prologue, line_col="value", graph=graph,
+        keep_bnode_labels=keep_bnode_labels,
+    )
     # restamp the placeholder part_id with the real split id, matching the
     # NT reader's lineage convention
     from pyspark.sql import functions as F

@@ -838,6 +838,7 @@ def write_trig(
     single_file: bool = True,
     num_files: int | None = None,
     line_delimited: bool = False,
+    bnode_labels_global: bool = False,
 ) -> None:
     """Write a triples DataFrame as .trig text — same header/partitioning
     contract as write_turtle (every part file standalone-valid, parts
@@ -845,11 +846,46 @@ def write_trig(
 
     ``line_delimited=True`` emits the one-statement-per-line subset that
     `sources.trig_bulk.read_trig_bulk` reads back fully distributed —
-    the bulk-export shape (pair with ``single_file=False`` at scale)."""
+    the bulk-export shape (pair with ``single_file=False`` at scale).
+    That reader renames bnode labels per line BY DEFAULT, which would
+    silently sever a label serialized onto more than one statement line
+    (a bnode referenced across subjects or graphs), so this writer checks
+    for the shape — one cheap agg over the bnode-occurrence rows — and
+    refuses with the remedies unless ``bnode_labels_global=True``
+    acknowledges the reader will run with ``keep_bnode_labels=True``."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     pfx = prefixes or {}
+    if line_delimited and not bnode_labels_global:
+        occ = (
+            df.filter(F.col("s").startswith("_:"))
+            .select(F.col("s").alias("label"), "graph", F.col("s").alias("line_s"))
+            .unionByName(
+                df.filter(F.col("o_kind") == "bnode").select(
+                    F.col("o_value").alias("label"), "graph", F.col("s").alias("line_s")
+                )
+            )
+            .distinct()
+        )
+        spans = (
+            occ.groupBy("label")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if spans:
+            raise ValueError(
+                f"write_trig(line_delimited=True): bnode label "
+                f"'{spans[0]['label']}' spans multiple statement lines; the "
+                f"default read_trig_bulk renames labels per line and would "
+                f"sever the co-reference. Either (a) read back with "
+                f"keep_bnode_labels=True and pass bnode_labels_global=True "
+                f"here, (b) skolemize() the frame first "
+                f"(operators/graph_ops), or (c) export N-Quads, where "
+                f"labels are document-scoped."
+            )
     body = to_trig(df, pfx, line_delimited=line_delimited)
     if num_files and not single_file:
         body = body.repartition(num_files)

@@ -109,7 +109,7 @@ def test_consistent_redeclaration_ok_conflict_raises(spark, tmp_path):
         "ex:c ex:p ex:d .\n",
         "bad.trig",
     )
-    with pytest.raises(Exception, match="prefix redefinition"):
+    with pytest.raises(Exception, match="consistent prologue"):
         read_trig_bulk(spark, bad).count()
 
 
@@ -154,3 +154,88 @@ def test_size_guard_error_names_bulk_reader(spark, tmp_path):
     p = _write(tmp_path, DOC)
     with pytest.raises(ValueError, match="read_trig_bulk"):
         read_rdf(spark, p, format="trig", max_driver_bytes=1)
+
+
+def test_prologue_found_when_larger_file_has_no_directives(spark, tmp_path):
+    """Spark packs splits largest-file-first, so partition 0 is NOT the
+    directory's first file — the old head-of-partition-0 prologue scan
+    missed a prologue that lives in a smaller file (round-5 review). The
+    distributed gather finds it regardless of split order."""
+    _write(
+        tmp_path,
+        "@prefix ex: <http://example.org/> .\nex:a ex:p ex:b .\n",
+        "a_first.trig",
+    )
+    # much larger, directive-free data file -> becomes partition 0
+    big = "<http://example.org/s%d> <http://example.org/p> ex:o .\n"
+    _write(
+        tmp_path,
+        "".join(big % i for i in range(2000)),
+        "z_big.trig",
+    )
+    df = read_trig_bulk(spark, str(tmp_path))
+    assert df.count() == 2001
+    assert df.filter(F.col("s") == EX + "a").count() == 1
+
+
+def test_explicit_prologue_skips_the_gather_scan(spark, tmp_path):
+    p = _write(
+        tmp_path,
+        "ex:a ex:p ex:b .\n",  # no directives in the file at all
+        "nodirectives.trig",
+    )
+    df = read_trig_bulk(
+        spark, p, prologue="@prefix ex: <http://example.org/> ."
+    )
+    assert df.first().s == EX + "a"
+
+
+def test_writer_refuses_cross_line_bnode_by_default(spark, tmp_path):
+    """A bnode referenced from another subject's line would be severed by
+    the default per-line relabeling — the writer refuses with remedies
+    (round-5 review)."""
+    src = _write(
+        tmp_path,
+        "@prefix ex: <http://example.org/> .\n"
+        "_:shared ex:p ex:a .\n"
+        "ex:x ex:ref _:shared .\n",
+        "src.ttl",
+    )
+    triples = read_rdf(spark, src, format="turtle")
+    out = os.path.join(str(tmp_path), "out_bn")
+    with pytest.raises(ValueError, match="keep_bnode_labels"):
+        write_trig(triples, out, single_file=False, line_delimited=True)
+
+
+def test_cross_line_bnode_roundtrip_with_global_labels(spark, tmp_path):
+    """bnode_labels_global + keep_bnode_labels round-trips cross-line
+    bnode co-references exactly."""
+    src = _write(
+        tmp_path,
+        "@prefix ex: <http://example.org/> .\n"
+        "_:shared ex:p ex:a .\n"
+        "ex:x ex:ref _:shared .\n"
+        "ex:g1 { ex:y ex:ref _:shared . }\n",
+        "src.trig",
+    )
+    triples = read_rdf(spark, src, format="trig")
+    out = os.path.join(str(tmp_path), "out_bng")
+    write_trig(
+        triples,
+        out,
+        prefixes={"ex": EX},
+        single_file=False,
+        line_delimited=True,
+        bnode_labels_global=True,
+    )
+    back = read_trig_bulk(spark, out, keep_bnode_labels=True)
+    cols = ["s", "p", "o_kind", "o_value", "o_datatype", "o_lang", "graph"]
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+        map(tuple, triples.select(*cols).collect())
+    )
+    # the co-reference survives: the bnode subject equals the bnode object
+    subj = {r.s for r in back.filter(F.col("s").startswith("_:")).collect()}
+    objs = {
+        r.o_value for r in back.filter(F.col("o_kind") == "bnode").collect()
+    }
+    assert subj == objs and len(subj) == 1
