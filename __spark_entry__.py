@@ -1437,11 +1437,19 @@ chunks AS (
   SELECT doc_id, simhash, i AS chunk_id,
          (simhash >> (i * 15)) & 32767 AS chunk_val
   FROM fp, (SELECT unnest(range(4)) AS i) isub),
+widths AS (
+  -- mirror the Spark side's skew guard EXACTLY (round-5 review): buckets
+  -- wider than max_bucket=1000 are dropped whole before pair explosion,
+  -- so the oracle stays hash-identical at any scale factor, not just the
+  -- ones whose widest bucket happens to fit (sf1 max width: 722)
+  SELECT chunk_id, chunk_val, count(*) AS w FROM chunks GROUP BY 1, 2),
 pairs AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-  FROM chunks a JOIN chunks b USING (chunk_id, chunk_val)
-  WHERE a.doc_id < b.doc_id)
+  FROM chunks a
+  JOIN chunks b USING (chunk_id, chunk_val)
+  JOIN widths USING (chunk_id, chunk_val)
+  WHERE a.doc_id < b.doc_id AND widths.w <= 1000)
 SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 16
 """
 

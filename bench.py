@@ -89,9 +89,14 @@ def main() -> None:
     def _cpu_stat():
         # (steal, total) jiffies — hypervisor steal is INVISIBLE to
         # loadavg and is the dominant noise on this shared host
-        # (cumulative steal ~= cumulative user time, measured round 5)
-        with open("/proc/stat") as fh:
-            v = list(map(int, fh.readline().split()[1:]))
+        # (cumulative steal ~= cumulative user time, measured round 5).
+        # procfs is Linux-only; elsewhere report steal as 0 rather than
+        # crashing the benchmark (round-5 review).
+        try:
+            with open("/proc/stat") as fh:
+                v = list(map(int, fh.readline().split()[1:]))
+        except OSError:
+            return 0, 1
         return (v[7] if len(v) > 7 else 0), sum(v)
 
     def timed(name, fn):
@@ -121,7 +126,7 @@ def main() -> None:
         # combining reduction; only the unique-relations frame persists
         rel_u = unique_relations_stage(relations_fused_stage(pages)).persist()
         mapping = canonicalize_stage(rel_u).persist()
-        t = triples_stage(rel_u, mapping).persist()
+        t = triples_stage(rel_u, mapping, assume_unique=True).persist()
         n = t.count()
         rel_u.unpersist()
         state["triples"] = t

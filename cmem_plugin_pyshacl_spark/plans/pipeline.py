@@ -202,15 +202,24 @@ def entity_iri(canonical_col, type_col):
     )
 
 
-def triples_stage(relations: DataFrame, mapping: DataFrame, graph: str = EX + "graph/kg") -> DataFrame:
+def triples_stage(
+    relations: DataFrame,
+    mapping: DataFrame,
+    graph: str = EX + "graph/kg",
+    assume_unique: bool = False,
+) -> DataFrame:
     """C6: materialize (subj, pred, obj) triples with type and label
     triples, deduped, carrying part_id lineage."""
     # Collapse mention-level duplication FIRST (round 5): the 5-way triple
     # fan-out and its set-semantics dedupe below otherwise shuffle
     # 5 x #mentions rows; after this one map-side-combining reduction they
-    # shuffle 5 x #unique-relations. Idempotent — callers that already
-    # pass the unique_relations_stage frame pay one trivial re-group.
-    relations = unique_relations_stage(relations)
+    # shuffle 5 x #unique-relations. Callers that already pass the
+    # unique_relations_stage frame say so with assume_unique=True and skip
+    # the redundant re-shuffle (the re-group is correct but gains nothing
+    # on an already-unique key — round-5 review); standalone callers keep
+    # the safe default.
+    if not assume_unique:
+        relations = unique_relations_stage(relations)
     # The mapping is USUALLY small relative to relations (distinct surfaces)
     # — but the mention detector is open-pattern, not gazetteer-bounded, so
     # the surface vocabulary grows with the corpus and an UNCONDITIONAL
@@ -345,7 +354,7 @@ def run_pipeline(
         # mapping is consumed twice (subject + object sides of the triple
         # build); persist so the CC fixpoint result isn't re-derived
         mapping = canonicalize_stage(rel_u).persist()
-        triples = triples_stage(rel_u, mapping)
+        triples = triples_stage(rel_u, mapping, assume_unique=True)
         if triples_path:
             from ..sources.sinks import write_triples
 

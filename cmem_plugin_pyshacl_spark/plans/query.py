@@ -741,6 +741,7 @@ def _apply_update_op(
 
         path = re.sub(r"^file://", "", m.group("path"))
         into = m.group("into")
+        new = None
         try:
             new = read_rdf(spark, path, graph=into)
             if into is not None:
@@ -757,11 +758,23 @@ def _apply_update_op(
                 # so a lost executor in a long update sequence recomputes
                 # from the file instead of failing unrecoverably (the
                 # round-4 ADVICE against localCheckpoint's lineage cut).
+                # Cache lifetime: the blocks stay pinned while the update
+                # result still reads them; they are MEMORY_AND_DISK and
+                # evictable under pressure, and sparql_update's caller
+                # can drop them any time with spark.catalog.clearCache()
+                # — unpersisting here would re-read the file per consumer.
                 new = new.cache()
                 new.count()
             return _with_new(data, new)
         except Exception:
             if m.group("silent"):
+                # don't leak the half-materialized cache entry of a frame
+                # nobody will ever reference again (round-5 review)
+                if new is not None:
+                    try:
+                        new.unpersist()
+                    except Exception:  # pragma: no cover - defensive
+                        pass
                 return data
             raise
 

@@ -1193,13 +1193,17 @@ _STR_ESCAPE_RE = re.compile(
 
 def _unescape_string(lex: str) -> str:
     """Resolve SPARQL string-literal escapes (§19.7 ECHAR + UCODE) in a
-    single left-to-right pass."""
+    single left-to-right pass. A backslash before anything outside the
+    ECHAR/UCODE grammar is not an escape — it passes through verbatim
+    (strictly it is a syntax error; preserving beats silently dropping
+    the backslash, round-5 review)."""
     def _sub(m: re.Match) -> str:
         if m.group(1) is not None:
             return chr(int(m.group(1), 16))
         if m.group(2) is not None:
             return chr(int(m.group(2), 16))
-        return _ECHAR.get(m.group(3), m.group(3))
+        ch = m.group(3)
+        return _ECHAR.get(ch, "\\" + ch)
 
     return _STR_ESCAPE_RE.sub(_sub, lex)
 
@@ -1440,17 +1444,24 @@ def _expand_collections(body: str) -> str:
                 if _one_iri_group(inner):
                     # one operator-free IRI: a path group in predicate
                     # position (followed by an object term) — legal and
-                    # kept — but ambiguous at end-of-statement, where
-                    # only a one-element collection parses. Raise there
-                    # instead of silently picking the path reading.
+                    # kept — but ambiguous where only a term parses:
+                    # object position (end-of-statement OR before a ','
+                    # object-list separator) and subject position (start
+                    # of a statement — preceded by nothing, '.', '{' or
+                    # '}'). Raise there instead of silently picking the
+                    # path reading (round-5 review widened this from the
+                    # end-of-statement case alone).
                     nxt = body[j + 1 :].lstrip()[:1]
-                    if nxt in ("", ".", ";", "}"):
+                    prev = body[:i].rstrip()[-1:]
+                    if nxt in ("", ".", ";", ",", "}") or prev in (
+                        "", ".", "{", "}"
+                    ):
                         raise ValueError(
                             f"ambiguous one-member group ({inner.strip()})"
-                            " in object position — write the rdf:first/"
-                            "rdf:rest chain explicitly for a one-element"
-                            " collection (a parenthesized path cannot be"
-                            " an object)"
+                            " in subject/object position — write the"
+                            " rdf:first/rdf:rest chain explicitly for a"
+                            " one-element collection (a parenthesized"
+                            " path cannot be a term)"
                         )
                 i = j + 1  # path group: skip it whole
             else:

@@ -455,13 +455,13 @@ def write_rdfxml(
         return
 
     def _wrap(batches):
-        emitted = False
+        # ALWAYS emit the envelope — a subject-free partition (common
+        # after filters) must still produce a valid empty <rdf:RDF/>
+        # document, not a zero-byte part file that breaks a part-by-part
+        # XML consumer (round-5 review)
+        yield pd.DataFrame({"line": [RDFXML_HEADER]})
         for pdf in batches:
-            if not emitted and len(pdf):
-                yield pd.DataFrame({"line": [RDFXML_HEADER]})
-                emitted = True
             yield pdf
-        if emitted:
-            yield pd.DataFrame({"line": [RDFXML_FOOTER]})
+        yield pd.DataFrame({"line": [RDFXML_FOOTER]})
 
     body.mapInPandas(_wrap, "line string").write.mode("overwrite").text(path)

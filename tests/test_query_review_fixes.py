@@ -241,6 +241,36 @@ def test_unescape_string_single_pass_edge_cases():
     assert _unescape_string(r"A\\B") == "A\\B"
 
 
+def test_unescape_string_preserves_unknown_escapes():
+    # round-5 review: a backslash before a non-ECHAR char is outside the
+    # escape grammar — pass it through verbatim rather than silently
+    # dropping the backslash ('a\zb' must not become 'azb')
+    from cmem_plugin_pyshacl_spark.plans.sparql_af import _unescape_string
+
+    assert _unescape_string(r"a\zb") == r"a\zb"
+    assert _unescape_string(r"C:\x\y") == r"C:\x\y"
+    assert _unescape_string(r"mix\n\z\\q") == "mix\n" + r"\z" + "\\q"
+
+
+def test_one_member_group_raises_in_subject_and_object_list_positions():
+    # round-5 review: the ambiguity guard fired only at end-of-statement;
+    # subject position and before a ',' object-list separator now raise
+    # too instead of failing later with an unrelated parse error
+    from cmem_plugin_pyshacl_spark.plans.sparql_af import _expand_collections
+
+    with pytest.raises(ValueError, match="one-member group"):
+        _expand_collections("?s <urn:p> (<urn:x>) , <urn:y> .")
+    with pytest.raises(ValueError, match="one-member group"):
+        _expand_collections("(<urn:x>) <urn:p> ?o .")
+    with pytest.raises(ValueError, match="one-member group"):
+        _expand_collections("?a <urn:q> ?b . (<urn:x>) <urn:p> ?o .")
+    # predicate position stays a legal path group
+    assert (
+        _expand_collections("?s (<urn:p>) ?o .")
+        == "?s (<urn:p>) ?o ."
+    )
+
+
 # ------------------------------------------------- LOAD SILENT laziness
 
 

@@ -247,8 +247,8 @@ def test_rdfxml_writer_distributed_parts_each_standalone(
     assert len(parts) >= 2
     for part in parts:
         text = open(part).read()
-        if not text.strip():
-            continue
+        # round-5 review: EVERY part — even one whose partition held no
+        # subjects — is a standalone-valid XML document, never zero bytes
         assert text.splitlines()[0].startswith('<?xml version="1.0"')
         rows.extend(parse_rdfxml(text))
     back = spark.createDataFrame(
@@ -257,6 +257,32 @@ def test_rdfxml_writer_distributed_parts_each_standalone(
         "o_datatype string, o_lang string, graph string, part_id int",
     )
     assert _norm_terms(back) == _norm_terms(wgraph)
+
+
+def test_rdfxml_writer_empty_partitions_still_valid_documents(
+    spark, wgraph, tmp_path
+):
+    """A frame with fewer subjects than partitions must not leave
+    zero-byte part files — each part carries its <rdf:RDF> envelope
+    (round-5 review)."""
+    import glob
+
+    from cmem_plugin_pyshacl_spark.sources.rdfxml import (
+        parse_rdfxml,
+        write_rdfxml,
+    )
+
+    one = wgraph.limit(1)
+    out = str(tmp_path / "sparse.rdf")
+    write_rdfxml(one.repartition(4), out, single_file=False, num_files=4)
+    parts = glob.glob(out + "/part-*")
+    assert len(parts) >= 2
+    total = 0
+    for part in parts:
+        text = open(part).read()
+        assert text.splitlines()[0].startswith('<?xml version="1.0"')
+        total += len(parse_rdfxml(text))
+    assert total == 1
 
 
 def test_rdfxml_writer_via_write_rdf_dispatch(spark, wgraph, tmp_path):

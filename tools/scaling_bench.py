@@ -62,7 +62,7 @@ def construct(n_pages):
     t0 = time.time()
     rel_u = unique_relations_stage(relations_fused_stage(pages)).persist()
     mapping = canonicalize_stage(rel_u).persist()
-    t = triples_stage(rel_u, mapping).persist()
+    t = triples_stage(rel_u, mapping, assume_unique=True).persist()
     n_triples = t.count()
     dt = time.time() - t0
     rel_u.unpersist(); mapping.unpersist(); t.unpersist()
