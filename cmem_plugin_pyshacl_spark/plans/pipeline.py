@@ -351,6 +351,16 @@ def run_pipeline(
         # #unique-relations sized, not corpus-sized.
         relations = relations_fused_stage(pages)
         rel_u = unique_relations_stage(relations).persist()
+        # Materialize the shared cache with ONE parallel pass BEFORE the
+        # fan-out: canonicalize_stage's eager localCheckpoint and the CC
+        # fixpoint submit several AQE sub-stage jobs, and when the first
+        # of them finds the InMemoryRelation unbuilt, concurrent stage
+        # materializations race to compute the whole extraction pipeline
+        # (observed cold: two extraction-scale stages plus an
+        # AQE-coalesced 1-task stage re-deriving it serially for 18 s).
+        # One count() builds the cache at full parallelism; every
+        # consumer after it reads 128-row-sized cached partitions.
+        rel_u.count()
         # mapping is consumed twice (subject + object sides of the triple
         # build); persist so the CC fixpoint result isn't re-derived
         mapping = canonicalize_stage(rel_u).persist()
