@@ -2955,6 +2955,91 @@ def strict_default_graph(on: bool = True):
         _STRICT_DEFAULT.reset(token)
 
 
+def _order_patterns(
+    patterns: tuple,
+    bound_vars: set[str],
+    graph_var: str | None = None,
+) -> tuple:
+    """Greedy selectivity ordering of a BGP's triple patterns.
+
+    SPARQL BGP evaluation is a join of the patterns' solution relations;
+    inner joins commute, so the evaluation order is semantics-free — but
+    NOT cost-free: the progressive left-deep join below otherwise follows
+    query text order, and a query written "broad pattern first" carries
+    the widest intermediate relation through every subsequent join (at
+    web scale, a variable-predicate pattern first means the FULL triple
+    store as the seed). Classic static reordering (Stocker et al.,
+    "SPARQL basic graph pattern optimization using selectivity
+    estimation", WWW'08 — public literature) fixes this without
+    statistics: repeatedly pick, among the patterns CONNECTED to the
+    current binding set (those with a join condition — a shared variable,
+    $this, or the GRAPH variable), the one whose unbound-term shape is
+    most selective; fall back to the most selective remaining pattern
+    when none is connected (the cross product then pairs the SMALLEST
+    relations, instead of whichever came first textually). Catalyst
+    cannot do this for us: without table statistics its join reordering
+    never fires, and the per-pattern relations are all slices of one
+    store anyway.
+
+    Closure-bearing property paths are seeded from the endpoint the
+    binding set constrains AT EVALUATION TIME, so their relative order
+    changes the fixpoint's seed frontier — blocks containing one keep
+    their textual order (conservative; plain-pattern blocks are the
+    overwhelming case).
+
+    Scores (lower evaluates earlier): an unbound variable predicate
+    dominates (the relation is the whole store slice-free); a negated
+    property set is a complement slice (broad, but bounded); unbound
+    subject/object widen a constant-predicate slice less. Ties keep
+    textual order, so the ordering — and the emitted plan — stays
+    deterministic."""
+    from .shacl import PNeg
+
+    if len(patterns) < 2 or any(
+        not isinstance(p.pred, (str, _Term, PNeg)) for p in patterns
+    ):
+        return patterns
+
+    def term_vars(p) -> set[str]:
+        vs = {t.value for t in (p.subj, p.obj) if t.kind == "var"}
+        if isinstance(p.pred, _Term):
+            vs.add(p.pred.value)
+        return vs
+
+    bound = set(bound_vars)
+
+    def connected(p) -> bool:
+        if p.subj.kind == "this" or p.obj.kind == "this":
+            return True  # the focus column is always pre-bound
+        if graph_var is not None and graph_var in bound:
+            return True  # every pattern of a GRAPH ?g block joins on _g
+        return bool(term_vars(p) & bound)
+
+    def score(p) -> int:
+        s = 0
+        if isinstance(p.pred, _Term):
+            s += 1 if p.pred.value in bound else 8
+        elif isinstance(p.pred, PNeg):
+            s += 4
+        if p.subj.kind == "var" and p.subj.value not in bound:
+            s += 2
+        if p.obj.kind == "var" and p.obj.value not in bound:
+            s += 1
+        return s
+
+    remaining = list(enumerate(patterns))
+    out = []
+    while remaining:
+        pool = [ip for ip in remaining if connected(ip[1])] or remaining
+        idx, pat = min(pool, key=lambda ip: (score(ip[1]), ip[0]))
+        remaining.remove((idx, pat))
+        out.append(pat)
+        bound |= term_vars(pat)
+        if graph_var is not None:
+            bound.add(graph_var)
+    return tuple(out)
+
+
 def _join_patterns(
     data: DataFrame,
     bound: DataFrame,
@@ -2975,6 +3060,7 @@ def _join_patterns(
     gsel = (
         [F.col("graph")] if graph_var is not None else []
     )  # validated non-empty by the caller
+    patterns = _order_patterns(patterns, bound_vars, graph_var)
     if graph_var is not None:
         # GRAPH ranges over the dataset's NAMED graphs only (SPARQL
         # §13.3): rows in the default graph (NULL graph column) are not

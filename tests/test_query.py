@@ -630,3 +630,82 @@ def test_minus_subquery(spark):
         f"{{ SELECT ?s WHERE {{ ?s <{EX}p> <urn:x> }} }} }} }}",
     )
     assert sorted(r.s for r in out.collect()) == ["urn:b"]
+
+
+# ---------------------------------------------------------------- BGP order
+
+
+def test_order_patterns_selectivity_and_chaining():
+    """_order_patterns picks the most selective pattern first, then chains
+    through shared variables: constants beat unbound vars, an unbound
+    variable predicate goes last, and the produced order is deterministic
+    (ties keep textual order)."""
+    from cmem_plugin_pyshacl_spark.plans.sparql_af import (
+        _Pattern,
+        _Term,
+        _order_patterns,
+    )
+
+    open_scan = _Pattern(_Term("var", "s"), _Term("var", "p"), _Term("var", "o"))
+    by_x = _Pattern(_Term("var", "x"), EX + "p", _Term("iri", "urn:o"))
+    seed = _Pattern(_Term("iri", "urn:s"), EX + "p2", _Term("var", "x"))
+    got = _order_patterns((open_scan, by_x, seed), set())
+    assert got == (seed, by_x, open_scan)
+    # already-bound outer variables make their patterns connected
+    got2 = _order_patterns((open_scan, by_x), {"x"})
+    assert got2 == (by_x, open_scan)
+
+
+def test_order_patterns_keeps_closure_blocks_textual():
+    """A block containing a closure-bearing property path keeps its
+    textual order: the closure's reachability fixpoint seeds from what is
+    bound when it runs, so reordering would change its seed frontier."""
+    from cmem_plugin_pyshacl_spark.plans.shacl import PClosure, PPred
+    from cmem_plugin_pyshacl_spark.plans.sparql_af import (
+        _Pattern,
+        _Term,
+        _order_patterns,
+    )
+
+    closure = _Pattern(
+        _Term("var", "a"),
+        PClosure(PPred(EX + "p"), "zeroOrMore"),
+        _Term("var", "b"),
+    )
+    plain = _Pattern(_Term("iri", "urn:s"), EX + "q", _Term("var", "a"))
+    pats = (closure, plain)
+    assert _order_patterns(pats, set()) == pats
+
+
+def test_bgp_permutation_invariance_and_no_cartesian(spark):
+    """The same chained BGP written broad-first returns identical rows to
+    selective-first (BGP joins commute), and the reordering removes the
+    cross join the textual order would plan: first two textual patterns
+    share no variable, but the greedy connected order chains them."""
+    rows = []
+    for i in range(6):
+        rows.append((f"urn:x{i}", EX + "p0", iri(f"urn:y{i}")))
+        rows.append((f"urn:y{i}", EX + "p1", iri(f"urn:z{i}")))
+        rows.append((f"urn:z{i}", EX + "p2", iri(f"urn:w{i % 2}")))
+    data = triples_from_rows(spark, rows)
+    chained = (
+        f"SELECT ?x ?w WHERE {{ ?x <{EX}p0> ?y . ?y <{EX}p1> ?z . "
+        f"?z <{EX}p2> ?w }}"
+    )
+    broad_first = (
+        f"SELECT ?x ?w WHERE {{ ?z <{EX}p2> ?w . ?x <{EX}p0> ?y . "
+        f"?y <{EX}p1> ?z }}"
+    )
+    a = sorted((r.x, r.w) for r in sparql_select(spark, data, chained).collect())
+    b = sorted(
+        (r.x, r.w) for r in sparql_select(spark, data, broad_first).collect()
+    )
+    assert a == b and len(a) == 6
+    plan = (
+        sparql_select(spark, data, broad_first)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -61,6 +61,7 @@ def construct(n_pages):
     pages = pages_all.filter(pages_all.id < n_pages)
     t0 = time.time()
     rel_u = unique_relations_stage(relations_fused_stage(pages)).persist()
+    rel_u.count()  # build the shared cache once, like run_pipeline
     mapping = canonicalize_stage(rel_u).persist()
     t = triples_stage(rel_u, mapping, assume_unique=True).persist()
     n_triples = t.count()
