@@ -829,3 +829,57 @@ def test_path_evaluation_matches_relation_reference(spark, case):
     rel = _rel_py(tree, set(edges), nodes)
     expected = {(f, y) for (f, y) in rel if f in set(focus)}
     assert got == expected
+
+
+# ------------------------------------------------------------- BGP ordering
+
+from cmem_plugin_pyshacl_spark.plans.sparql_af import (
+    _Pattern as _SpPattern,
+    _Term as _SpTerm,
+    _order_patterns,
+)
+
+_pat_terms = st.one_of(
+    st.sampled_from(["x", "y", "z", "w"]).map(lambda v: _SpTerm("var", v)),
+    st.sampled_from(["urn:a", "urn:b"]).map(lambda v: _SpTerm("iri", v)),
+)
+_pat_preds = st.one_of(
+    st.sampled_from(["urn:p", "urn:q"]),
+    st.sampled_from(["p", "q"]).map(lambda v: _SpTerm("var", v)),
+)
+_bgps = st.lists(
+    st.tuples(_pat_terms, _pat_preds, _pat_terms).map(
+        lambda t: _SpPattern(t[0], t[1], t[2])
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(_bgps, st.sets(st.sampled_from(["x", "y", "z", "p"]), max_size=2))
+@settings(max_examples=300, deadline=None)
+def test_order_patterns_invariants(pats, outer):
+    """_order_patterns returns a permutation of its input, is
+    deterministic, and never picks a disconnected pattern while a
+    connected one remains (the no-needless-cross-join guarantee)."""
+    pats = tuple(pats)
+    out = _order_patterns(pats, outer)
+    assert sorted(map(repr, out)) == sorted(map(repr, pats))
+    assert out == _order_patterns(pats, outer)
+
+    def tvars(p):
+        vs = {t.value for t in (p.subj, p.obj) if t.kind == "var"}
+        if isinstance(p.pred, _SpTerm):
+            vs.add(p.pred.value)
+        return vs
+
+    bound = set(outer)
+    remaining = list(pats)
+    for chosen in out:
+        connected = [p for p in remaining if tvars(p) & bound]
+        if connected:
+            assert tvars(chosen) & bound, (
+                f"picked disconnected {chosen} while {connected} available"
+            )
+        remaining.remove(chosen)
+        bound |= tvars(chosen)
