@@ -205,7 +205,18 @@ def test_mention_sentences_drive_relations(spark):
     assert rel == with_mentions
 
 
-def test_spark_submit_py_files_ships_package(tmp_path):
+@pytest.mark.parametrize(
+    "master",
+    [
+        "local[4]",
+        # real separate executor JVMs: --py-files must actually SHIP the
+        # zip to each executor's python workers across process
+        # boundaries (the closest sandbox stand-in for the north rule's
+        # multi-executor cluster; driver sys.path never reaches them)
+        "local-cluster[2,2,4096]",
+    ],
+)
+def test_spark_submit_py_files_ships_package(tmp_path, master):
     """north_rule: the job ships via `spark-submit --py-files`. Build the
     package zip, spark-submit tools/submit_job.py from OUTSIDE the repo
     with no PYTHONPATH, and check the pipeline ran end-to-end off the
@@ -228,7 +239,7 @@ def test_spark_submit_py_files_ships_package(tmp_path):
     proc = subprocess.run(
         [
             "/opt/spark/bin/spark-submit",
-            "--master", "local[4]",
+            "--master", master,
             "--py-files", zip_base + ".zip",
             "/root/repo/tools/submit_job.py", "200", out_dir,
         ],
