@@ -51,6 +51,7 @@ from .sparql_af import (
     _apply_order_limit,
     _delim_end,
     _iri_end,
+    _join_inline_data,
     _parse_group,
     _parse_patterns,
     expand_prefixes,
@@ -261,6 +262,11 @@ def sparql_select(
         bound, bound_vars = _apply_aggregation(
             bound, bound_vars, q, has_this=False
         )
+    if q.values_clause is not None:
+        # §18.2.4.2: Join(P, ToMultiset(data)) after aggregation, before
+        # projection/DISTINCT/ORDER — the full join (unbound solution
+        # vars fill from the data row), not the in-group filter
+        bound = _join_inline_data(spark, bound, bound_vars, q.values_clause)
     # SELECT * never projects internal desugar variables: `_seq` path
     # hops and `_bp` bnode-list nodes (SPARQL does not project pattern
     # bnodes); `_`-prefixed names are reserved for the engine

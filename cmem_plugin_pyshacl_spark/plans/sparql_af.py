@@ -551,7 +551,8 @@ def _parse_group(body: str) -> _Block:
     if re.match(r"\s*SELECT\b", body, re.I):
         # a UNION branch that is itself a subquery: { SELECT … } UNION …
         return _Block(
-            (), (), (), (), subselects=(parse_select_query(body),)
+            (), (), (), (),
+            subselects=(_no_values(parse_select_query(body), "a subquery"),),
         )
     alts = _split_alternation(body)
     if alts is not None:
@@ -570,7 +571,9 @@ def _parse_group(body: str) -> _Block:
             values_clauses.append(inner)
             continue
         if kw == "SUBSELECT":
-            subselects.append(parse_select_query(inner))
+            subselects.append(
+                _no_values(parse_select_query(inner), "a subquery")
+            )
             continue
         if kw == "GRAPH":
             gterm_text, gbody = inner
@@ -1132,7 +1135,7 @@ def evaluate_target_select(
     (distinct). Inside a target select ``?this`` is an ordinary variable
     BOUND BY the pattern (there is no outer focus set), so ``$this`` is
     rejected — SHACL-AF target queries project ``?this``."""
-    q = parse_select_query(select)
+    q = _no_values(parse_select_query(select), "a sh:SPARQLTarget select")
     if q.star:
         raise ValueError(
             "SELECT * is not valid in a sh:SPARQLTarget select — project "
@@ -1875,6 +1878,10 @@ class _SelectQuery:
     star: bool = False  # SELECT * — every visible variable (standalone
     # query surface only; constraint/target evaluation rejects it)
     offset: int | None = None  # requires order_by, like limit
+    # trailing top-level VALUES (§10.2.2) — joined with the solutions
+    # after aggregation (§18.2.4.2); standalone sparql_select only,
+    # constraint/target/subquery evaluation rejects it
+    values_clause: _ValuesClause | None = None
 
 
 _AGG_PROJ_RE = re.compile(
@@ -1908,10 +1915,57 @@ def _mk_agg(mm: re.Match, alias: str) -> _Agg:
     )
 
 
+def _no_values(q: "_SelectQuery", where: str) -> "_SelectQuery":
+    """Reject a top-level VALUES clause outside the standalone SELECT
+    surface — subquery/constraint/target evaluation joins solutions
+    through pre-bound keys and has no post-aggregation slot for the
+    §18.2.4.2 inline-data join."""
+    if q.values_clause is not None:
+        raise ValueError(
+            f"a trailing VALUES clause is not supported in {where} — "
+            "move it into the group as an in-group VALUES, or use the "
+            "standalone sparql_select surface"
+        )
+    return q
+
+
+def _split_trailing_values(select: str) -> tuple[str, _ValuesClause | None]:
+    """Split a post-solution-modifier ``VALUES … { … }`` clause
+    (§10.2.2) off the query text, brace-aware: the WHERE block is walked
+    with the string/IRI-aware matcher so a VALUES INSIDE the group (or a
+    subquery's WHERE) is never mistaken for the trailing clause."""
+    if not select.rstrip().endswith("}"):
+        return select, None  # no trailing block — nothing to split
+    wm = re.search(r"\bWHERE\s*\{", select, re.I)
+    if not wm:
+        return select, None
+    end = _brace_end(select, wm.end() - 1)
+    tail = select[end + 1 :]
+    vm = re.search(r"\bVALUES\b", tail, re.I)
+    if not vm:
+        return select, None
+    rest = tail[vm.end() :]
+    bm = re.search(r"\{", rest)
+    if not bm:
+        raise ValueError("VALUES clause is missing its { data } block")
+    vars_text = rest[: bm.start()].strip()
+    if vars_text.startswith("(") and vars_text.endswith(")"):
+        vars_text = vars_text[1:-1]  # parenthesized form: VALUES (?a ?b)
+    bend = _delim_end(rest, bm.start(), "{", "}")
+    if rest[bend + 1 :].strip():
+        raise ValueError(
+            "a top-level VALUES clause must end the query "
+            f"(unexpected {rest[bend + 1:][:30]!r} after it)"
+        )
+    vc = _parse_values(vars_text, rest[bm.start() + 1 : bend])
+    return select[: end + 1 + vm.start()], vc
+
+
 def parse_select_query(select: str) -> _SelectQuery:
     """Parse the supported SELECT subset — plain projections plus the
     aggregate form ``SELECT $this (COUNT(?v) AS ?n) … GROUP BY $this
     [?g …] HAVING (expr)``; ValueError on anything outside."""
+    select, values_clause = _split_trailing_values(select)
     m = re.match(
         r"\s*SELECT\s+(?:(?P<dist>DISTINCT|REDUCED)\s+)?"
         r"(?P<proj>.+?)\s+WHERE\s*\{(?P<body>.*)\}"
@@ -2095,6 +2149,7 @@ def parse_select_query(select: str) -> _SelectQuery:
         limit,
         star,
         offset,
+        values_clause,
     )
 
 
@@ -3360,8 +3415,26 @@ def _optional_join(
     """OPTIONAL { … }: evaluate the group over the DISTINCT shared keys of
     the outer binding set, then left-outer join it back — unmatched outer
     solutions keep NULLs in the group's variables (SPARQL OPTIONAL
-    semantics; bound()/!bound() filters read exactly those NULLs)."""
-    key_cols = _sub_block_keys(bound_vars, sub, has_this)
+    semantics; bound()/!bound() filters read exactly those NULLs).
+
+    A group sharing NO variable (possible only in focus-free contexts —
+    constraint solutions always carry ``this``) is SPARQL's LeftJoin
+    with a disjoint solution set: every outer row pairs with every group
+    solution, and an EMPTY group leaves the outer rows with the group's
+    variables unbound — exactly a left join on a TRUE condition."""
+    key_cols = _sub_block_keys(bound_vars, sub, has_this, strict=False)
+    if not key_cols:
+        seed = bound.sparkSession.range(1).select(F.lit(0).alias("_seed"))
+        inner_vars: set[str] = set()
+        matched = _apply_block(data, seed, inner_vars, sub, ns, has_this)
+        proj = [
+            f"{v}__{part}"
+            for v in sorted(inner_vars)
+            for part in ("value", "kind", "datatype", "lang")
+        ]
+        bound = bound.join(matched.select(*proj), F.lit(True), "left")
+        bound_vars |= inner_vars
+        return bound
     keys = bound.select(*key_cols).distinct()
     inner_vars = {c[: -len("__value")] for c in key_cols if c.endswith("__value")}
     shared = set(inner_vars)
@@ -3442,8 +3515,25 @@ def _exists_join(
 ) -> DataFrame:
     """FILTER [NOT] EXISTS { … }: evaluate the group over the distinct
     shared keys and semi/anti-join the outer binding set against it —
-    the standard relational compilation of the SPARQL existence probe."""
-    key_cols = _sub_block_keys(bound_vars, sub, has_this)
+    the standard relational compilation of the SPARQL existence probe.
+
+    A group sharing NO variable (focus-free contexts only) is a GLOBAL
+    probe — "does this match anywhere in the store" — the same for every
+    outer row: compile it lazily as a one-row marker relation joined
+    semi (EXISTS: all rows survive iff the marker exists) or anti
+    (NOT EXISTS: all rows survive iff it does not)."""
+    key_cols = _sub_block_keys(bound_vars, sub, has_this, strict=False)
+    if not key_cols:
+        seed = bound.sparkSession.range(1).select(F.lit(0).alias("_seed"))
+        inner_vars: set[str] = set()
+        marker = (
+            _apply_block(data, seed, inner_vars, sub, ns, has_this)
+            .select(F.lit(0).alias("_probe"))
+            .limit(1)
+        )
+        return bound.join(
+            marker, F.lit(True), "left_anti" if negated else "left_semi"
+        )
     keys = bound.select(*key_cols).distinct()
     inner_vars = {c[: -len("__value")] for c in key_cols if c.endswith("__value")}
     matched = (
@@ -3501,6 +3591,98 @@ def _minus_join(
         .distinct()
     )
     return bound.join(matched, on=key_cols, how="left_anti")
+
+
+def _join_inline_data(
+    spark: SparkSession,
+    bound: DataFrame,
+    bound_vars: set[str],
+    vc: _ValuesClause,
+) -> DataFrame:
+    """Top-level ``VALUES`` (§10.2.2): Join(P, ToMultiset(data)) per
+    §18.2.4.2 — applied after aggregation, before projection. Unlike the
+    in-group zero-shuffle filter (whose variables the group must bind),
+    this is the FULL join: a solution is compatible with a data row when
+    they agree on every shared variable that is bound on both sides —
+    an unbound (NULL, from OPTIONAL) solution variable is compatible
+    with anything and gets FILLED from the data row, UNDEF data cells
+    are compatible with anything and fill nothing, and variables the
+    pattern never binds join in as new columns. The inline table is
+    query-text-sized, so the join broadcasts; multiplicity multiplies
+    per matching data row (join semantics, not a filter)."""
+    rows = []
+    for r in vc.rows:
+        row = []
+        for t in r:
+            if t is None:  # UNDEF
+                row += [None, None, None, None, False]
+            elif t.kind == "iri":
+                row += [t.value, KIND_IRI, None, None, True]
+            else:
+                row += [t.value, KIND_LITERAL, t.dt, None, True]
+        rows.append(tuple(row))
+    fields = []
+    for v in vc.vars:
+        fields += [
+            f"_vv_{v}__value string",
+            f"_vv_{v}__kind string",
+            f"_vv_{v}__datatype string",
+            f"_vv_{v}__lang string",
+            f"_vv_{v}__def boolean",
+        ]
+    vdf = spark.createDataFrame(rows, ", ".join(fields))
+    conds = []
+    for v in vc.vars:
+        if v not in bound_vars:
+            continue
+        b_val, d_val = F.col(f"{v}__value"), F.col(f"_vv_{v}__value")
+        # term equality under the engine's RDF 1.1 identity: plain
+        # literal ≡ xsd:string (VALUES data always carries a datatype)
+        b_dt = F.when(
+            (F.col(f"{v}__kind") == KIND_LITERAL)
+            & F.col(f"{v}__lang").isNull(),
+            F.coalesce(F.col(f"{v}__datatype"), F.lit(XSD_STRING)),
+        ).otherwise(F.col(f"{v}__datatype"))
+        term_eq = (
+            (b_val == d_val)
+            & (F.col(f"{v}__kind") == F.col(f"_vv_{v}__kind"))
+            & (
+                F.when(
+                    F.col(f"_vv_{v}__kind") == KIND_LITERAL,
+                    (b_dt == F.col(f"_vv_{v}__datatype"))
+                    & F.col(f"{v}__lang").isNull(),
+                ).otherwise(F.lit(True))
+            )
+        )
+        conds.append(
+            ~F.col(f"_vv_{v}__def") | b_val.isNull() | term_eq
+        )
+    cond = F.lit(True)
+    for c in conds:
+        cond = cond & c
+    out = bound.join(F.broadcast(vdf), cond)
+    for v in vc.vars:
+        if v in bound_vars:
+            for part in ("value", "kind", "datatype", "lang"):
+                out = out.withColumn(
+                    f"{v}__{part}",
+                    F.coalesce(
+                        F.col(f"{v}__{part}"), F.col(f"_vv_{v}__{part}")
+                    ),
+                )
+        else:
+            for part in ("value", "kind", "datatype", "lang"):
+                out = out.withColumn(
+                    f"{v}__{part}", F.col(f"_vv_{v}__{part}")
+                )
+            bound_vars.add(v)
+    return out.drop(
+        *[
+            f"_vv_{v}__{p}"
+            for v in vc.vars
+            for p in ("value", "kind", "datatype", "lang", "def")
+        ]
+    )
 
 
 def _apply_order_limit(
@@ -3999,7 +4181,7 @@ def evaluate_sparql_constraint(
     of one per constraint (round-3 verdict finding 3; sourceShape is a
     result column, so a global all-column dedupe cannot merge rows
     across constraints)."""
-    q = parse_select_query(sc.select)
+    q = _no_values(parse_select_query(sc.select), "a sh:sparql constraint")
     if q.star:
         raise ValueError(
             "SELECT * is not valid in a sh:sparql constraint — project "

@@ -709,3 +709,138 @@ def test_bgp_permutation_invariance_and_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------- disjoint OPTIONAL/EXISTS
+
+
+def test_optional_disjoint_group_cross_multiplies(spark):
+    """OPTIONAL sharing no variable with the outer pattern is SPARQL's
+    LeftJoin with a disjoint solution set: every outer row pairs with
+    every group solution; an empty group leaves the variable unbound."""
+    data = triples_from_rows(spark, [
+        ("urn:a", EX + "p", iri("urn:x")),
+        ("urn:b", EX + "p", iri("urn:y")),
+        ("urn:g", EX + "tag", iri("urn:t1")),
+    ])
+    out = sparql_select(
+        spark, data,
+        f"SELECT ?s ?v WHERE {{ ?s <{EX}p> ?o . "
+        f"OPTIONAL {{ <urn:g> <{EX}tag> ?v }} }}",
+    )
+    assert sorted((r.s, r.v) for r in out.collect()) == [
+        ("urn:a", "urn:t1"), ("urn:b", "urn:t1"),
+    ]
+    out2 = sparql_select(
+        spark, data,
+        f"SELECT ?s ?v WHERE {{ ?s <{EX}p> ?o . "
+        f"OPTIONAL {{ <urn:g> <{EX}missing> ?v }} }}",
+    )
+    assert sorted((r.s, r.v) for r in out2.collect()) == [
+        ("urn:a", None), ("urn:b", None),
+    ]
+
+
+def test_filter_exists_constant_probe(spark):
+    """FILTER [NOT] EXISTS over a constant-only group is a global probe:
+    all outer rows survive iff the store (does not) contain a match."""
+    data = triples_from_rows(spark, [
+        ("urn:a", EX + "p", iri("urn:x")),
+        ("urn:b", EX + "p", iri("urn:y")),
+        ("urn:flag", EX + "is", iri("urn:on")),
+    ])
+    hit = f"FILTER EXISTS {{ <urn:flag> <{EX}is> <urn:on> }}"
+    miss = f"FILTER EXISTS {{ <urn:flag> <{EX}is> <urn:off> }}"
+    base = f"SELECT ?s WHERE {{ ?s <{EX}p> ?o . %s }}"
+    assert sorted(
+        r.s for r in sparql_select(spark, data, base % hit).collect()
+    ) == ["urn:a", "urn:b"]
+    assert sparql_select(spark, data, base % miss).count() == 0
+    neg = f"FILTER NOT EXISTS {{ <urn:flag> <{EX}is> <urn:off> }}"
+    assert sorted(
+        r.s for r in sparql_select(spark, data, base % neg).collect()
+    ) == ["urn:a", "urn:b"]
+
+
+# ---------------------------------------------------------- top-level VALUES
+
+
+def test_top_level_values_filters_and_fills(spark):
+    """A post-pattern VALUES clause (§10.2.2) JOINS the solutions with
+    the inline data (§18.2.4.2): agreeing rows survive, rows whose
+    variable is unbound (OPTIONAL miss) are compatible and get FILLED
+    from the data row, and UNDEF cells constrain nothing."""
+    data = triples_from_rows(spark, [
+        ("urn:a", EX + "p", iri("urn:x")),
+        ("urn:b", EX + "p", iri("urn:y")),
+        ("urn:a", EX + "tag", iri("urn:t1")),
+    ])
+    # plain filter
+    out = sparql_select(
+        spark, data,
+        f"SELECT ?s WHERE {{ ?s <{EX}p> ?o }} VALUES ?s {{ <urn:a> }}",
+    )
+    assert [r.s for r in out.collect()] == ["urn:a"]
+    # fill: ?t unbound for urn:b, bound to urn:t1 for urn:a — the data
+    # row (urn:t9) matches only the unbound solution and fills it
+    out2 = sparql_select(
+        spark, data,
+        f"SELECT ?s ?t WHERE {{ ?s <{EX}p> ?o . "
+        f"OPTIONAL {{ ?s <{EX}tag> ?t }} }} VALUES ?t {{ <urn:t9> }}",
+    )
+    assert sorted((r.s, r.t) for r in out2.collect()) == [("urn:b", "urn:t9")]
+    # UNDEF row keeps everything; a second concrete row multiplies
+    out3 = sparql_select(
+        spark, data,
+        f"SELECT ?s WHERE {{ ?s <{EX}p> ?o }} "
+        f"VALUES (?s) {{ (UNDEF) (<urn:a>) }}",
+    )
+    assert sorted(r.s for r in out3.collect()) == ["urn:a", "urn:a", "urn:b"]
+
+
+def test_top_level_values_new_variable_and_literals(spark):
+    """VALUES variables the pattern never binds join in as new columns
+    (cross product with the inline rows); literal cells match on full
+    term identity (plain ≡ xsd:string)."""
+    data = triples_from_rows(spark, [
+        ("urn:a", EX + "name", lit_typed("alice")),
+    ])
+    out = sparql_select(
+        spark, data,
+        f"SELECT ?s ?k WHERE {{ ?s <{EX}name> ?n }} "
+        f"VALUES ?k {{ \"x\" \"y\" }}",
+    )
+    assert sorted((r.s, r.k) for r in out.collect()) == [
+        ("urn:a", "x"), ("urn:a", "y"),
+    ]
+    out2 = sparql_select(
+        spark, data,
+        f"SELECT ?s WHERE {{ ?s <{EX}name> ?n }} VALUES ?n {{ \"alice\" }}",
+    )
+    assert [r.s for r in out2.collect()] == ["urn:a"]
+
+
+def test_top_level_values_after_aggregation(spark):
+    """Per §18.2.4.2 the inline data joins AFTER aggregation: it can
+    filter on an aggregate alias."""
+    data = triples_from_rows(spark, [
+        ("urn:a", EX + "p", iri("urn:x")),
+        ("urn:a", EX + "p", iri("urn:y")),
+        ("urn:b", EX + "p", iri("urn:z")),
+    ])
+    out = sparql_select(
+        spark, data,
+        f"SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s <{EX}p> ?o }} "
+        f"GROUP BY ?s VALUES ?n {{ 2 }}",
+    )
+    assert [(r.s, r.n) for r in out.collect()] == [("urn:a", "2")]
+
+
+def test_top_level_values_rejected_in_subquery(spark):
+    data = triples_from_rows(spark, [("urn:a", EX + "p", iri("urn:x"))])
+    with pytest.raises(ValueError, match="trailing VALUES"):
+        sparql_select(
+            spark, data,
+            f"SELECT ?s WHERE {{ {{ SELECT ?s WHERE {{ ?s <{EX}p> ?o }} "
+            f"VALUES ?s {{ <urn:a> }} }} }}",
+        )
